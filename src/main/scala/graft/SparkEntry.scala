@@ -1,12 +1,40 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.LinkConfig
+import graft.ingest.ClkIO
+import graft.link.{Linker, Pipeline}
+import graft.cluster.Solver
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val FixturesDir = "/root/repo/fixtures"
+
+  private def febrl4Blocked(spark: SparkSession): DataFrame = {
+    val a = ClkIO.readBinary(spark, s"$FixturesDir/febrl4_a.bin", 0, 128)
+    val b = ClkIO.readBinary(spark, s"$FixturesDir/febrl4_b.bin", 1, 128)
+    Pipeline.defaultBlock(a.union(b))
+  }
+
+  /** Flagship: the full record-linkage run (encode fixtures → block →
+    * dice-score → threshold → dedup → CC → greedy solve → clusters).
+    * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Pipeline.clusters(febrl4Blocked(spark), LinkConfig(threshold = 0.8)).toDF()
+
+  /** One per implemented operator from SURVEY.md §2. Queries without an
+    * oracleSql entry get a rows-only check (non-SQL-expressible ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1+B4+A2+A3: blocking join + dice scoring + threshold + dedup
+    "er_febrl4_edges" -> ((s, _) =>
+      Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8))
+        .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
+    // G1: greedy entity groups (exact-oracle-tested in LinkageFixtureSpec)
+    "er_febrl4_clusters" -> ((s, _) =>
+      Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = 0.8))
+        .toDF().orderBy(col("clusterId"), col("dp"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map()

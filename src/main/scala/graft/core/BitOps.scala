@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.unsafe.Platform
+
+/** Bit-parallel kernels over fixed-width bitvector encodings (CLKs).
+  *
+  * Reference semantics: anonlink's Dice kernel, called at
+  * `backend/entityservice/tasks/comparing.py:340-343` of
+  * data61/anonlink-entity-service —
+  * `sim = 2 * popcount(a & b) / (popcount(a) + popcount(b))`.
+  * Encodings are 8..1024 bytes, always a multiple of 8
+  * (`tasks/pre_run_check.py:77-78`), so the hot loop strides 8 bytes at a
+  * time through `Platform.getLong` and `java.lang.Long.bitCount` (JIT emits
+  * POPCNT). A byte-tail loop keeps the functions total for any length.
+  *
+  * These are plain static-forwardable methods so generated (whole-stage
+  * codegen) Java can call them directly: `graft.core.BitOps.andPopcount(a,b)`.
+  */
+object BitOps {
+
+  /** Number of set bits in the byte array. */
+  def popcount(a: Array[Byte]): Int = {
+    var i = 0
+    var acc = 0
+    val n8 = a.length - (a.length & 7)
+    while (i < n8) {
+      acc += java.lang.Long.bitCount(Platform.getLong(a, Platform.BYTE_ARRAY_OFFSET + i))
+      i += 8
+    }
+    while (i < a.length) {
+      acc += java.lang.Integer.bitCount(a(i) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  /** popcount(a & b) over the common prefix length. Lengths must match for
+    * meaningful similarity; mismatched lengths score over min length. */
+  def andPopcount(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var acc = 0
+    val n8 = n - (n & 7)
+    while (i < n8) {
+      val x = Platform.getLong(a, Platform.BYTE_ARRAY_OFFSET + i) &
+        Platform.getLong(b, Platform.BYTE_ARRAY_OFFSET + i)
+      acc += java.lang.Long.bitCount(x)
+      i += 8
+    }
+    while (i < n) {
+      acc += java.lang.Integer.bitCount((a(i) & b(i)) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  /** Sørensen–Dice coefficient; 0.0 when both vectors are empty (guard —
+    * the reference kernel never emits such pairs above threshold anyway). */
+  def dice(a: Array[Byte], b: Array[Byte]): Double = {
+    val denom = popcount(a) + popcount(b)
+    if (denom == 0) 0.0 else 2.0 * andPopcount(a, b) / denom
+  }
+
+  /** Dice with the popcount sum precomputed (the hot-join path carries
+    * per-record popcounts, mirroring the reference's popcount cache at
+    * `cache/encodings.py:42-45`). */
+  def dicePre(a: Array[Byte], b: Array[Byte], pcSum: Int): Double =
+    if (pcSum <= 0) 0.0 else 2.0 * andPopcount(a, b) / pcSum
+}

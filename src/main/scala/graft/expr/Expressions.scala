@@ -1,0 +1,66 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the linkage hot path.
+  *
+  * The reference delegates pair scoring to anonlink's C++ popcount kernel
+  * (call site `backend/entityservice/tasks/comparing.py:340-343`, rated
+  * 50-100M cmp/s/core at `deployment/entity-service/values.yaml:253-254`).
+  * Here the kernel is a deterministic, codegen'd expression so Catalyst can
+  * (a) keep it inside whole-stage codegen together with the block join and
+  * the threshold filter — the `sim >= t` predicate is applied in the same
+  * generated stage, never after a materialization — and (b) push/prune
+  * around it freely.
+  */
+
+/** Number of set bits in a binary column. */
+case class Popcount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    graft.core.BitOps.popcount(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.BitOps.popcount($c)")
+  override protected def withNewChildInternal(newChild: Expression): Popcount =
+    copy(child = newChild)
+  override def prettyName: String = "popcount"
+}
+
+/** Sørensen–Dice coefficient of two bitvectors:
+  * `2 * popcount(a & b) / (popcount(a) + popcount(b))`; 0.0 for two empty
+  * vectors. Threshold semantics in the pipeline are `sim >= t`
+  * (reference keeps scores >= threshold, `tasks/comparing.py:340-343`).
+  */
+case class DiceSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.BitOps.dice(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.BitOps.dice($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DiceSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dice"
+}
+
+/** Dice with precomputed popcount sum (the join carries per-record
+  * popcounts, mirroring the reference's popcount cache
+  * `cache/encodings.py:42-45`) — saves two popcount passes per pair. */
+case class DiceSimilarityPre(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, s: Any): Any =
+    graft.core.BitOps.dicePre(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], s.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, s) => s"graft.core.BitOps.dicePre($a, $b, $s)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): DiceSimilarityPre =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "dice_pre"
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+
+/** Column-level entry points for the custom Catalyst expressions. */
+package object expr {
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftSqlBridge.column(e)
+  private def ex(c: Column) = GraftSqlBridge.expression(c)
+
+  /** Set-bit count of a binary column. */
+  def popcount(c: Column): Column = col(Popcount(ex(c)))
+
+  /** Dice coefficient of two binary columns. */
+  def dice(a: Column, b: Column): Column = col(DiceSimilarity(ex(a), ex(b)))
+
+  /** Dice with precomputed popcount-sum column (hot-join form). */
+  def dicePre(a: Column, b: Column, pcSum: Column): Column =
+    col(DiceSimilarityPre(ex(a), ex(b), ex(pcSum)))
+
+  /** Register SQL names (popcount/dice/dice_pre) on a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("popcount", es => Popcount(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dice", es => DiceSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dice_pre", es => DiceSimilarityPre(es(0), es(1), es(2)), "scala_udf")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Record
+import graft.expr.popcount
+
+/** Sources for the reference's upload wire formats (FIXTURES.md §A4).
+  *
+  * S2 binary scan: `Hash-Count x Hash-Size` raw bytes, entity ids assigned
+  * by position (reference: `encoding_storage.py:206-218`,
+  * `serialization.py:37-54`).
+  *
+  * S1 JSON scan: `{"clks":[b64,...]}` or `{"clknblocks":[[b64, block...],...]}`
+  * or `{"encodings":[...],"blocks":{id:[...]}}`, all normalized to
+  * clknblocks (reference: `views/util.py:18-43`, `encoding_storage.py:24-43`).
+  */
+object ClkIO {
+
+  /** Read one fixed-width binary CLK file as a provider's records.
+    * Entity ids are the record's position in the file. Each file is one
+    * `binaryFile` row; slicing happens distributed per file, so a
+    * multi-file provider parallelizes per file.
+    */
+  def readBinary(spark: SparkSession, path: String, dp: Int, encodingSize: Int): Dataset[Record] = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
+    val size = encodingSize
+    val dpId = dp
+    files.flatMap { case (p, bytes) =>
+      require(bytes.length % size == 0,
+        s"binary CLK file $p length ${bytes.length} not a multiple of $size")
+      val n = bytes.length / size
+      (0 until n).iterator.map { i =>
+        val clk = java.util.Arrays.copyOfRange(bytes, i * size, (i + 1) * size)
+        Record(dpId, i.toLong, clk, graft.core.BitOps.popcount(clk))
+      }
+    }
+  }
+
+  /** Normalize any of the three JSON upload formats to
+    * `(entityId, clk binary, blocks array<string>)` for one provider.
+    * Uses `spark.read.json` + `posexplode` so base64 decode and popcount
+    * stay codegen'd columns. */
+  def readJson(spark: SparkSession, path: String, dp: Int): DataFrame = {
+    val raw = spark.read.option("multiLine", true).json(path)
+    val cols = raw.columns.toSet
+    val norm =
+      if (cols.contains("clknblocks")) {
+        // clknblocks: [[b64, block1, block2...], ...]
+        raw.select(posexplode(col("clknblocks")).as(Seq("entity_id", "cb")))
+          .select(col("entity_id").cast("long"),
+            unbase64(element_at(col("cb"), 1)).as("clk"),
+            slice(col("cb"), 2, Int.MaxValue).as("blocks"))
+      } else if (cols.contains("clks")) {
+        // clks: [b64, ...] -> default single block "1" (encoding_storage.py:21)
+        raw.select(posexplode(col("clks")).as(Seq("entity_id", "b64")))
+          .select(col("entity_id").cast("long"), unbase64(col("b64")).as("clk"),
+            array(lit("1")).as("blocks"))
+      } else if (cols.contains("encodings")) {
+        // encodings + blocks map keyed by stringified entity id
+        val enc = raw.select(posexplode(col("encodings")).as(Seq("entity_id", "b64")))
+          .select(col("entity_id").cast("long"), unbase64(col("b64")).as("clk"))
+        val blocks = raw.select(explode(col("blocks")).as(Seq("k", "v")))
+          .select(col("k").cast("long").as("entity_id"), col("v").as("blocks"))
+        enc.join(blocks, Seq("entity_id"), "left")
+          .withColumn("blocks", coalesce(col("blocks"), array(lit("1"))))
+      } else {
+        throw new IllegalArgumentException(
+          s"unrecognized CLK upload format; columns: ${cols.mkString(",")}")
+      }
+    norm
+      .withColumn("dp", lit(dp))
+      .withColumn("popcount", popcount(col("clk")))
+      .select("dp", "entity_id", "clk", "popcount", "blocks")
+  }
+
+  /** Encoding-size validation (P4): all CLKs of all providers must share
+    * one size, in [1,1024], multiple of 8 (`tasks/pre_run_check.py:48-78`).
+    * Returns the common size or throws. */
+  def validateEncodingSize(records: Dataset[Record]): Int = {
+    import records.sparkSession.implicits._
+    val sizes = records.select(length(col("clk")).as[Int]).distinct().collect()
+    require(sizes.length == 1,
+      s"encodings must all have the same size; saw ${sizes.sorted.mkString(",")}")
+    val s = sizes.head
+    require(s >= 1 && s <= 1024 && s % 8 == 0,
+      s"encoding size must be 8..1024 and a multiple of 8: $s")
+    s
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` helpers: converting a custom Catalyst
+  * `Expression` to/from a user-facing `Column` (Spark 4 routes Columns
+  * through ColumnNodes; `ExpressionUtils` is the classic-session adapter).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
