@@ -33,6 +33,12 @@ object SparkEntry {
     "er_febrl4_clusters" -> ((s, _) =>
       Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = 0.8))
         .toDF().orderBy(col("clusterId"), col("dp"))),
+    // M1+M2: deterministic permutation + mask (2-party result type)
+    "er_febrl4_permutation" -> ((s, _) => {
+      val clusters = Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = 0.8))
+      val (perm, _) = graft.cluster.Permutation.permuteAndMask(clusters, 1000, 1000)
+      perm.orderBy(col("dp"), col("row_index"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -43,13 +43,26 @@ object Linker {
     // Per-block fan-out k ~ sqrt(comparisons / aim): block stats are tiny
     // relative to data (one row per distinct block) -> broadcast join.
     // (B3 block-metadata agg, database/insertions.py:50-67, doubles as the
-    // skew detector.)
-    val stats = blocked.groupBy($"block_key")
+    // skew detector.) The aim adapts downward when the whole job is smaller
+    // than aim * parallelism, so a single huge block still fans out across
+    // every core instead of one 3e8-comparison task pinning one core
+    // (reference behavior: CHUNK_SIZE_AIM splits work into >= #workers
+    // packages only when the job is big; we always target full
+    // parallelism).
+    val statsRaw = blocked.groupBy($"block_key")
       .agg(count(lit(1)).as("n"))
+      .persist()
+    val totalPairsUb = statsRaw
+      .agg(coalesce(sum($"n".cast("decimal(28,0)") * $"n"), lit(0)))
+      .head().getDecimal(0).longValueExact()
+    val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
+    val aim = math.max(1000000L,
+      math.min(chunkSizeAim, totalPairsUb / (2L * parallelism) + 1))
+    val stats = statsRaw
       .withColumn("k",
         least(
           greatest(
-            ceil(sqrt(($"n" * $"n").cast("double") / chunkSizeAim.toDouble)),
+            ceil(sqrt(($"n" * $"n").cast("double") / aim.toDouble)),
             lit(1L)),
           lit(1024L)).cast("int"))
       .select($"block_key", $"k")
