@@ -39,6 +39,21 @@ object SparkEntry {
       val (perm, _) = graft.cluster.Permutation.permuteAndMask(clusters, 1000, 1000)
       perm.orderBy(col("dp"), col("row_index"))
     }),
+    // Full web-corpus pipeline: synthesize pages -> extract/encode CLK ->
+    // MinHash-LSH blocking -> dice -> threshold -> CC -> greedy groups
+    "er_pages_clusters" -> ((s, _) => {
+      val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000))
+      val blocked = graft.ingest.Ingest.encodeAndBlock(pages)
+      Pipeline.clusters(blocked, LinkConfig(threshold = 0.8))
+        .toDF().orderBy(col("clusterId"), col("dp"))
+    }),
+    // B2+B3: block metadata aggregation over the LSH-blocked corpus
+    "er_pages_block_stats" -> ((s, _) => {
+      val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000))
+      val blocked = graft.ingest.Ingest.encodeAndBlock(pages)
+      graft.ingest.Blocking.blockStats(blocked)
+        .orderBy(col("dp"), col("block_key"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,61 @@
+package graft.ingest
+
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic CLK (Bloom-filter bitvector) encoder over text —
+  * clkhash-style semantics (n-gram tokenization + k hash positions per
+  * n-gram into an l-bit vector; shape per the reference's linking schema,
+  * `benchmarking/schema/default-linking-schema.json:3-9`: l=1024 bits =
+  * 128 bytes). The reference never encodes server-side (CLKs arrive
+  * pre-encoded, `docs/concepts.rst:56-76`); this encoder exists so the
+  * synthetic web-page corpus can be linked end-to-end. Byte-compat with
+  * the clkhash wheel is NOT required (fixture CLKs are consumed as-is).
+  *
+  * Scheme (frozen):
+  *  - normalize: lowercase, split on non-alphanumeric runs;
+  *  - shingles: per token, pad " tok " and take character 2-grams;
+  *  - per shingle: Kirsch-Mitzenmacher double hashing — k bit positions
+  *    pos_i = (h1 + i*h2) mod l with h1/h2 = MurmurHash3(shingle, seed⊕c).
+  */
+object ClkEncoder {
+
+  val DefaultBits = 1024
+  // k chosen for ~25-50% fill on 20-40-token documents: ~150 bigram
+  // shingles * 5 bits / 1024 bits. (clkhash computes k from expected
+  // n-gram counts the same way; k=30 would saturate the filter and
+  // destroy discrimination.)
+  val DefaultK = 5
+  val DefaultSeed = 0x5eed
+
+  def tokens(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{Alnum}]+").filter(_.nonEmpty)
+
+  def shingles(text: String): Array[String] =
+    tokens(text).flatMap { t =>
+      val padded = " " + t + " "
+      (0 until padded.length - 1).map(i => padded.substring(i, i + 2))
+    }
+
+  /** Encode text into an l-bit CLK (l/8 bytes, little-endian bit order
+    * within each byte: bit b sets byte b>>3, mask 1<<(b&7)). */
+  def encode(text: String, bits: Int = DefaultBits, k: Int = DefaultK,
+      seed: Int = DefaultSeed): Array[Byte] = {
+    require(bits % 8 == 0, s"bits must be a multiple of 8: $bits")
+    val out = new Array[Byte](bits / 8)
+    val sh = shingles(text)
+    var si = 0
+    while (si < sh.length) {
+      val s = sh(si)
+      val h1 = MurmurHash3.stringHash(s, seed)
+      val h2 = MurmurHash3.stringHash(s, seed ^ 0x9e3779b9) | 1 // odd -> full cycle
+      var i = 0
+      while (i < k) {
+        val pos = java.lang.Integer.remainderUnsigned(h1 + i * h2, bits)
+        out(pos >>> 3) = (out(pos >>> 3) | (1 << (pos & 7))).toByte
+        i += 1
+      }
+      si += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Blake2b256, BitOps, LinkConfig}
+import graft.ingest._
+import graft.link.{Linker, Pipeline}
+import graft.cluster.Solver
+
+class Blake2bSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("BLAKE2b-256 matches hashlib vectors") {
+    assert(Blake2b256.hashHex(Array.emptyByteArray) ==
+      "0e5751c026e543b2e8ab2eb06099daa1d1e5df47778f7787faab45cdf12fe3a8")
+    assert(Blake2b256.hashName("abc") ==
+      "bddd813c634239723171ef3fee98579b94964e3bb1cb3e427262c8c068d52319")
+    assert(Blake2b256.hashName("1") ==
+      "92cdf578c47085a5992256f0dcf97d0b19f1f1c9de4d5fe30c3ace6191b6e5db")
+    assert(Blake2b256.hashName("The quick brown fox jumps over the lazy dog") ==
+      "01718cec35cd3d796dd00020e0bfecb473ad23457d063b75eff29c0ffa2e58a9")
+    // multi-block input (>128 bytes) exercises the streaming compress path
+    assert(Blake2b256.hashHex(Array.tabulate[Byte](256)(_.toByte)) ==
+      "39a7eb9fedc19aabc83425c6755dd90e6f9d0c804964a1f4aaeea3b9fb599835")
+    // 64-hex output parity with reference block-name hashing
+    assert(Blake2b256.hashName("block-42").length == 64)
+  }
+}
+
+class TextExtractSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("golden extraction cases (frozen spec)") {
+    assert(TextExtract.extract("<html><body><p>hello world</p></body></html>")
+      == "hello world")
+    assert(TextExtract.extract(
+      "<head><script>var x='<p>no</p>';</script><style>a{}</style></head><b>yes</b>")
+      == "yes")
+    assert(TextExtract.extract("a<!-- comment -->b") == "ab") // comments vanish
+    assert(TextExtract.extract("x &amp; y &lt;z&gt; &quot;q&quot; &#39;s&#39; &nbsp;!")
+      == "x & y <z> \"q\" 's' !")
+    assert(TextExtract.extract("&#72;&#105; &#x21;") == "Hi !")
+    assert(TextExtract.extract("  a\n\t b\r\n c  ") == "a b c")
+    assert(TextExtract.extract("") == "")
+    assert(TextExtract.extract("<ScRiPt>boom</sCrIpT>ok") == "ok")
+  }
+}
+
+class ClkEncoderSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("encoder is deterministic, 128 bytes, self-dice = 1") {
+    val t = "jane doe 42 acacia avenue springfield"
+    val a = ClkEncoder.encode(t)
+    val b = ClkEncoder.encode(t)
+    assert(a.length == 128)
+    assert(a.sameElements(b))
+    assert(BitOps.dice(a, b) == 1.0)
+    assert(BitOps.popcount(a) > 0)
+  }
+  test("near-duplicates score high, different entities low") {
+    val t1 = "jane doe 42 acacia avenue springfield extra content words here"
+    val t2 = "jane doe 42 acaica avenue springfield extra content words here" // 1 swap
+    val t3 = "zefir quorl 977 mulberry lane gotham other unrelated stuff entirely"
+    val (a, b, c) = (ClkEncoder.encode(t1), ClkEncoder.encode(t2), ClkEncoder.encode(t3))
+    assert(BitOps.dice(a, b) > 0.85, s"near-dup dice ${BitOps.dice(a, b)}")
+    assert(BitOps.dice(a, c) < 0.6, s"distinct dice ${BitOps.dice(a, c)}")
+  }
+  test("empty text -> empty clk") {
+    assert(BitOps.popcount(ClkEncoder.encode("")) == 0)
+  }
+}
+
+class IngestSpec extends SparkSpec {
+
+  test("per-row invariant: extract(html) == text byte-identically (2x1000 corpus)") {
+    val pages = PagesSynth.pages(spark, Seq(1000, 1000), overlap = 0.75, noise = 0.05)
+    assert(Ingest.extractMismatchCount(pages) == 0)
+    assert(pages.count() == 2000)
+  }
+
+  test("overlap postcondition: |A∩B| = floor(min * overlap)") {
+    import spark.implicits._
+    val pages = PagesSynth.pages(spark, Seq(400, 300), overlap = 0.75)
+    val byDp = pages.groupByKey(_.dp).mapGroups((dp, it) => (dp, it.map(_.truth_entity).toSet))
+      .collect().toMap
+    assert((byDp(0) intersect byDp(1)).size == math.floor(300 * 0.75).toInt)
+  }
+
+  test("LSH-blocked linkage on synthetic pages: F1 >= 0.99 and >=50x fewer comparisons") {
+    import spark.implicits._
+    val pages = PagesSynth.pages(spark, Seq(1000, 1000), overlap = 0.75, noise = 0.05)
+      .cache()
+    val blocked = Ingest.encodeAndBlock(pages).cache()
+    val cfg = LinkConfig(threshold = 0.8)
+
+    val comparisons = Linker.totalComparisons(blocked)
+    assert(comparisons > 0 && comparisons * 50 < 1000L * 1000L,
+      s"blocking too weak: $comparisons comparisons")
+
+    val clusters = Solver.solve(Linker.scoreCandidates(blocked, cfg), cfg)
+    val truth = pages.filter(_.dp == 0).map(p => (p.truth_entity, p.entity_id))
+      .toDF("t", "rec0")
+      .join(pages.filter(_.dp == 1).map(p => (p.truth_entity, p.entity_id)).toDF("t", "rec1"), "t")
+      .select($"rec0", $"rec1")
+    val f1 = Pipeline.pairwiseF1(clusters, truth)
+    info(s"comparisons=$comparisons (full cross = 1e6), F1=$f1")
+    assert(f1 >= 0.99, s"F1 $f1")
+  }
+
+  test("block stats and common blocks are consistent") {
+    import spark.implicits._
+    val pages = PagesSynth.pages(spark, Seq(200, 200), overlap = 0.5)
+    val blocked = Ingest.encodeAndBlock(pages)
+    val stats = Blocking.blockStats(blocked)
+    // every record contributes exactly `bands` block rows
+    assert(stats.agg(sum($"n")).head().getLong(0) == 400L * Blocking.DefaultBands)
+    val common = Blocking.commonBlocks(blocked)
+    assert(common.count() > 0)
+    assert(common.where($"dp0" >= $"dp1").count() == 0)
+    // all block keys are 64-hex (BLAKE2b-256 parity)
+    assert(blocked.where(not(col("block_key").rlike("^[0-9a-f]{64}$"))).count() == 0)
+  }
+}
