@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.LinkConfig
+import graft.ingest.PagesSynth
+import graft.io.Checkpoint
+import graft.jobs.LinkJob
+import java.nio.file.Files
+
+class CheckpointSpec extends SparkSpec {
+
+  test("stage commit, resume skip, lineage rows, invalidation cascade") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val pages = PagesSynth.pages(spark, Seq(300, 300), overlap = 0.75)
+    val cfg = LinkConfig(threshold = 0.8)
+
+    val clusters1 = LinkJob.run(spark, pages, cfg, root).cache()
+    val n1 = clusters1.count()
+    assert(n1 > 0)
+    LinkJob.Stages.foreach { s =>
+      assert(Checkpoint.isCommitted(spark, root, s), s"stage $s not committed")
+      val mf = Checkpoint.readManifest(spark, root, s).get
+      assert(mf.contains(s""""stage":"$s""""))
+    }
+    // edges manifest carries the north-rule counters
+    val edgesMf = Checkpoint.readManifest(spark, root, "edges").get
+    assert(edgesMf.contains("pairs_generated") && edgesMf.contains("edges_kept"))
+
+    // lineage has >=1 row per stage with positive rows
+    val lin = Checkpoint.lineage(spark, root)
+    val stages = lin.select($"stage").distinct().as[String].collect().toSet
+    assert(LinkJob.Stages.toSet.subsetOf(stages))
+    assert(lin.where($"rows_out" <= 0).count() == 0)
+
+    // resume: a second run touches nothing (manifests unchanged) and
+    // returns identical clusters
+    val mtimes = LinkJob.Stages.map(s =>
+      s -> Files.getLastModifiedTime(java.nio.file.Paths.get(s"$root/$s/_MANIFEST.json")))
+    val clusters2 = LinkJob.run(spark, pages, cfg, root)
+    assert(clusters2.count() == n1)
+    mtimes.foreach { case (s, t) =>
+      val t2 = Files.getLastModifiedTime(java.nio.file.Paths.get(s"$root/$s/_MANIFEST.json"))
+      assert(t2 == t, s"stage $s was recomputed on resume")
+    }
+
+    // kill mid-run: drop the edges stage -> rerun recomputes edges AND
+    // downstream clusters, but NOT the upstream blocked stage
+    val blockedT = Files.getLastModifiedTime(java.nio.file.Paths.get(s"$root/blocked/_MANIFEST.json"))
+    Checkpoint.invalidate(spark, root, "edges")
+    val clusters3 = LinkJob.run(spark, pages, cfg, root).cache()
+    assert(clusters3.count() == n1)
+    assert(Files.getLastModifiedTime(java.nio.file.Paths.get(s"$root/blocked/_MANIFEST.json")) == blockedT)
+    val set1 = clusters1.select($"clusterId".as[Long], $"dp".as[Int], $"entityId".as[Long]).collect().toSet
+    val set3 = clusters3.select($"clusterId".as[Long], $"dp".as[Int], $"entityId".as[Long]).collect().toSet
+    assert(set1 == set3)
+  }
+
+  test("aborted write (no manifest) is recomputed, not served") {
+    val root = Files.createTempDirectory("graft-ckpt2").toString
+    import spark.implicits._
+    // simulate a crash: data dir exists, garbage content, no manifest
+    val dir = java.nio.file.Paths.get(s"$root/stage_x")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("garbage.txt"), "partial write")
+    val r = Checkpoint.stage(spark, root.toString, "stage_x") {
+      spark.range(10).toDF("v")
+    }
+    assert(!r.resumed && r.rows == 10)
+    val r2 = Checkpoint.stage(spark, root.toString, "stage_x") {
+      fail("must not recompute a committed stage"); null
+    }
+    assert(r2.resumed && r2.df.count() == 10)
+  }
+}
