@@ -1,12 +1,23 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.LinkConfig
 import graft.ingest.ClkIO
 import graft.link.{Linker, Pipeline}
 import graft.cluster.Solver
+import graft.textops.TextOps
+import graft.dedup.Dedup
+import graft.ann.Ann
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries with an `oracleSql` entry are replayed by the driver in DuckDB
+  * over the same parquet tables (column names + types aligned on both
+  * sides); queries without one are non-SQL-expressible (custom hashing /
+  * the CLK pipeline) and get rows-only checks — their correctness gates
+  * live in ScalaTest (exact brute-force oracles + reference fixtures).
+  */
 object SparkEntry {
   private val FixturesDir = "/root/repo/fixtures"
 
@@ -16,47 +27,246 @@ object SparkEntry {
     Pipeline.defaultBlock(a.union(b))
   }
 
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** documents modeled as a 2-provider corpus: dp = doc_id % 2, block key
+    * = first token (a cheap SQL-replayable blocking for the oracle; the
+    * production path uses MinHash-LSH bands, er_pages_* queries). */
+  private def docsBlocked(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      (col("doc_id") % 2).cast("int").as("dp"),
+      col("doc_id").as("entity_id"),
+      element_at(split(col("text"), " "), 1).as("block_key"),
+      col("text"))
+
   /** Flagship: the full record-linkage run (encode fixtures → block →
     * dice-score → threshold → dedup → CC → greedy solve → clusters).
     * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.clusters(febrl4Blocked(spark), LinkConfig(threshold = 0.8)).toDF()
 
-  /** One per implemented operator from SURVEY.md §2. Queries without an
-    * oracleSql entry get a rows-only check (non-SQL-expressible ops). */
+  /** One per implemented operator from SURVEY.md §2 + training-data ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // C1+B4+A2+A3: blocking join + dice scoring + threshold + dedup
+    // ---- linkage pipeline on reference fixtures (rows-only; exact gates
+    // ---- in LinkageFixtureSpec/MultipartySpec) ----
     "er_febrl4_edges" -> ((s, _) =>
       Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8))
         .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
-    // G1: greedy entity groups (exact-oracle-tested in LinkageFixtureSpec)
     "er_febrl4_clusters" -> ((s, _) =>
       Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = 0.8))
         .toDF().orderBy(col("clusterId"), col("dp"))),
-    // M1+M2: deterministic permutation + mask (2-party result type)
     "er_febrl4_permutation" -> ((s, _) => {
       val clusters = Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = 0.8))
       val (perm, _) = graft.cluster.Permutation.permuteAndMask(clusters, 1000, 1000)
       perm.orderBy(col("dp"), col("row_index"))
     }),
-    // Full web-corpus pipeline: synthesize pages -> extract/encode CLK ->
-    // MinHash-LSH blocking -> dice -> threshold -> CC -> greedy groups
     "er_pages_clusters" -> ((s, _) => {
       val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000))
       val blocked = graft.ingest.Ingest.encodeAndBlock(pages)
       Pipeline.clusters(blocked, LinkConfig(threshold = 0.8))
         .toDF().orderBy(col("clusterId"), col("dp"))
     }),
-    // B2+B3: block metadata aggregation over the LSH-blocked corpus
     "er_pages_block_stats" -> ((s, _) => {
       val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000))
       val blocked = graft.ingest.Ingest.encodeAndBlock(pages)
-      graft.ingest.Blocking.blockStats(blocked)
-        .orderBy(col("dp"), col("block_key"))
+      graft.ingest.Blocking.blockStats(blocked).orderBy(col("dp"), col("block_key"))
+    }),
+    // multimodal plumbing over the synthetic html binary column (stub decode)
+    "er_pages_media_features" -> ((s, _) => {
+      val pages = graft.ingest.PagesSynth.pages(s, Seq(500, 500))
+      graft.multimodal.Multimodal
+        .extractFeatures(pages.toDF()
+          .withColumn("row_id", monotonically_increasing_id()), "entity_id", "html")
+        .toDF().drop("feature").orderBy(col("doc"), col("width"))
+    }),
+
+    // ---- SQL-replayable operator analogues over the sf tables ----
+    // B3 block metadata agg
+    "q_block_stats" -> ((s, dir) =>
+      docsBlocked(s, dir).groupBy(col("dp"), col("block_key"))
+        .agg(count(lit(1)).as("n")).orderBy(col("dp"), col("block_key"))),
+    // B2 common-block discovery
+    "q_common_blocks" -> ((s, dir) =>
+      docsBlocked(s, dir).select(col("dp"), col("block_key")).distinct()
+        .groupBy(col("block_key")).agg(countDistinct(col("dp")).as("ndp"))
+        .where(col("ndp") === 2).select(col("block_key")).orderBy(col("block_key"))),
+    // A5 total-comparison estimate
+    "q_total_comparisons" -> ((s, dir) => {
+      val per = docsBlocked(s, dir).groupBy(col("block_key"), col("dp"))
+        .agg(count(lit(1)).as("n"))
+      val l = per.select(col("block_key"), col("dp").as("dp0"), col("n").as("n0"))
+      val r = per.select(col("block_key"), col("dp").as("dp1"), col("n").as("n1"))
+      l.join(r, "block_key").where(col("dp0") < col("dp1"))
+        .agg(coalesce(sum(col("n0") * col("n1")), lit(0L)).as("total_comparisons"))
+    }),
+    // B4 block-equi-join candidate generation
+    "q_candidate_pairs" -> ((s, dir) => {
+      val b = docsBlocked(s, dir)
+      val l = b.select(col("block_key"), col("dp").as("dp0"), col("entity_id").as("id0"))
+      val r = b.select(col("block_key"), col("dp").as("dp1"), col("entity_id").as("id1"))
+      l.join(r, "block_key").where(col("dp0") < col("dp1"))
+        .select(col("block_key"), col("id0"), col("id1"))
+        .orderBy(col("block_key"), col("id0"), col("id1"))
+    }),
+    // exact dedup (hash-groupBy) on a 3-token prefix key
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)), col("doc_id"))
+        .orderBy(col("dup_key"))),
+    // token counting
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct"))
+        .orderBy(col("doc_id"))),
+    // quality scoring
+    "q_quality" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      base.select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
+    }),
+    // heuristic language ID
+    "q_lang_id" -> ((s, dir) => {
+      val cols = TextOps.langIdColumns(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, dir).select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
+    }),
+    // n-gram Jaccard near-dup pairs (blocked on first token)
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        element_at(split(col("text"), " "), 1), threshold = 0.5)
+        .orderBy(col("id0"), col("id1"))),
+    // brute-force cosine top-k (ANN baseline)
+    "q_topk_cosine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // embedding-cosine near-dup pairs
+    "q_cosine_pairs" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id0"), col("id1"))),
+    // A6 comparison-rate analogue: per-type event aggregates
+    "q_events_rate" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("event_type"))),
+    // tumbling-window aggregation over the event stream table
+    "q_events_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("day_epoch"), col("event_type"))),
+
+    // ---- non-SQL-expressible training-data ops (rows-only; oracles in
+    // ---- DedupSpec/AnnSpec) ----
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id0"), col("id1"))),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy(col("id0"), col("id1"))),
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
     }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_block_stats" ->
+      """SELECT CAST(doc_id % 2 AS INT) AS dp, str_split(text, ' ')[1] AS block_key,
+         count(*) AS n FROM documents GROUP BY 1, 2""",
+    "q_common_blocks" ->
+      """SELECT block_key FROM (
+           SELECT str_split(text, ' ')[1] AS block_key, count(DISTINCT doc_id % 2) AS ndp
+           FROM documents GROUP BY 1) WHERE ndp = 2""",
+    "q_total_comparisons" ->
+      """WITH per AS (
+           SELECT str_split(text, ' ')[1] AS block_key, CAST(doc_id % 2 AS INT) AS dp,
+                  count(*) AS n FROM documents GROUP BY 1, 2)
+         SELECT COALESCE(SUM(l.n * r.n), 0) AS total_comparisons
+         FROM per l JOIN per r ON l.block_key = r.block_key AND l.dp < r.dp""",
+    "q_candidate_pairs" ->
+      """WITH b AS (
+           SELECT str_split(text, ' ')[1] AS block_key, CAST(doc_id % 2 AS INT) AS dp,
+                  doc_id AS id FROM documents)
+         SELECT l.block_key, l.id AS id0, r.id AS id1
+         FROM b l JOIN b r ON l.block_key = r.block_key AND l.dp < r.dp""",
+    "q_dedup_exact" ->
+      """SELECT array_to_string(str_split(text, ' ')[1:3], ' ') AS dup_key,
+                min(doc_id) AS keeper_id, count(*) AS group_size
+         FROM documents GROUP BY 1""",
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct
+         FROM documents""",
+    "q_quality" ->
+      """SELECT doc_id,
+                CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct,
+                round(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                      / len(str_split(text, ' ')), 4) AS type_token_ratio,
+                round(CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(str_split(text, ' ')), 4) AS mean_token_len
+         FROM documents""",
+    "q_lang_id" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(str_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS stopword_hits,
+                round(CAST(len(list_filter(str_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                  / len(str_split(text, ' ')), 4) AS stopword_ratio,
+                CASE WHEN round(CAST(len(list_filter(str_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                  / len(str_split(text, ' ')), 4) >= 0.05
+                  THEN 'en' ELSE 'unk' END AS lang_pred
+         FROM documents""",
+    "q_jaccard_pairs" ->
+      """WITH b AS (
+           SELECT str_split(text, ' ')[1] AS bk, doc_id AS id,
+                  list_distinct(str_split(text, ' ')) AS toks FROM documents),
+         p AS (
+           SELECT l.id AS id0, r.id AS id1,
+                  round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                    / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))),
+                    4) AS jaccard
+           FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id)
+         SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    "q_topk_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.e, c.e), 6) AS cos
+           FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         r AS (
+           SELECT query_id, neighbor_id, cos,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""",
+    "q_cosine_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         SELECT a.vec_id AS id0, b.vec_id AS id1,
+                round(list_cosine_similarity(a.e, b.e), 6) AS cos
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4""",
+    "q_events_rate" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+                round(avg(value), 4) AS avg_value
+         FROM events GROUP BY 1""",
+    "q_events_windows" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+  )
 }

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media ride as opaque `binary` columns with
+  * typed metadata; decode / feature-extract / frame-sample run as
+  * per-partition batch transforms over the binary payload.
+  *
+  * The decode step is STUBBED (no image/audio codecs ship in this
+  * container): `decodeStub` derives deterministic fake dimensions +
+  * features from the payload bytes, clearly marked below. Everything
+  * Spark-side — schema, batching via mapPartitions, partition-size
+  * control, column pruning of the heavy binary column — is real and
+  * tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, channels: Int, byteLen: Long)
+  case class MediaFeatures(doc: Long, width: Int, height: Int,
+      channels: Int, feature: Array[Float])
+
+  /** STUB decode: a real build calls the codec here (e.g. javax.imageio /
+    * ffmpeg bindings) on the payload; this deterministic fake keeps the
+    * pipeline shape (bytes -> dims + fixed-width feature vector)
+    * exercisable without codecs. */
+  private[multimodal] def decodeStub(payload: Array[Byte], featDim: Int): (MediaMeta, Array[Float]) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val meta = MediaMeta(
+      width = 64 + math.abs(h % 961),
+      height = 64 + math.abs((h / 961) % 961),
+      channels = 3,
+      byteLen = payload.length.toLong)
+    val feat = Array.tabulate(featDim) { i =>
+      // deterministic pseudo-feature from payload bytes
+      val b = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xff
+      ((b * 31 + i * 17 + (h & 0xff)) % 256) / 255.0f
+    }
+    (meta, feat)
+  }
+
+  /** Batch feature extraction over a binary column: mapPartitions so a
+    * real decoder amortizes per-partition init (model load / codec ctx) —
+    * the Scala analogue of a pandas-UDF batch. Input needs (idCol long,
+    * binCol binary); heavy binary column is pruned after this stage. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+      featDim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (decoder/model handle)
+        it.map { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          val (meta, feat) = decodeStub(payload, featDim)
+          MediaFeatures(id, meta.width, meta.height, meta.channels, feat)
+        }
+      }
+  }
+
+  /** Frame sampling stub: split a binary "video" payload into fixed-size
+    * frames and keep every `stride`-th — exercises the explode/slice
+    * plumbing of per-frame rows. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val payload = if (bytes == null) Array.emptyByteArray else bytes
+        val nFrames = payload.length / frameBytes
+        (0 until nFrames by stride).map { f =>
+          val frame = java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes)
+          (id, f, frame)
+        }
+      }
+      .toDF(idCol, "frame_idx", "frame")
+  }
+}

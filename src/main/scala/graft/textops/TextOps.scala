@@ -1,0 +1,72 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, heuristic language ID, document
+  * fingerprinting. All built from codegen'd `functions._` except the
+  * fingerprint (pure-Scala FNV-1a UDF; cold path).
+  *
+  * Design note: every function here is also expressible in ANSI SQL so the
+  * driver's DuckDB oracle can replay it — except fingerprint64, which is
+  * pinned by ScalaTest vectors instead.
+  */
+object TextOps {
+
+  /** Whitespace token count (single-space-joined corpus). */
+  def tokenCount(text: Column): Column =
+    size(split(text, " ")).cast("long")
+
+  /** Distinct-token count. */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(split(text, " "))).cast("long")
+
+  /** Quality scoring: token count, type-token ratio, mean token length —
+    * the length/diversity heuristics of web-corpus quality filters. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("long")
+    Seq(
+      "n_tokens" -> n,
+      "n_distinct" -> size(array_distinct(toks)).cast("long"),
+      "type_token_ratio" -> round(size(array_distinct(toks)).cast("double") / n, 4),
+      // mean token length = (chars - separators) / tokens
+      "mean_token_len" -> round((length(text) - (n - 1)).cast("double") / n, 4)
+    )
+  }
+
+  /** Stopword hits for heuristic language ID. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Heuristic language ID: fraction of tokens that are English stopwords;
+    * >= 0.05 classifies "en", else "unk". (An n-gram frequency heuristic;
+    * deterministic, SQL-replayable.) */
+  def langIdColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val hits = EnStopwords.map(w =>
+      size(filter(toks, t => t === lit(w))).cast("long"))
+      .reduce(_ + _)
+    val ratio = round(hits.cast("double") / size(toks), 4)
+    Seq(
+      "stopword_hits" -> hits,
+      "stopword_ratio" -> ratio,
+      "lang_pred" -> when(ratio >= 0.05, "en").otherwise("unk"))
+  }
+
+  /** 64-bit FNV-1a document fingerprint over UTF-8 bytes (pure,
+    * deterministic; pinned by test vectors — not SQL-replayable). */
+  def fingerprint64(text: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  val fingerprintUdf = udf((t: String) => fingerprint64(if (t == null) "" else t))
+}

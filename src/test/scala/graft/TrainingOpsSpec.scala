@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.textops.TextOps
+import graft.multimodal.Multimodal
+
+class TextOpsSpec extends SparkSpec {
+  test("fingerprint64: FNV-1a vectors + determinism") {
+    // FNV-1a 64 known vectors
+    assert(TextOps.fingerprint64("") == 0xcbf29ce484222325L)
+    assert(TextOps.fingerprint64("a") == 0xaf63dc4c8601ec8cL)
+    assert(TextOps.fingerprint64("foobar") == 0x85944171f73967e8L)
+    assert(TextOps.fingerprint64("x") == TextOps.fingerprint64("x"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+  private lazy val documents = spark.read.parquet(s"$sfTiny/documents.parquet").cache()
+
+  test("minhash LSH pairs: superset-free, high recall vs brute-force jaccard") {
+    import spark.implicits._
+    val got = Dedup.minhashLshPairs(documents, "doc_id", "text", threshold = 0.5)
+      .select($"id0".as[Long], $"id1".as[Long], $"jaccard".as[Double])
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+
+    // brute-force oracle over all pairs
+    val txts = documents.select($"doc_id".as[Long], $"text".as[String]).collect()
+    def jac(a: String, b: String): Double = {
+      val sa = a.split(" ").toSet; val sb = b.split(" ").toSet
+      val i = (sa intersect sb).size.toDouble
+      math.rint(i / (sa.size + sb.size - i) * 10000) / 10000
+    }
+    val truth = (for {
+      (i, ti) <- txts.iterator
+      (j, tj) <- txts.iterator
+      if i < j
+      s = jac(ti, tj)
+      if s >= 0.5
+    } yield (i, j) -> s).toMap
+
+    // precision: every emitted pair is a true >=0.5 pair with correct score
+    got.foreach { case (k, s) =>
+      assert(truth.contains(k), s"false positive $k")
+      assert(math.abs(truth(k) - s) < 1e-9)
+    }
+    // recall of the LSH candidate generation
+    val recall = if (truth.isEmpty) 1.0 else got.size.toDouble / truth.size
+    info(s"lsh pairs=${got.size} truth=${truth.size} recall=$recall")
+    assert(recall >= 0.9, s"LSH recall $recall")
+  }
+
+  test("simhash pairs: exact vs brute-force hamming") {
+    import spark.implicits._
+    val got = Dedup.simhashPairs(documents, "doc_id", "text", maxDist = 3)
+      .select($"id0".as[Long], $"id1".as[Long], $"dist".as[Int])
+      .collect().toSet
+    val sh = documents.select($"doc_id".as[Long], $"text".as[String]).collect()
+      .map { case (id, t) => id -> Dedup.simhash64(t) }
+    val truth = (for {
+      (i, si) <- sh.iterator
+      (j, sj) <- sh.iterator
+      if i < j
+      d = java.lang.Long.bitCount(si ^ sj)
+      if d <= 3
+    } yield (i, j, d)).toSet
+    // 4-band pigeonhole guarantees EXACT result for dist <= 3
+    assert(got == truth, s"got=${got.size} truth=${truth.size}")
+  }
+
+  test("exact dedup groups partition the table") {
+    import spark.implicits._
+    val g = Dedup.exactGroups(documents, col("text"), col("doc_id"))
+    assert(g.agg(sum($"group_size")).head().getLong(0) == documents.count())
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  private lazy val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet").cache()
+
+  test("brute-force top-k matches a local oracle") {
+    import spark.implicits._
+    val got = Ann.bruteForceTopK(embeddings,
+      embeddings.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .select($"query_id".as[Long], $"neighbor_id".as[Long], $"rank".as[Long])
+      .collect().toSet
+    val vecs = embeddings.select($"vec_id".as[Long], $"embedding".as[Seq[Float]])
+      .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val truth = (for ((q, qv) <- vecs.iterator if q < 5) yield {
+      vecs.filter(_._1 != q).map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, s) => (-s, n) }.take(3).zipWithIndex
+        .map { case ((n, _), r) => (q, n, (r + 1).toLong) }
+    }).flatten.toSet
+    assert(got == truth)
+  }
+
+  test("LSH top-k achieves >=0.5 recall@5 vs brute force (16x6 tables)") {
+    import spark.implicits._
+    val q = embeddings.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(embeddings, q, "vec_id", "embedding", 5)
+      .select($"query_id".as[Long], $"neighbor_id".as[Long]).collect().toSet
+    val approx = Ann.lshTopK(embeddings, q, "vec_id", "embedding", 5)
+      .select($"query_id".as[Long], $"neighbor_id".as[Long]).collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"recall@5 = $recall")
+    // these embeddings are near-random (max pairwise cos 0.51) — the
+    // worst case for sign-LSH; clustered real embeddings recall far higher
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("feature extraction: schema, determinism, partition invariance") {
+    import spark.implicits._
+    val pages = graft.ingest.PagesSynth.pages(spark, Seq(100, 100)).toDF()
+    val f1 = Multimodal.extractFeatures(pages, "entity_id", "html", featDim = 16)
+    val rows = f1.collect()
+    assert(rows.length == 200)
+    assert(rows.forall(_.feature.length == 16))
+    assert(rows.forall(r => r.width >= 64 && r.height >= 64 && r.channels == 3))
+    val f2 = Multimodal.extractFeatures(pages.repartition(13), "entity_id", "html", 16)
+    assert(f2.collect().map(r => (r.doc, r.width, r.height, r.feature.toSeq)).toSet ==
+      rows.map(r => (r.doc, r.width, r.height, r.feature.toSeq)).toSet)
+  }
+
+  test("frame sampling slices fixed-size frames with stride") {
+    import spark.implicits._
+    val df = Seq((1L, Array.tabulate[Byte](100)(_.toByte))).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "id", "payload", frameBytes = 10, stride = 2)
+    val got = frames.select($"frame_idx".as[Int]).collect().sorted
+    assert(got.sameElements(Array(0, 2, 4, 6, 8)))
+  }
+}
