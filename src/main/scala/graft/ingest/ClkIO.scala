@@ -60,10 +60,17 @@ object ClkIO {
           .select(col("entity_id").cast("long"), unbase64(col("b64")).as("clk"),
             array(lit("1")).as("blocks"))
       } else if (cols.contains("encodings")) {
-        // encodings + blocks map keyed by stringified entity id
-        val enc = raw.select(posexplode(col("encodings")).as(Seq("entity_id", "b64")))
+        // encodings + blocks map keyed by stringified entity id; the block
+        // map has dynamic keys, so re-read with an explicit schema (schema
+        // inference would type it as a struct of per-id fields)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("encodings", ArrayType(StringType)),
+          StructField("blocks", MapType(StringType, ArrayType(StringType)))))
+        val typed = spark.read.option("multiLine", true).schema(schema).json(path)
+        val enc = typed.select(posexplode(col("encodings")).as(Seq("entity_id", "b64")))
           .select(col("entity_id").cast("long"), unbase64(col("b64")).as("clk"))
-        val blocks = raw.select(explode(col("blocks")).as(Seq("k", "v")))
+        val blocks = typed.select(explode(col("blocks")).as(Seq("k", "v")))
           .select(col("k").cast("long").as("entity_id"), col("v").as("blocks"))
         enc.join(blocks, Seq("entity_id"), "left")
           .withColumn("blocks", coalesce(col("blocks"), array(lit("1"))))

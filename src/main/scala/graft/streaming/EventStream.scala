@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingestion of the progress/event stream. The reference has no
+  * streaming operators (SURVEY.md §2: progress counters are Redis
+  * increments, `cache/progress.py:34-58`); this module is the Structured
+  * Streaming analogue — incremental windowed aggregation of run events
+  * with a watermark — so live runs can report rates without re-scanning.
+  */
+object EventStream {
+
+  /** Tumbling-window per-type counts + value sums with a watermark for
+    * late data. Works over any source df (batch or streaming) — same plan
+    * both ways, which is how the equivalence test pins semantics. */
+  def windowedRates(events: DataFrame, window_ : String = "1 day",
+      watermark: String = "2 days"): DataFrame = {
+    // parquet TIMESTAMP_NTZ -> session-tz TIMESTAMP (watermarks require it)
+    val cast = events.withColumn("ts", col("ts").cast("timestamp"))
+    val base =
+      if (cast.isStreaming) cast.withWatermark("ts", watermark) else cast
+    base
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Drive a parquet-backed stream of the events table through the
+    * windowed aggregation into an in-memory table; returns the query
+    * (caller calls processAllAvailable + stop). maxFilesPerTrigger forces
+    * genuine incremental batches. */
+  def streamFromParquet(spark: SparkSession, path: String,
+      queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(path).schema
+    // the file-stream source wants a directory: stream the parent with a
+    // glob filter when given a single parquet file
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    val events =
+      if (fs.getFileStatus(p).isFile)
+        reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
+      else reader.parquet(path)
+    windowedRates(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
