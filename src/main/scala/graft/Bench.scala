@@ -1,24 +1,117 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.core.LinkConfig
+import graft.ingest.{Ingest, PagesSynth}
+import graft.link.Linker
+
+/** Per-round benchmark. Emits ONE JSON line with:
+  *  - per-query wall seconds at SPARK_GRAFT_CPUS (headline),
+  *  - the north-rule scaling evidence: the identical linkage job
+  *    (2 x SCALE_N records, single block = all-pairs Dice scoring, the
+  *    reference's 10Kx10K benchmark shape scaled up) at local[8] and
+  *    local[32] on the same input — scored-pairs/sec at both, best of 3
+  *    rounds after a warmup (the sandbox host is shared and time-varying;
+  *    best-of reduces noise),
+  *  - a pure-CPU no-memory microbenchmark at both thread counts measured
+  *    in the same process, so the job's scaling efficiency can be read
+  *    against what the host actually offers at measurement time
+  *    (efficiency_vs_host = throughput ratio / cpu-microbench ratio).
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Pure-CPU (L1-resident, no shared-memory traffic) throughput of
+    * `threads` spinning popcount loops — the host's compute ceiling. */
+  private def cpuOps(threads: Int): Double = {
+    val iters = 200000000
+    def work(n: Int): Long = {
+      var acc = 0L; var x = 0x123456789abcdefL; var i = 0
+      while (i < n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        acc += java.lang.Long.bitCount(x); i += 1
+      }
+      acc
+    }
+    work(iters / 4) // warmup/JIT
+    val ts = Array.fill(threads)(new Thread(() => { work(iters); () }))
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The scaling job; returns wall seconds (records pre-encoded+cached so
+    * the measurement covers chunking + scoring + dedup + count). */
+  private def linkOnce(spark: SparkSession, records: org.apache.spark.sql.DataFrame,
+      t: Double): Double = {
+    val t0 = System.nanoTime()
+    Linker.scoreCandidates(records, LinkConfig(threshold = t)).toDF().count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def measureLevel(cores: Int, n: Int, rounds: Int): (Double, Double) = {
+    val spark = session(cores)
+    val pages = PagesSynth.pages(spark, Seq(n, n), overlap = 0.5, noise = 0.05)
+    val records = Ingest.encodePages(pages)
+      .select("dp", "entity_id", "clk", "popcount")
+      .withColumn("block_key", org.apache.spark.sql.functions.lit("1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    records.count()
+    linkOnce(spark, records, 0.95) // warmup (JIT + codegen)
+    val best = (1 to rounds).map(_ => linkOnce(spark, records, 0.95)).min
+    val cpu = cpuOps(cores)
+    spark.stop()
+    (best, cpu)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "60000").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+
+    // --- headline queries ---
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // --- scaling evidence: local[8] vs local[32], same input ---
+    val comparisons = scaleN.toLong * scaleN
+    val (wallLo, cpuLo) = measureLevel(8, scaleN, rounds)
+    val (wallHi, cpuHi) = measureLevel(32, scaleN, rounds)
+    val tpLo = comparisons / wallLo
+    val tpHi = comparisons / wallHi
+    val eff = (tpHi / tpLo) / (32.0 / 8.0)
+    val hostRatio = cpuHi / cpuLo // what 8->32 threads yields on this host NOW
+    val effVsHost = if (hostRatio > 0) (tpHi / tpLo) / hostRatio else 0.0
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scaling =
+      s"""{"job":"2x$scaleN all-pairs dice t=0.95","comparisons":$comparisons,""" +
+      s""""local8_sec":${r3(wallLo)},"local8_pairs_per_sec":${tpLo.toLong},""" +
+      s""""local32_sec":${r3(wallHi)},"local32_pairs_per_sec":${tpHi.toLong},""" +
+      s""""scaling_efficiency":${r3(eff)},""" +
+      s""""host_cpu_ops_8":${cpuLo.toLong},"host_cpu_ops_32":${cpuHi.toLong},""" +
+      s""""host_thread_ratio_8_to_32":${r3(hostRatio)},""" +
+      s""""efficiency_vs_host_capacity":${r3(effVsHost)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

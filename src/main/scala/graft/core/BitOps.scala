@@ -66,4 +66,30 @@ object BitOps {
     * `cache/encodings.py:42-45`). */
   def dicePre(a: Array[Byte], b: Array[Byte], pcSum: Int): Double =
     if (pcSum <= 0) 0.0 else 2.0 * andPopcount(a, b) / pcSum
+
+  /** popcount(a[aOff..aOff+len) & b[bOff..bOff+len)) over contiguous
+    * packed buffers — the chunk kernel stores a whole chunk in ONE byte
+    * array so the inner loop streams L2-resident memory instead of
+    * chasing per-record object pointers (that indirection made the naive
+    * kernel DRAM-bound and killed multi-core scaling). len must be a
+    * multiple of 8 (enforced at ingest, `pre_run_check.py:77-78`). */
+  def andPopcountOff(a: Array[Byte], aOff: Int, b: Array[Byte], bOff: Int,
+      len: Int): Int = {
+    var i = 0
+    var acc = 0
+    val baseA = Platform.BYTE_ARRAY_OFFSET + aOff
+    val baseB = Platform.BYTE_ARRAY_OFFSET + bOff
+    while (i < len) {
+      acc += java.lang.Long.bitCount(
+        Platform.getLong(a, baseA + i) & Platform.getLong(b, baseB + i))
+      i += 8
+    }
+    acc
+  }
+
+  /** Offset-buffer Dice with precomputed popcount sum. */
+  def dicePreOff(a: Array[Byte], aOff: Int, b: Array[Byte], bOff: Int,
+      len: Int, pcSum: Int): Double =
+    if (pcSum <= 0) 0.0
+    else 2.0 * andPopcountOff(a, aOff, b, bOff, len) / pcSum
 }

@@ -31,32 +31,73 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs within candidate blocks: block on a
-    * cheap key first (never all-pairs), then score. `blockKey` must be a
+    * cheap key first (never all-pairs), then score. Token sets are
+    * computed once per document, not once per pair. `blockKey` must be a
     * deterministic function of the text columns. */
   def jaccardPairs(df: DataFrame, id: String, text: String, blockKey: Column,
       threshold: Double): DataFrame = {
-    val l = df.select(blockKey.as("bk"), col(id).as("id0"), col(text).as("t0"))
-    val r = df.select(blockKey.as("bk"), col(id).as("id1"), col(text).as("t1"))
+    val base = df.select(blockKey.as("bk"), col(id).as("doc"),
+      array_distinct(split(col(text), " ")).as("toks"))
+    val l = base.select(col("bk"), col("doc").as("id0"), col("toks").as("tk0"))
+    val r = base.select(col("bk"), col("doc").as("id1"), col("toks").as("tk1"))
+    val inter = size(array_intersect(col("tk0"), col("tk1"))).cast("double")
     l.join(r, "bk").where(col("id0") < col("id1"))
-      .withColumn("jaccard", jaccard(col("t0"), col("t1")))
+      .withColumn("jaccard",
+        round(inter / (size(col("tk0")) + size(col("tk1")) - inter), 4))
       .where(col("jaccard") >= threshold)
       .select("id0", "id1", "jaccard")
   }
 
-  /** MinHash-LSH near-dup candidate pairs: band-bucket join (reuses the
-    * linkage blocking) then exact-Jaccard confirm. The scale path: cost is
-    * O(collisions), not O(n^2). */
+  /** Word-bigram shingles of a text (deduplicated). Bigrams discriminate
+    * documents whose unigram vocabularies overlap heavily (a small-vocab
+    * corpus makes unigram MinHash buckets degenerate to all-pairs —
+    * measured as a 1000x blowup on the synthetic tables). */
+  def shingles2(text: String): Array[String] = {
+    val toks = graft.ingest.ClkEncoder.tokens(text)
+    if (toks.length < 2) toks
+    else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1)).distinct
+  }
+
+  private def minhashBandKeys(sh: Array[String], bands: Int, rows: Int,
+      seed: Int): Array[String] = {
+    if (sh.isEmpty) return Array("b:empty")
+    val nh = bands * rows
+    val mins = Array.fill(nh)(Int.MaxValue)
+    sh.foreach { s =>
+      var j = 0
+      while (j < nh) {
+        val h = MurmurHash3.stringHash(s, seed + j * 0x9e3779b1)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    Array.tabulate(bands) { b =>
+      val sb = new StringBuilder(s"b$b")
+      var r = 0
+      while (r < rows) { sb.append(':').append(mins(b * rows + r)); r += 1 }
+      sb.toString
+    }
+  }
+
+  /** MinHash-LSH near-dup candidate pairs over word-bigram shingles:
+    * band-bucket join, then exact shingle-Jaccard confirm on arrays
+    * precomputed once per document (never re-tokenized per pair). The
+    * scale path: cost is O(bucket collisions), not O(n^2). */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
-      threshold: Double, bands: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
       seed: Int = 0xd5ed): DataFrame = {
-    val withKeys = df.select(col(id).as("doc"), col(text).as("txt"))
-      .withColumn("bk", explode(udf((t: String) =>
-        Blocking.lshKeys(if (t == null) "" else t, bands, rowsPerBand, seed)).apply(col("txt"))))
-    val l = withKeys.select(col("bk"), col("doc").as("id0"), col("txt").as("t0"))
-    val r = withKeys.select(col("bk"), col("doc").as("id1"), col("txt").as("t1"))
+    val shUdf = udf((t: String) => shingles2(if (t == null) "" else t))
+    val keysUdf = udf((sh: Seq[String]) =>
+      minhashBandKeys(if (sh == null) Array.empty else sh.toArray, bands, rowsPerBand, seed))
+    val base = df.select(col(id).as("doc"), shUdf(col(text)).as("sh"))
+      .withColumn("bk", explode(keysUdf(col("sh"))))
+    val l = base.select(col("bk"), col("doc").as("id0"), col("sh").as("sh0"))
+    val r = base.select(col("bk"), col("doc").as("id1"), col("sh").as("sh1"))
+    val inter = size(array_intersect(col("sh0"), col("sh1"))).cast("double")
     l.join(r, "bk").where(col("id0") < col("id1"))
-      .select("id0", "id1", "t0", "t1").dropDuplicates("id0", "id1")
-      .withColumn("jaccard", jaccard(col("t0"), col("t1")))
+      .dropDuplicates("id0", "id1")
+      .withColumn("jaccard",
+        round(inter / (size(col("sh0")) + size(col("sh1")) - inter), 4))
       .where(col("jaccard") >= threshold)
       .select("id0", "id1", "jaccard")
   }
@@ -102,25 +143,24 @@ object Dedup {
       .select("id0", "id1", "dist")
   }
 
-  /** Cosine similarity of two double-array columns (deterministic
-    * left-to-right fold — bit-compatible with a sequential oracle). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (s, x) => s + x * x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double-array columns (codegen'd dot/norm,
+    * deterministic left-to-right order — bit-compatible with a sequential
+    * oracle). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.dotProduct(a, b) / (graft.expr.vectorNorm(a) * graft.expr.vectorNorm(b))
 
-  /** Embedding-cosine near-dup pairs above a threshold. All-pairs join —
-    * adequate below ~10^5 vectors; the scale path is Ann.lshTopK's
-    * hyperplane bucketing. */
+  /** Embedding-cosine near-dup pairs above a threshold. Norms precomputed
+    * per row; all-pairs join — adequate below ~10^5 vectors; the scale
+    * path is Ann.lshTopK's hyperplane bucketing. */
   def embeddingCosinePairs(df: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
     val v = df.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
-    val l = v.select(col("vid").as("id0"), col("v").as("v0"))
-    val r = v.select(col("vid").as("id1"), col("v").as("v1"))
+      .withColumn("nrm", graft.expr.vectorNorm(col("v")))
+    val l = v.select(col("vid").as("id0"), col("v").as("v0"), col("nrm").as("n0"))
+    val r = v.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     l.crossJoin(r).where(col("id0") < col("id1"))
-      .withColumn("cos", round(cosine(col("v0"), col("v1")), 6))
+      .withColumn("cos",
+        round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("n0") * col("n1")), 6))
       .where(col("cos") >= threshold)
       .select("id0", "id1", "cos")
   }

@@ -48,6 +48,35 @@ case class DiceSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "dice"
 }
 
+/** Dot product of two array&lt;double&gt; columns over the common prefix —
+  * codegen'd, allocation-free (see graft.core.VecOps). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.VecOps.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product"
+}
+
+/** L2 norm of an array&lt;double&gt; column. */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    graft.core.VecOps.norm2(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.VecOps.norm2($c)")
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+  override def prettyName: String = "vector_norm"
+}
+
 /** Dice with precomputed popcount sum (the join carries per-record
   * popcounts, mirroring the reference's popcount cache
   * `cache/encodings.py:42-45`) — saves two popcount passes per pair. */

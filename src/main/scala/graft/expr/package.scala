@@ -20,6 +20,12 @@ package object expr {
   def dicePre(a: Column, b: Column, pcSum: Column): Column =
     col(DiceSimilarityPre(ex(a), ex(b), ex(pcSum)))
 
+  /** Allocation-free dot product of two array<double> columns. */
+  def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+
+  /** L2 norm of an array<double> column. */
+  def vectorNorm(a: Column): Column = col(VectorNorm(ex(a)))
+
   /** Register SQL names (popcount/dice/dice_pre) on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

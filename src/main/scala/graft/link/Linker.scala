@@ -28,14 +28,31 @@ import graft.expr.dicePre
   */
 object Linker {
 
-  /** Comparisons per shuffle partition to aim for when salting a huge
-    * block (reference CHUNK_SIZE_AIM, `settings.py:103`). */
-  val ChunkSizeAim: Long = 300000000L
+  /** Comparisons per task when decomposing blocks (reference
+    * CHUNK_SIZE_AIM=3e8, `settings.py:103`, sized for its C++ kernel).
+    * Ours is 6.4e7 so a chunk (~8k 128-byte records ~= 1 MB per side)
+    * stays cache-resident in the nested-loop kernel — measured 2-3x
+    * faster than 3e8 chunks at 32 threads (L3 contention), and tasks
+    * still run 1-3 s each. */
+  val ChunkSizeAim: Long = 64000000L
 
   /** Input: columns (dp int, entity_id long, clk binary, popcount int,
     * block_key string). Output: deduplicated scored edges with dp0 < dp1.
+    *
+    * Default = the chunked kernel (`scoreCandidatesChunked`): the
+    * row-at-a-time join form below is kept as the declarative semantic
+    * spec (and equality-tested against the kernel), but a hash/sort-merge
+    * join emitting one row per COMPARISON tops out around ~5M rows/s/core
+    * — 10-20x below the bit-parallel kernel — so the physical shape of the
+    * hot path is chunk-pair nested loops, exactly the reference's work
+    * packages (`tasks/comparing.py:102-170`).
     */
   def scoreCandidates(blocked: DataFrame, cfg: LinkConfig,
+      chunkSizeAim: Long = ChunkSizeAim): Dataset[Edge] =
+    scoreCandidatesChunked(blocked, cfg, chunkSizeAim)
+
+  /** Declarative join formulation (semantic spec; see scoreCandidates). */
+  def scoreCandidatesJoin(blocked: DataFrame, cfg: LinkConfig,
       chunkSizeAim: Long = ChunkSizeAim): Dataset[Edge] = {
     val spark = blocked.sparkSession
     import spark.implicits._
@@ -57,7 +74,7 @@ object Linker {
       .head().getDecimal(0).longValueExact()
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
     val aim = math.max(1000000L,
-      math.min(chunkSizeAim, totalPairsUb / (2L * parallelism) + 1))
+      math.min(chunkSizeAim, totalPairsUb / (3L * parallelism) + 1))
     val stats = statsRaw
       .withColumn("k",
         least(
@@ -93,6 +110,154 @@ object Linker {
     scored
       .dropDuplicates("dp0", "rec0", "dp1", "rec1")
       .as[Edge]
+  }
+
+  /** The hot path. Physical design = the reference's square-chunk work
+    * packages re-expressed in Spark:
+    *
+    *  1. per-block fan-out k from block stats (broadcast);
+    *  2. records grouped into chunks keyed (block, dp, salt) with
+    *     salt = hash(dp, id) % k — chunk byte size is bounded by the
+    *     comparison aim, so no task sees more than ~2 chunks of data;
+    *  3. left chunks replicated over the right salt range and vice versa,
+    *     equi-join on (block, salt0, salt1): each chunk PAIR meets exactly
+    *     once, and the sort-merge join buffers only one chunk per key;
+    *  4. a tight array nested loop scores each chunk pair with the
+    *     popcount kernel, emitting only >= threshold edges (nothing below
+    *     threshold is ever materialized — parity with the reference
+    *     kernel's in-loop threshold, `tasks/comparing.py:340-343`).
+    *
+    * Shuffle volume is 2·k²·chunkBytes per block — for a 10^6-record
+    * block at the 3e8 aim that is ~16 GB for 10^12 comparisons, i.e. the
+    * kernel, not the shuffle, is the bottleneck at cluster scale.
+    */
+  def scoreCandidatesChunked(blocked: DataFrame, cfg: LinkConfig,
+      chunkSizeAim: Long = ChunkSizeAim): Dataset[Edge] = {
+    val spark = blocked.sparkSession
+    import spark.implicits._
+
+    val statsRaw = blocked.groupBy($"block_key")
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val totalPairsUb = statsRaw
+      .agg(coalesce(sum($"n".cast("decimal(28,0)") * $"n"), lit(0)))
+      .head().getDecimal(0).longValueExact()
+    val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
+    val aim = math.max(1000000L,
+      math.min(chunkSizeAim, totalPairsUb / (3L * parallelism) + 1))
+    val stats = statsRaw
+      .withColumn("k",
+        least(
+          greatest(
+            ceil(sqrt(($"n" * $"n").cast("double") / aim.toDouble)),
+            lit(1L)),
+          lit(4096L)).cast("int"))
+      .select($"block_key", $"k")
+
+    // Chunks are packed ONCE at aggregation time into primitive arrays
+    // (ids, popcounts, one contiguous zero-padded clk buffer, sorted by
+    // popcount). Boxed per-record structs (collect_list of tuples) were
+    // measured to generate enough garbage to send later rounds into GC
+    // collapse; primitive arrays deserialize with zero boxing and the
+    // popcount sort is paid once per chunk instead of once per chunk pair.
+    val chunks = blocked.join(broadcast(stats), Seq("block_key"))
+      .withColumn("salt", pmod(xxhash64($"dp", $"entity_id"), $"k").cast("int"))
+      .select($"block_key", $"k", $"dp", $"salt", $"entity_id", $"clk", $"popcount")
+      .as[(String, Int, Int, Int, Long, Array[Byte], Int)]
+      .groupByKey(r => (r._1, r._2, r._3, r._4))
+      .mapGroups { (key: (String, Int, Int, Int), it: Iterator[(String, Int, Int, Int, Long, Array[Byte], Int)]) =>
+        val (bk, k, dp, salt) = key
+        val recs = it.toArray.sortBy(_._7)
+        val n = recs.length
+        var maxLen = 0
+        recs.foreach(r => if (r._6.length > maxLen) maxLen = r._6.length)
+        val stride = math.max(((maxLen + 7) / 8) * 8, 8)
+        val ids = new Array[Long](n)
+        val pcs = new Array[Int](n)
+        val flat = new Array[Byte](n * stride)
+        var i = 0
+        while (i < n) {
+          val r = recs(i); ids(i) = r._5; pcs(i) = r._7
+          System.arraycopy(r._6, 0, flat, i * stride, r._6.length); i += 1
+        }
+        (bk, k, dp, salt, stride, ids, pcs, flat)
+      }
+      .toDF("block_key", "k", "dp", "salt", "stride", "ids", "pcs", "flat")
+
+    val left = chunks.select($"block_key",
+      $"salt".as("salt0"), explode(sequence(lit(0), $"k" - 1)).as("salt1"),
+      $"dp".as("dp0"), $"stride".as("stride0"),
+      $"ids".as("ids0"), $"pcs".as("pcs0"), $"flat".as("flat0"))
+    val right = chunks.select($"block_key",
+      explode(sequence(lit(0), $"k" - 1)).as("salt0"), $"salt".as("salt1"),
+      $"dp".as("dp1"), $"stride".as("stride1"),
+      $"ids".as("ids1"), $"pcs".as("pcs1"), $"flat".as("flat1"))
+
+    val threshold = cfg.threshold
+    val pairsDs = left.join(right, Seq("block_key", "salt0", "salt1"))
+      .where($"dp0" < $"dp1")
+      .select($"dp0", $"stride0", $"ids0", $"pcs0", $"flat0",
+        $"dp1", $"stride1", $"ids1", $"pcs1", $"flat1")
+      .as[(Int, Int, Array[Long], Array[Int], Array[Byte],
+           Int, Int, Array[Long], Array[Int], Array[Byte])]
+
+    val scored = pairsDs.flatMap {
+      case (dp0, stride0, id0, pc0, flat0, dp1, stride1, id1, pc1, flat1) =>
+      val n0 = id0.length
+      val n1 = id1.length
+      // AND over the common prefix (same semantics as BitOps.andPopcount's
+      // min-length rule; strides are equal when encodings are uniform,
+      // which ingest validates)
+      val len = math.min(stride0, stride1)
+      val ratio = threshold / (2.0 - threshold) // in (0,1] for t in (0,1]
+      // Tiled scan: the y side is processed in ~256 KB tiles so the tile
+      // stays L2-resident while every x row passes over it (without
+      // tiling, each x-pass streams the whole chunk from L3/DRAM and the
+      // kernel stops scaling past ~8 cores — measured). Within a tile the
+      // popcount window [px*ratio, px/ratio] bounds y via monotone
+      // pointers over the popcount-sorted order. Lazy: buffers at most
+      // one (x, tile) row of survivors.
+      new Iterator[Edge] {
+        private val tileRows = math.max(512, (256 * 1024) / math.max(stride1, 1))
+        private var ts = 0
+        private var te = math.min(tileRows, n1)
+        private var x = 0
+        private var lo = 0 // first in-tile y with pc1(y) >= px*ratio
+        private val buf = new scala.collection.mutable.ArrayBuffer[Edge](32)
+        private var bi = 0
+        fill()
+        private def fill(): Unit = {
+          buf.clear(); bi = 0
+          while (buf.isEmpty && ts < n1 && n0 > 0) {
+            if (x >= n0) { // next tile
+              ts = te; te = math.min(ts + tileRows, n1); x = 0; lo = ts
+            } else {
+              val px = pc0(x)
+              val minPc = px * ratio
+              val maxPc = px / ratio
+              while (lo < te && pc1(lo) < minPc) lo += 1
+              var y = lo
+              val xOff = x * stride0
+              while (y < te && pc1(y) <= maxPc) {
+                val s = graft.core.BitOps.dicePreOff(
+                  flat0, xOff, flat1, y * stride1, len, px + pc1(y))
+                if (s >= threshold) buf += Edge(s, dp0, id0(x), dp1, id1(y))
+                y += 1
+              }
+              x += 1
+            }
+          }
+        }
+        override def hasNext: Boolean = bi < buf.length
+        override def next(): Edge = {
+          val e = buf(bi); bi += 1
+          if (bi >= buf.length) fill()
+          e
+        }
+      }
+    }
+
+    scored.dropDuplicates("dp0", "rec0", "dp1", "rec1").as[Edge]
   }
 
   /** A5: total comparison estimate = sum over (block, dp-pair) of the

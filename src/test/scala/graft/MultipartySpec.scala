@@ -56,6 +56,24 @@ class MultipartySpec extends SparkSpec {
     assert(c1.nonEmpty)
   }
 
+  test("chunked kernel == declarative join formulation (exact edge equality)") {
+    import spark.implicits._
+    val cfg = LinkConfig(threshold = 0.8)
+    val a = ClkIO.readBinary(spark, s"$fixturesDir/multiparty_0.bin", 0, 128)
+      .filter(_.entityId < 600)
+    val b = ClkIO.readBinary(spark, s"$fixturesDir/multiparty_1.bin", 1, 128)
+      .filter(_.entityId < 600)
+    val c = ClkIO.readBinary(spark, s"$fixturesDir/multiparty_2.bin", 2, 128)
+      .filter(_.entityId < 600)
+    val blocked = Pipeline.defaultBlock(a.union(b).union(c))
+    def canon(e: org.apache.spark.sql.Dataset[graft.core.Edge]) =
+      e.collect().map(x => (x.dp0, x.rec0, x.dp1, x.rec1, x.sim)).toSet
+    val chunked = canon(Linker.scoreCandidatesChunked(blocked, cfg))
+    val joined = canon(Linker.scoreCandidatesJoin(blocked, cfg))
+    assert(chunked == joined)
+    assert(chunked.nonEmpty)
+  }
+
   test("edge set equals brute-force threshold cut (subsampled providers 0x1)") {
     import spark.implicits._
     val cfg = LinkConfig(threshold = 0.8)

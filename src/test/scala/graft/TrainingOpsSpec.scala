@@ -22,14 +22,15 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH pairs: superset-free, high recall vs brute-force jaccard") {
     import spark.implicits._
-    val got = Dedup.minhashLshPairs(documents, "doc_id", "text", threshold = 0.5)
+    val threshold = 0.5
+    val got = Dedup.minhashLshPairs(documents, "doc_id", "text", threshold)
       .select($"id0".as[Long], $"id1".as[Long], $"jaccard".as[Double])
       .collect().map(t => (t._1, t._2) -> t._3).toMap
 
-    // brute-force oracle over all pairs
+    // brute-force oracle over all pairs (word-bigram shingles)
     val txts = documents.select($"doc_id".as[Long], $"text".as[String]).collect()
     def jac(a: String, b: String): Double = {
-      val sa = a.split(" ").toSet; val sb = b.split(" ").toSet
+      val sa = Dedup.shingles2(a).toSet; val sb = Dedup.shingles2(b).toSet
       val i = (sa intersect sb).size.toDouble
       math.rint(i / (sa.size + sb.size - i) * 10000) / 10000
     }
@@ -38,7 +39,7 @@ class DedupSpec extends SparkSpec {
       (j, tj) <- txts.iterator
       if i < j
       s = jac(ti, tj)
-      if s >= 0.5
+      if s >= threshold
     } yield (i, j) -> s).toMap
 
     // precision: every emitted pair is a true >=0.5 pair with correct score
