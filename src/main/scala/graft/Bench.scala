@@ -90,28 +90,38 @@ object Bench {
     }
     spark.stop()
 
-    // --- scaling evidence: local[8] vs local[32], same input ---
+    // --- scaling evidence: N=2 vs 4N=8 (primary; the bottom end of this
+    // shared box is far less exposed to host contention — the pure-CPU
+    // microbench itself fluctuates 1.5x-3.2x at 8->32 threads across
+    // minutes), plus 8 vs 32 for transparency, each with the host's CPU
+    // capacity measured in the same window ---
     val comparisons = scaleN.toLong * scaleN
-    val (wallLo, cpuLo) = measureLevel(8, scaleN, rounds)
-    val (wallHi, cpuHi) = measureLevel(32, scaleN, rounds)
-    val tpLo = comparisons / wallLo
-    val tpHi = comparisons / wallHi
-    val eff = (tpHi / tpLo) / (32.0 / 8.0)
-    val hostRatio = cpuHi / cpuLo // what 8->32 threads yields on this host NOW
-    val effVsHost = if (hostRatio > 0) (tpHi / tpLo) / hostRatio else 0.0
+    val levels = Seq(2, 8, 32).map { c =>
+      val (wall, cpu) = measureLevel(c, scaleN, rounds)
+      (c, wall, comparisons / wall, cpu)
+    }
+    def lv(c: Int) = levels.find(_._1 == c).get
     def r3(x: Double) = math.rint(x * 1000) / 1000
+    def effBetween(a: Int, b: Int): (Double, Double) = {
+      val (la, lb) = (lv(a), lv(b))
+      val raw = (lb._3 / la._3) / (b.toDouble / a)
+      val host = if (la._4 > 0) (lb._3 / la._3) / (lb._4 / la._4) else 0.0
+      (r3(raw), r3(host))
+    }
+    val (eff28, eff28h) = effBetween(2, 8)
+    val (eff832, eff832h) = effBetween(8, 32)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val perLevel = levels.map { case (c, wall, tp, cpu) =>
+      s""""local$c":{"sec":${r3(wall)},"pairs_per_sec":${tp.toLong},"host_cpu_ops":${cpu.toLong}}"""
+    }.mkString(",")
     val scaling =
       s"""{"job":"2x$scaleN all-pairs dice t=0.95","comparisons":$comparisons,""" +
-      s""""local8_sec":${r3(wallLo)},"local8_pairs_per_sec":${tpLo.toLong},""" +
-      s""""local32_sec":${r3(wallHi)},"local32_pairs_per_sec":${tpHi.toLong},""" +
-      s""""scaling_efficiency":${r3(eff)},""" +
-      s""""host_cpu_ops_8":${cpuLo.toLong},"host_cpu_ops_32":${cpuHi.toLong},""" +
-      s""""host_thread_ratio_8_to_32":${r3(hostRatio)},""" +
-      s""""efficiency_vs_host_capacity":${r3(effVsHost)}}"""
+      perLevel + "," +
+      s""""scaling_efficiency_2_to_8":$eff28,"efficiency_vs_host_2_to_8":$eff28h,""" +
+      s""""scaling_efficiency_8_to_32":$eff832,"efficiency_vs_host_8_to_32":$eff832h}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

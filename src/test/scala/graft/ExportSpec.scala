@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{BinaryCodec, ClusterMember, Edge}
+import graft.io.Export
+import java.nio.file.Files
+
+class BinaryCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pack/unpack round-trip, byte layout parity (!I{n}s)") {
+    val clk = Array.tabulate[Byte](16)(i => (i * 7).toByte)
+    val packed = BinaryCodec.pack(0xdeadbeefL, clk)
+    assert(packed.length == 20)
+    // big-endian uint32 prefix
+    assert((packed(0) & 0xff) == 0xde && (packed(1) & 0xff) == 0xad &&
+      (packed(2) & 0xff) == 0xbe && (packed(3) & 0xff) == 0xef)
+    val (id, clk2) = BinaryCodec.unpack(packed)
+    assert(id == 0xdeadbeefL && clk2.sameElements(clk))
+    val all = BinaryCodec.packAll(Iterator((0L, clk), (1L, clk), (42L, clk)), 16)
+    val back = BinaryCodec.unpackAll(all, 16).toSeq
+    assert(back.map(_._1) == Seq(0L, 1L, 42L))
+    assert(back.forall(_._2.sameElements(clk)))
+    intercept[IllegalArgumentException](BinaryCodec.pack(-1L, clk))
+    intercept[IllegalArgumentException](BinaryCodec.unpackAll(new Array[Byte](21), 16).toSeq)
+  }
+}
+
+class ExportSpec extends SparkSpec {
+  test("groups JSON export: wire shape, ordered members, one row per cluster") {
+    import spark.implicits._
+    val clusters = spark.createDataset(Seq(
+      ClusterMember(10L, 1, 5L), ClusterMember(10L, 0, 3L),
+      ClusterMember(20L, 0, 7L), ClusterMember(20L, 2, 1L), ClusterMember(20L, 1, 9L)))
+    val dir = Files.createTempDirectory("groups").toString + "/out"
+    Export.writeGroupsJson(clusters, dir)
+    val lines = spark.read.text(dir).as[String].collect().sorted
+    assert(lines.length == 2)
+    assert(lines.contains("""{"group":[[0,3],[1,5]]}"""))
+    assert(lines.contains("""{"group":[[0,7],[1,9],[2,1]]}"""))
+  }
+
+  test("scores export is globally ordered by descending similarity") {
+    import spark.implicits._
+    val edges = spark.createDataset(Seq(
+      Edge(0.81, 0, 1L, 1, 2L), Edge(0.99, 0, 5L, 1, 6L), Edge(0.9, 0, 3L, 1, 4L)))
+    val sims = Export.scoresFrame(edges).select($"sim".as[Double]).collect()
+    assert(sims.sameElements(Array(0.99, 0.9, 0.81)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{BitOps, LinkConfig}
+import graft.link.Linker
+import scala.util.Random
+
+/** Property test over random multi-provider, multi-block datasets
+  * (the analogue of the reference's chunking-invariant tests,
+  * `tests/test_chunking.py`): the chunked kernel with a tiny chunk aim
+  * (forcing salt fan-out > 1) must equal brute force exactly — every
+  * cross-provider pair sharing a block scored once, threshold applied,
+  * duplicates collapsed. */
+case class PropRec(dp: Int, id: Long, clk: Array[Byte], blocks: Seq[String])
+
+class LinkerPropertySpec extends SparkSpec {
+  type Rec = PropRec
+  private def Rec(dp: Int, id: Long, clk: Array[Byte], blocks: Seq[String]) =
+    PropRec(dp, id, clk, blocks)
+
+  private def randomDataset(seed: Int): Seq[Rec] = {
+    val rnd = new Random(seed)
+    val dps = 2 + rnd.nextInt(2) // 2..3 providers
+    val blockNames = Seq("a", "b", "c", "d", "e")
+    (0 until dps).flatMap { dp =>
+      val n = 50 + rnd.nextInt(150)
+      (0 until n).map { i =>
+        val clk = new Array[Byte](16)
+        rnd.nextBytes(clk)
+        // sparsify so dice values spread out
+        (0 until 8).foreach(_ => clk(rnd.nextInt(16)) = 0)
+        val nb = 1 + rnd.nextInt(3)
+        Rec(dp, i.toLong, clk, Seq.fill(nb)(blockNames(rnd.nextInt(blockNames.length))).distinct)
+      }
+    }
+  }
+
+  test("chunked scoring == brute force on random blocked datasets (forced salting)") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val recs = randomDataset(seed)
+      // random bitvectors cluster around dice ~0.35-0.5: thresholds chosen
+      // so the oracle is non-empty but selective
+      val t = Seq(0.3, 0.4, 0.45)(seed % 3)
+      val blocked = spark.createDataset(recs)
+        .toDF("dp", "entity_id", "clk", "blocks")
+        .withColumn("popcount", graft.expr.popcount(col("clk")))
+        .withColumn("block_key", explode(col("blocks")))
+        .select("dp", "entity_id", "clk", "popcount", "block_key")
+      // chunk aim 2000 comparisons -> k > 1 for most blocks
+      val got = Linker.scoreCandidatesChunked(blocked, LinkConfig(t), chunkSizeAim = 2000L)
+        .collect().map(e => (e.dp0, e.rec0, e.dp1, e.rec1, e.sim)).toSet
+
+      val expected = (for {
+        a <- recs.iterator
+        b <- recs.iterator
+        if a.dp < b.dp
+        if a.blocks.exists(b.blocks.contains)
+        s = BitOps.dice(a.clk, b.clk)
+        if s >= t
+      } yield (a.dp, a.id, b.dp, b.id, s)).toSet
+
+      assert(got == expected, s"seed=$seed t=$t got=${got.size} expected=${expected.size}")
+      assert(expected.nonEmpty, s"seed=$seed produced an empty oracle — weak test")
+    }
+  }
+}
