@@ -28,6 +28,8 @@ import graft.expr.dicePre
   */
 object Linker {
 
+  @volatile private var lastChunksCache: Option[DataFrame] = None
+
   /** Comparisons per task when decomposing blocks (reference
     * CHUNK_SIZE_AIM=3e8, `settings.py:103`, sized for its C++ kernel).
     * Ours is 6.4e7 so a chunk (~8k 128-byte records ~= 1 MB per side)
@@ -183,6 +185,19 @@ object Linker {
         (bk, k, dp, salt, stride, ids, pcs, flat)
       }
       .toDF("block_key", "k", "dp", "salt", "stride", "ids", "pcs", "flat")
+      // both join branches derive from this subtree and AQE compiles them
+      // as separate query stages (no exchange reuse) — without caching,
+      // the whole scan+encode+pack pipeline runs twice. Bounded to one
+      // cached chunk table per session (previous call unpersisted).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Linker.synchronized {
+      lastChunksCache.foreach { prev =>
+        // previous cache may belong to an already-stopped session
+        try if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(false)
+        catch { case _: Throwable => }
+      }
+      lastChunksCache = Some(chunks)
+    }
 
     val left = chunks.select($"block_key",
       $"salt".as("salt0"), explode(sequence(lit(0), $"k" - 1)).as("salt1"),
