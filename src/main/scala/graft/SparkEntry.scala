@@ -139,6 +139,25 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
+    // C1 semantics, SQL-replayable form: Dice coefficient over distinct
+    // token SETS (2|A∩B|/(|A|+|B|)) thresholded within blocks — the same
+    // candidate-generation + threshold-join shape as the CLK kernel, with
+    // a DuckDB-computable similarity so the oracle can replay it
+    "q_dice_token_pairs" -> ((s, dir) => {
+      val b = docsBlocked(s, dir)
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+      val l = b.select(col("block_key"), col("dp").as("dp0"),
+        col("entity_id").as("id0"), col("toks").as("tk0"))
+      val r = b.select(col("block_key"), col("dp").as("dp1"),
+        col("entity_id").as("id1"), col("toks").as("tk1"))
+      val inter = size(array_intersect(col("tk0"), col("tk1"))).cast("double")
+      l.join(r, "block_key").where(col("dp0") < col("dp1"))
+        .withColumn("dice",
+          round(lit(2.0) * inter / (size(col("tk0")) + size(col("tk1"))), 4))
+        .where(col("dice") >= 0.7)
+        .select(col("id0"), col("id1"), col("dice"))
+        .orderBy(col("id0"), col("id1"))
+    }),
     // brute-force cosine top-k (ANN baseline)
     "q_topk_cosine" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -243,6 +262,17 @@ object SparkEntry {
                     4) AS jaccard
            FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    "q_dice_token_pairs" ->
+      """WITH b AS (
+           SELECT str_split(text, ' ')[1] AS bk, CAST(doc_id % 2 AS INT) AS dp,
+                  doc_id AS id, list_distinct(str_split(text, ' ')) AS toks
+           FROM documents),
+         p AS (
+           SELECT l.id AS id0, r.id AS id1,
+                  round(2.0 * len(list_intersect(l.toks, r.toks))
+                    / (len(l.toks) + len(r.toks)), 4) AS dice
+           FROM b l JOIN b r ON l.bk = r.bk AND l.dp < r.dp)
+         SELECT id0, id1, dice FROM p WHERE dice >= 0.7""",
     "q_topk_cosine" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          s AS (
