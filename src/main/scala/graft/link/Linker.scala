@@ -176,15 +176,20 @@ object Linker {
         val stride = math.max(((maxLen + 7) / 8) * 8, 8)
         val ids = new Array[Long](n)
         val pcs = new Array[Int](n)
+        val pch = new Array[Int](n) // popcount of the first stride/2 bytes
         val flat = new Array[Byte](n * stride)
+        val half = stride / 2
         var i = 0
         while (i < n) {
           val r = recs(i); ids(i) = r._5; pcs(i) = r._7
-          System.arraycopy(r._6, 0, flat, i * stride, r._6.length); i += 1
+          System.arraycopy(r._6, 0, flat, i * stride, r._6.length)
+          pch(i) = graft.core.BitOps.popcount(
+            java.util.Arrays.copyOfRange(flat, i * stride, i * stride + half))
+          i += 1
         }
-        (bk, k, dp, salt, stride, ids, pcs, flat)
+        (bk, k, dp, salt, stride, ids, pcs, pch, flat)
       }
-      .toDF("block_key", "k", "dp", "salt", "stride", "ids", "pcs", "flat")
+      .toDF("block_key", "k", "dp", "salt", "stride", "ids", "pcs", "pch", "flat")
       // both join branches derive from this subtree and AQE compiles them
       // as separate query stages (no exchange reuse) — without caching,
       // the whole scan+encode+pack pipeline runs twice. Bounded to one
@@ -202,28 +207,31 @@ object Linker {
     val left = chunks.select($"block_key",
       $"salt".as("salt0"), explode(sequence(lit(0), $"k" - 1)).as("salt1"),
       $"dp".as("dp0"), $"stride".as("stride0"),
-      $"ids".as("ids0"), $"pcs".as("pcs0"), $"flat".as("flat0"))
+      $"ids".as("ids0"), $"pcs".as("pcs0"), $"pch".as("pch0"), $"flat".as("flat0"))
     val right = chunks.select($"block_key",
       explode(sequence(lit(0), $"k" - 1)).as("salt0"), $"salt".as("salt1"),
       $"dp".as("dp1"), $"stride".as("stride1"),
-      $"ids".as("ids1"), $"pcs".as("pcs1"), $"flat".as("flat1"))
+      $"ids".as("ids1"), $"pcs".as("pcs1"), $"pch".as("pch1"), $"flat".as("flat1"))
 
     val threshold = cfg.threshold
     val pairsDs = left.join(right, Seq("block_key", "salt0", "salt1"))
       .where($"dp0" < $"dp1")
-      .select($"dp0", $"stride0", $"ids0", $"pcs0", $"flat0",
-        $"dp1", $"stride1", $"ids1", $"pcs1", $"flat1")
-      .as[(Int, Int, Array[Long], Array[Int], Array[Byte],
-           Int, Int, Array[Long], Array[Int], Array[Byte])]
+      .select($"dp0", $"stride0", $"ids0", $"pcs0", $"pch0", $"flat0",
+        $"dp1", $"stride1", $"ids1", $"pcs1", $"pch1", $"flat1")
+      .as[(Int, Int, Array[Long], Array[Int], Array[Int], Array[Byte],
+           Int, Int, Array[Long], Array[Int], Array[Int], Array[Byte])]
 
     val scored = pairsDs.flatMap {
-      case (dp0, stride0, id0, pc0, flat0, dp1, stride1, id1, pc1, flat1) =>
+      case (dp0, stride0, id0, pc0, pch0, flat0, dp1, stride1, id1, pc1, pch1, flat1) =>
       val n0 = id0.length
       val n1 = id1.length
       // AND over the common prefix (same semantics as BitOps.andPopcount's
       // min-length rule; strides are equal when encodings are uniform,
       // which ingest validates)
       val len = math.min(stride0, stride1)
+      // the half-popcount upper bound is only sound when both sides were
+      // packed with the same stride (uniform encodings — the normal case)
+      val halves = stride0 == stride1
       val ratio = threshold / (2.0 - threshold) // in (0,1] for t in (0,1]
       // Tiled scan: the y side is processed in ~256 KB tiles so the tile
       // stays L2-resident while every x row passes over it (without
@@ -253,10 +261,21 @@ object Linker {
               while (lo < te && pc1(lo) < minPc) lo += 1
               var y = lo
               val xOff = x * stride0
+              val phx = if (halves) pch0(x) else 0
+              val ptx = if (halves) px - phx else 0
               while (y < te && pc1(y) <= maxPc) {
-                val s = graft.core.BitOps.dicePreOff(
-                  flat0, xOff, flat1, y * stride1, len, px + pc1(y))
-                if (s >= threshold) buf += Edge(s, dp0, id0(x), dp1, id1(y))
+                val py = pc1(y)
+                // second-level prune: inter <= min(heads) + min(tails)
+                val skip = halves && {
+                  val phy = pch1(y)
+                  val upper = math.min(phx, phy) + math.min(ptx, py - phy)
+                  2.0 * upper < threshold * (px + py)
+                }
+                if (!skip) {
+                  val s = graft.core.BitOps.dicePreOff(
+                    flat0, xOff, flat1, y * stride1, len, px + py)
+                  if (s >= threshold) buf += Edge(s, dp0, id0(x), dp1, id1(y))
+                }
                 y += 1
               }
               x += 1
