@@ -71,9 +71,11 @@ object Linker {
     val statsRaw = blocked.groupBy($"block_key")
       .agg(count(lit(1)).as("n"))
       .persist()
+    // decimal agg + saturating cap: at 10^12-row blocks n^2 exceeds Long
     val totalPairsUb = statsRaw
-      .agg(coalesce(sum($"n".cast("decimal(28,0)") * $"n"), lit(0)))
-      .head().getDecimal(0).longValueExact()
+      .agg(coalesce(sum($"n".cast("decimal(38,0)") * $"n"), lit(0)))
+      .head().getDecimal(0).toBigInteger.min(
+        java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
     val aim = math.max(1000000L,
       math.min(chunkSizeAim, totalPairsUb / (3L * parallelism) + 1))
@@ -81,7 +83,7 @@ object Linker {
       .withColumn("k",
         least(
           greatest(
-            ceil(sqrt(($"n" * $"n").cast("double") / aim.toDouble)),
+            ceil($"n".cast("double") / math.sqrt(aim.toDouble)),
             lit(1L)),
           lit(1024L)).cast("int"))
       .select($"block_key", $"k")
@@ -141,9 +143,11 @@ object Linker {
     val statsRaw = blocked.groupBy($"block_key")
       .agg(count(lit(1)).as("n"))
       .persist()
+    // decimal agg + saturating cap: at 10^12-row blocks n^2 exceeds Long
     val totalPairsUb = statsRaw
-      .agg(coalesce(sum($"n".cast("decimal(28,0)") * $"n"), lit(0)))
-      .head().getDecimal(0).longValueExact()
+      .agg(coalesce(sum($"n".cast("decimal(38,0)") * $"n"), lit(0)))
+      .head().getDecimal(0).toBigInteger.min(
+        java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
     val aim = math.max(1000000L,
       math.min(chunkSizeAim, totalPairsUb / (3L * parallelism) + 1))
@@ -151,7 +155,7 @@ object Linker {
       .withColumn("k",
         least(
           greatest(
-            ceil(sqrt(($"n" * $"n").cast("double") / aim.toDouble)),
+            ceil($"n".cast("double") / math.sqrt(aim.toDouble)),
             lit(1L)),
           lit(4096L)).cast("int"))
       .select($"block_key", $"k")
