@@ -27,6 +27,16 @@ object SparkEntry {
     Pipeline.defaultBlock(a.union(b))
   }
 
+  // clusters feed two result queries (groups + permutation) — computed
+  // once per session (X5 cache parity: the reference caches decoded
+  // encodings between stages, cache/encodings.py:13-55)
+  private val febrl4ClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
+  private def febrl4Clusters(spark: SparkSession): DataFrame =
+    febrl4ClustersCache.computeIfAbsent(System.identityHashCode(spark), _ =>
+      Pipeline.clusters(febrl4Blocked(spark), LinkConfig(threshold = 0.8))
+        .toDF().persist())
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -47,8 +57,7 @@ object SparkEntry {
   /** Flagship: the full record-linkage run (encode fixtures → block →
     * dice-score → threshold → dedup → CC → greedy solve → clusters).
     * Driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Pipeline.clusters(febrl4Blocked(spark), LinkConfig(threshold = 0.8)).toDF()
+  def entry(spark: SparkSession): DataFrame = febrl4Clusters(spark)
 
   /** One per implemented operator from SURVEY.md §2 + training-data ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,10 +67,10 @@ object SparkEntry {
       Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8))
         .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
     "er_febrl4_clusters" -> ((s, _) =>
-      Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = 0.8))
-        .toDF().orderBy(col("clusterId"), col("dp"))),
+      febrl4Clusters(s).orderBy(col("clusterId"), col("dp"))),
     "er_febrl4_permutation" -> ((s, _) => {
-      val clusters = Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = 0.8))
+      import s.implicits._
+      val clusters = febrl4Clusters(s).as[graft.core.ClusterMember]
       val (perm, _) = graft.cluster.Permutation.permuteAndMask(clusters, 1000, 1000)
       perm.orderBy(col("dp"), col("row_index"))
     }),
