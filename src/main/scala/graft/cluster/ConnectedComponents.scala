@@ -38,8 +38,8 @@ object ConnectedComponents {
     var iter = 0
     var prevSig: (Long, String) = (-1L, "")
     while (!converged && iter < maxIterations) {
-      val large = largeStar(cur)
-      val small = smallStar(large).persist(StorageLevel.MEMORY_AND_DISK)
+      val small = smallStar(largeStar(cur))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // signature = (|E|, sum of row hashes): cheap fixpoint detection
       // decimal sum: overflow-free under ANSI mode
       val sigRow = small.agg(
@@ -87,7 +87,8 @@ object ConnectedComponents {
     val mins = o.groupBy($"u").agg(min($"v").as("m"))
     val withM = o.join(mins, "u")
     val nbrEdges = withM.where($"v" =!= $"m").select($"v".as("u"), $"m".as("v"))
-    val selfEdges = withM.select($"u", $"m".as("v")).distinct()
+    // selfEdges duplicates collapse in the final distinct below
+    val selfEdges = withM.select($"u", $"m".as("v"))
     nbrEdges.union(selfEdges)
       .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       .distinct()
