@@ -122,6 +122,12 @@ object Bench {
       perLevel + "," +
       s""""scaling_efficiency_2_to_8":$eff28,"efficiency_vs_host_2_to_8":$eff28h,""" +
       s""""scaling_efficiency_8_to_32":$eff832,"efficiency_vs_host_8_to_32":$eff832h}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+    // stdout arrives '[info]'-prefixed through sbt's logger (round-1 driver
+    // recorded parsed:null) -> the file is the machine-readable copy
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    println(json)
   }
 }

@@ -21,6 +21,27 @@ import graft.ann.Ann
 object SparkEntry {
   private val FixturesDir = "/root/repo/fixtures"
 
+  /** Where Verify dumps the oracle-replay auxiliary tables (deterministic
+    * per-document signature state — MinHash shingles/band keys, SimHash
+    * longs, sign-LSH bucket keys). The DuckDB oracle SQL reads these by
+    * absolute path and independently replays the PAIRING semantics
+    * (bucket join + confirm + threshold + top-k); the signature
+    * computations themselves are gated by ScalaTest brute-force oracles.
+    * Same pattern as the committed `fixtures/febrl4_clks.parquet` dump
+    * that lets DuckDB replay the CLK Dice kernel bit-for-bit. */
+  val OracleAuxDir = "/tmp/graft_oracle_aux"
+
+  /** Auxiliary dumps written by Verify before the driver's oracle runs. */
+  def oracleAux: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")),
+    "simhash_sig" -> ((s, dir) =>
+      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")),
+    "ann_sig" -> ((s, dir) =>
+      Ann.signatures(embs(s, dir), "vec_id", "embedding")
+        .select(col("vid"), col("v"), col("bks"))),
+  )
+
   private def febrl4Blocked(spark: SparkSession): DataFrame = {
     val a = ClkIO.readBinary(spark, s"$FixturesDir/febrl4_a.bin", 0, 128)
     val b = ClkIO.readBinary(spark, s"$FixturesDir/febrl4_b.bin", 1, 128)
@@ -29,13 +50,20 @@ object SparkEntry {
 
   // clusters feed two result queries (groups + permutation) — computed
   // once per session (X5 cache parity: the reference caches decoded
-  // encodings between stages, cache/encodings.py:13-55)
+  // encodings between stages, cache/encodings.py:13-55). Keyed by the
+  // session OBJECT (identity hash ints can collide after GC); entries
+  // bound to a stopped SparkContext are evicted on every access, which
+  // also bounds the strong-ref leak to at most the live sessions + the
+  // most recently stopped ones.
   private val febrl4ClustersCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
-  private def febrl4Clusters(spark: SparkSession): DataFrame =
-    febrl4ClustersCache.computeIfAbsent(System.identityHashCode(spark), _ =>
-      Pipeline.clusters(febrl4Blocked(spark), LinkConfig(threshold = 0.8))
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private def febrl4Clusters(spark: SparkSession): DataFrame = {
+    febrl4ClustersCache.keySet().removeIf(s =>
+      try s.sparkContext.isStopped catch { case _: Throwable => true })
+    febrl4ClustersCache.computeIfAbsent(spark, s =>
+      Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = 0.8))
         .toDF().persist())
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -89,8 +117,7 @@ object SparkEntry {
     "er_pages_media_features" -> ((s, _) => {
       val pages = graft.ingest.PagesSynth.pages(s, Seq(500, 500))
       graft.multimodal.Multimodal
-        .extractFeatures(pages.toDF()
-          .withColumn("row_id", monotonically_increasing_id()), "entity_id", "html")
+        .extractFeatures(pages.toDF(), "entity_id", "html")
         .toDF().drop("feature").orderBy(col("doc"), col("width"))
     }),
 
@@ -202,6 +229,15 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    // md5 content fingerprint (SQL-replayable companion to the FNV one)
+    "q_fingerprint_md5" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_md5")).orderBy(col("doc_id"))),
+    // approximate cosine pairs — the 100-TB path (sign-LSH candidates,
+    // exact confirm; oracle replays pairing from the ann_sig dump)
+    "q_cosine_pairs_lsh" -> ((s, dir) =>
+      Dedup.embeddingCosinePairsApprox(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.4).orderBy(col("id0"), col("id1"))),
     "q_ann_lsh_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Ann.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -212,6 +248,63 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // The flagship CLK Dice kernel, replayed bit-for-bit by DuckDB from
+    // the committed fixture dump (fixtures/febrl4_clks.parquet = the
+    // febrl4 .bin CLKs as 16 bigint words + popcount per record; see
+    // graft.tools.MakeOracleFixtures). sim = 2*popcount(a&b)/(pc0+pc1),
+    // thresholded at 0.8 — both engines do one exact int multiply and one
+    // IEEE division, so the doubles hash identically unrounded.
+    "er_febrl4_edges" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp)
+         SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // MinHash-LSH pairing replayed from the minhash_sig dump: candidates
+    // share >= 1 band key, confirm = exact shingle Jaccard
+    "q_minhash_pairs" ->
+      s"""WITH m AS (SELECT doc, sh, bks FROM '$OracleAuxDir/minhash_sig/*.parquet'),
+         p AS (
+           SELECT a.doc AS id0, b.doc AS id1,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+           FROM m a JOIN m b ON a.doc < b.doc
+             AND len(list_intersect(a.bks, b.bks)) > 0)
+         SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // SimHash pairing replayed from the simhash_sig dump (4-band
+    // pigeonhole is exact for maxDist<=3, so banded == brute force)
+    "q_simhash_pairs" ->
+      s"""WITH s AS (SELECT doc, sh FROM '$OracleAuxDir/simhash_sig/*.parquet')
+         SELECT a.doc AS id0, b.doc AS id1,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
+         FROM s a JOIN s b ON a.doc < b.doc
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+    // sign-LSH ANN top-k replayed from the ann_sig dump
+    "q_ann_lsh_topk" ->
+      s"""WITH v AS (SELECT vid, v, bks FROM '$OracleAuxDir/ann_sig/*.parquet'),
+         s AS (
+           SELECT q.vid AS query_id, c.vid AS neighbor_id,
+                  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM v q JOIN v c ON q.vid < 10 AND c.vid <> q.vid
+             AND len(list_intersect(q.bks, c.bks)) > 0),
+         r AS (
+           SELECT query_id, neighbor_id, cos,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""",
+    "q_cosine_pairs_lsh" ->
+      s"""WITH v AS (SELECT vid, v, bks FROM '$OracleAuxDir/ann_sig/*.parquet'),
+         p AS (
+           SELECT a.vid AS id0, b.vid AS id1,
+                  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+           FROM v a JOIN v b ON a.vid < b.vid
+             AND len(list_intersect(a.bks, b.bks)) > 0)
+         SELECT id0, id1, cos FROM p WHERE cos >= 0.4""",
+    "q_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "q_block_stats" ->
       """SELECT CAST(doc_id % 2 AS INT) AS dp, str_split(text, ' ')[1] AS block_key,
          count(*) AS n FROM documents GROUP BY 1, 2""",
@@ -223,7 +316,7 @@ object SparkEntry {
       """WITH per AS (
            SELECT str_split(text, ' ')[1] AS block_key, CAST(doc_id % 2 AS INT) AS dp,
                   count(*) AS n FROM documents GROUP BY 1, 2)
-         SELECT COALESCE(SUM(l.n * r.n), 0) AS total_comparisons
+         SELECT CAST(COALESCE(SUM(l.n * r.n), 0) AS BIGINT) AS total_comparisons
          FROM per l JOIN per r ON l.block_key = r.block_key AND l.dp < r.dp""",
     "q_candidate_pairs" ->
       """WITH b AS (

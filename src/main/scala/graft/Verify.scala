@@ -23,6 +23,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // auxiliary signature dumps the oracle SQL replays pairing
+    // semantics from (fixed absolute path — oracle SQL is static text)
+    SparkEntry.oracleAux.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.mode("overwrite")
+        .parquet(s"${SparkEntry.OracleAuxDir}/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

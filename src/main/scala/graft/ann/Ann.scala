@@ -55,17 +55,30 @@ object Ann {
       sb.toString
     }
 
+  /** Per-vector sign-LSH state: (vid, v double[], nrm, bks = one bucket
+    * key per table). The dump the DuckDB oracle replays bucketed-pairing
+    * semantics from; also the candidate source for
+    * Dedup.embeddingCosinePairsApprox. */
+  def signatures(df: DataFrame, id: String, vec: String,
+      tables: Int = 16, bits: Int = 6, dim: Int = 64,
+      seed: Long = 0xa11L): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim, seed)
+    val keysUdf = udf((v: Seq[Double]) =>
+      if (v == null) Array.empty[String] else signKeys(v.toArray, planes))
+    df.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+      .withColumn("nrm", graft.expr.vectorNorm(col("v")))
+      .withColumn("bks", keysUdf(col("v")))
+  }
+
   /** LSH-bucketed approximate top-k: only pairs sharing at least one of
     * `tables` sign-signature buckets are scored. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, tables: Int = 16, bits: Int = 6, dim: Int = 64,
       seed: Long = 0xa11L): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim, seed)
-    val keysUdf = udf((v: Seq[Double]) =>
-      if (v == null) Array.empty[String] else signKeys(v.toArray, planes))
     def bucketed(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col(id).as(idAs), col(vec).cast("array<double>").as(vecAs))
-        .withColumn("bkey", explode(keysUdf(col(vecAs))))
+      signatures(df, id, vec, tables, bits, dim, seed)
+        .select(col("vid").as(idAs), col("v").as(vecAs), col("bks"))
+        .withColumn("bkey", explode(col("bks"))).drop("bks")
     val c = bucketed(corpus, "neighbor_id", "cv")
     val q = bucketed(queries, "query_id", "qv")
     val cands = c.join(q, "bkey")

@@ -11,6 +11,12 @@ import scala.util.hashing.MurmurHash3
   * embedding-cosine near-dup. Exact/Jaccard/cosine are pure DataFrame
   * plans (SQL-replayable); MinHash/SimHash signatures are deterministic
   * Scala UDFs verified against brute-force oracles in DedupSpec.
+  *
+  * Scale design: every pair-generating path routes through
+  * [[saltedSelfPairs]] — per-bucket two-sided salt fan-out sized from
+  * bucket stats, the same square-chunk decomposition as the linkage hot
+  * path (graft.link.Linker) — so a single hot block/bucket key is never
+  * one quadratic task.
   */
 object Dedup {
 
@@ -20,6 +26,50 @@ object Dedup {
   def exactGroups(df: DataFrame, key: Column, id: Column): DataFrame =
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** Default per-task comparison aim for the salted pair joins (smaller
+    * than Linker.ChunkSizeAim: dedup payloads are token/shingle arrays,
+    * 10-100x wider than packed 128-byte CLKs). */
+  val PairAim: Long = 4000000L
+
+  /** Two-sided salted self-join pair generator — the generic skew-proof
+    * replacement for `l.join(r, "bk").where(id0 < id1)`.
+    *
+    * Input: columns (bk, id, payload...). Per bucket, a fan-out
+    * k = ceil(n/sqrt(aim)) is computed from bucket stats (tiny -> broadcast);
+    * each row gets salt = hash(id) % k, the left side replicates over the
+    * right salt range and vice versa, and the equi-join on
+    * (bk, salt0, salt1) meets every unordered pair exactly once (id0<id1
+    * keeps one orientation). k=1 for normal buckets, so replication is
+    * paid only where skew exists; a hot bucket becomes k^2 ~ n^2/aim
+    * well-sized tasks instead of one quadratic straggler.
+    *
+    * Output: bk, id0, id1, and payload columns suffixed 0/1.
+    */
+  def saltedSelfPairs(base: DataFrame, aim: Long = PairAim,
+      maxK: Int = 4096): DataFrame = {
+    val payload = base.columns.filterNot(c => c == "bk" || c == "id")
+    val stats = base.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .withColumn("k",
+        least(
+          greatest(ceil(col("n").cast("double") / math.sqrt(aim.toDouble)), lit(1L)),
+          lit(maxK.toLong)).cast("int"))
+      .select(col("bk"), col("k"))
+    val salted = base.join(broadcast(stats), Seq("bk"))
+      .withColumn("salt", pmod(xxhash64(col("id")), col("k")).cast("int"))
+    val l = salted.select(
+      Seq(col("bk"), col("salt").as("salt0"),
+        explode(sequence(lit(0), col("k") - 1)).as("salt1"),
+        col("id").as("id0")) ++ payload.map(c => col(c).as(c + "0")): _*)
+    val r = salted.select(
+      Seq(col("bk"),
+        explode(sequence(lit(0), col("k") - 1)).as("salt0"),
+        col("salt").as("salt1"),
+        col("id").as("id1")) ++ payload.map(c => col(c).as(c + "1")): _*)
+    l.join(r, Seq("bk", "salt0", "salt1"))
+      .where(col("id0") < col("id1"))
+      .drop("salt0", "salt1")
+  }
 
   /** Word n-gram Jaccard similarity between two texts' distinct-token
     * sets, as a column expression (array_intersect / union sizes). */
@@ -33,17 +83,25 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs within candidate blocks: block on a
     * cheap key first (never all-pairs), then score. Token sets are
     * computed once per document, not once per pair. `blockKey` must be a
-    * deterministic function of the text columns. */
+    * deterministic function of the text columns.
+    *
+    * Scale: pairs route through [[saltedSelfPairs]] (skewed block keys fan
+    * out), and a size-window prune — jaccard <= min(|A|,|B|)/max(|A|,|B|),
+    * the set analogue of the linkage kernel's popcount window — skips the
+    * O(|A|+|B|) intersection for pairs whose sizes can't reach the
+    * threshold (the 1e-4 slack covers the round(.,4) boundary). */
   def jaccardPairs(df: DataFrame, id: String, text: String, blockKey: Column,
-      threshold: Double): DataFrame = {
-    val base = df.select(blockKey.as("bk"), col(id).as("doc"),
+      threshold: Double, aim: Long = PairAim): DataFrame = {
+    val base = df.select(blockKey.as("bk"), col(id).as("id"),
       array_distinct(split(col(text), " ")).as("toks"))
-    val l = base.select(col("bk"), col("doc").as("id0"), col("toks").as("tk0"))
-    val r = base.select(col("bk"), col("doc").as("id1"), col("toks").as("tk1"))
-    val inter = size(array_intersect(col("tk0"), col("tk1"))).cast("double")
-    l.join(r, "bk").where(col("id0") < col("id1"))
+      .withColumn("sz", size(col("toks")))
+    val paired = saltedSelfPairs(base, aim)
+    val sizeOk = least(col("sz0"), col("sz1")).cast("double") >=
+      greatest(col("sz0"), col("sz1")) * (threshold - 1e-4)
+    val inter = size(array_intersect(col("toks0"), col("toks1"))).cast("double")
+    paired.where(sizeOk)
       .withColumn("jaccard",
-        round(inter / (size(col("tk0")) + size(col("tk1")) - inter), 4))
+        round(inter / (col("sz0") + col("sz1") - inter), 4))
       .where(col("jaccard") >= threshold)
       .select("id0", "id1", "jaccard")
   }
@@ -79,23 +137,40 @@ object Dedup {
     }
   }
 
-  /** MinHash-LSH near-dup candidate pairs over word-bigram shingles:
-    * band-bucket join, then exact shingle-Jaccard confirm on arrays
-    * precomputed once per document (never re-tokenized per pair). The
-    * scale path: cost is O(bucket collisions), not O(n^2). */
-  def minhashLshPairs(df: DataFrame, id: String, text: String,
-      threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
-      seed: Int = 0xd5ed): DataFrame = {
+  /** Per-document MinHash state: (doc, sh = bigram shingles,
+    * bks = LSH band keys). The dump the DuckDB oracle replays the pairing
+    * semantics from (candidates = share >= 1 band key; confirm = shingle
+    * Jaccard) — the signature computation itself is gated by DedupSpec's
+    * brute-force recall/precision oracle. */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+      bands: Int = 8, rowsPerBand: Int = 4, seed: Int = 0xd5ed): DataFrame = {
     val shUdf = udf((t: String) => shingles2(if (t == null) "" else t))
     val keysUdf = udf((sh: Seq[String]) =>
       minhashBandKeys(if (sh == null) Array.empty else sh.toArray, bands, rowsPerBand, seed))
-    val base = df.select(col(id).as("doc"), shUdf(col(text)).as("sh"))
-      .withColumn("bk", explode(keysUdf(col("sh"))))
-    val l = base.select(col("bk"), col("doc").as("id0"), col("sh").as("sh0"))
-    val r = base.select(col("bk"), col("doc").as("id1"), col("sh").as("sh1"))
-    val inter = size(array_intersect(col("sh0"), col("sh1"))).cast("double")
-    l.join(r, "bk").where(col("id0") < col("id1"))
+    df.select(col(id).as("doc"), shUdf(col(text)).as("sh"))
+      .withColumn("bks", keysUdf(col("sh")))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs over word-bigram shingles:
+    * band-bucket join, then exact shingle-Jaccard confirm.
+    *
+    * Scale shape: the quadratic stage (bucket join + cross-bucket dedup)
+    * carries ONLY (bucket, id) — the shingle arrays never ride the
+    * pair-generation shuffle; they are joined back once per confirmed
+    * candidate side. Hot buckets fan out via [[saltedSelfPairs]]. Cost is
+    * O(bucket collisions), never O(n^2). */
+  def minhashLshPairs(df: DataFrame, id: String, text: String,
+      threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
+      seed: Int = 0xd5ed, aim: Long = PairAim): DataFrame = {
+    val sig = minhashSignatures(df, id, text, bands, rowsPerBand, seed)
+    val ids = sig.select(explode(col("bks")).as("bk"), col("doc").as("id"))
+    val pairs = saltedSelfPairs(ids, aim)
+      .select("id0", "id1")
       .dropDuplicates("id0", "id1")
+    val inter = size(array_intersect(col("sh0"), col("sh1"))).cast("double")
+    pairs
+      .join(sig.select(col("doc").as("id0"), col("sh").as("sh0")), "id0")
+      .join(sig.select(col("doc").as("id1"), col("sh").as("sh1")), "id1")
       .withColumn("jaccard",
         round(inter / (size(col("sh0")) + size(col("sh1")) - inter), 4))
       .where(col("jaccard") >= threshold)
@@ -124,13 +199,18 @@ object Dedup {
 
   val simhashUdf = udf((t: String) => simhash64(if (t == null) "" else t))
 
+  /** Per-document 64-bit SimHash signature (doc, sh). */
+  def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("doc"), simhashUdf(col(text)).as("sh"))
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, bucketed by
     * 16-bit bands (a pair within distance d <= 3 shares at least one of 4
-    * bands — pigeonhole), so no all-pairs comparison. */
+    * bands — pigeonhole), so no all-pairs comparison. Payload through the
+    * shuffle is one long per side. */
   def simhashPairs(df: DataFrame, id: String, text: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole covers Hamming distance <= 3")
-    val sh = df.select(col(id).as("doc"), simhashUdf(col(text)).as("sh"))
+    val sh = simhashSignatures(df, id, text)
     val banded = sh.withColumn("band", explode(array((0 until 4).map(lit): _*)))
       .withColumn("bkey", concat(col("band"), lit(":"),
         expr("(sh >> (band * 16)) & 65535")))
@@ -149,18 +229,43 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.expr.dotProduct(a, b) / (graft.expr.vectorNorm(a) * graft.expr.vectorNorm(b))
 
-  /** Embedding-cosine near-dup pairs above a threshold. Norms precomputed
-    * per row; all-pairs join — adequate below ~10^5 vectors; the scale
-    * path is Ann.lshTopK's hyperplane bucketing. */
+  /** EXACT embedding-cosine near-dup pairs above a threshold. An exact
+    * threshold join over dense vectors is inherently all-pairs (cosine
+    * admits no norm-based prune on normalized embeddings), but the plan is
+    * a two-sided-salted EQUI-join (single logical bucket, fan-out from row
+    * count) — k^2 well-sized shuffle-hash tasks, no CartesianProduct node,
+    * no straggler. For corpora where n^2 itself is unaffordable use
+    * [[embeddingCosinePairsApprox]]. */
   def embeddingCosinePairs(df: DataFrame, id: String, vec: String,
-      threshold: Double): DataFrame = {
-    val v = df.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+      threshold: Double, aim: Long = 16000000L): DataFrame = {
+    val v = df.select(lit("1").as("bk"), col(id).as("id"),
+      col(vec).cast("array<double>").as("v"))
       .withColumn("nrm", graft.expr.vectorNorm(col("v")))
-    val l = v.select(col("vid").as("id0"), col("v").as("v0"), col("nrm").as("n0"))
-    val r = v.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-    l.crossJoin(r).where(col("id0") < col("id1"))
+    saltedSelfPairs(v, aim)
       .withColumn("cos",
-        round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("n0") * col("n1")), 6))
+        round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("nrm0") * col("nrm1")), 6))
+      .where(col("cos") >= threshold)
+      .select("id0", "id1", "cos")
+  }
+
+  /** APPROXIMATE embedding-cosine near-dup pairs — the 100-TB path: only
+    * pairs sharing >= 1 sign-LSH bucket (graft.ann.Ann hyperplanes) are
+    * scored exactly. Candidate generation carries bare ids; vectors join
+    * back once per side. Recall vs the exact join is measured in
+    * TrainingOpsSpec. */
+  def embeddingCosinePairsApprox(df: DataFrame, id: String, vec: String,
+      threshold: Double, tables: Int = 16, bits: Int = 6, dim: Int = 64,
+      seed: Long = 0xa11L, aim: Long = PairAim): DataFrame = {
+    val sig = graft.ann.Ann.signatures(df, id, vec, tables, bits, dim, seed)
+    val ids = sig.select(explode(col("bks")).as("bk"), col("vid").as("id"))
+    val pairs = saltedSelfPairs(ids, aim)
+      .select("id0", "id1")
+      .dropDuplicates("id0", "id1")
+    pairs
+      .join(sig.select(col("vid").as("id0"), col("v").as("v0"), col("nrm").as("nrm0")), "id0")
+      .join(sig.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("nrm1")), "id1")
+      .withColumn("cos",
+        round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("nrm0") * col("nrm1")), 6))
       .where(col("cos") >= threshold)
       .select("id0", "id1", "cos")
   }

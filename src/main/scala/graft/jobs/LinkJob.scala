@@ -40,14 +40,16 @@ object LinkJob {
       Ingest.encodeAndBlock(pages)
     }
 
-    val edges = chained("edges", written => Map(
+    val edges = chained("edges", written => {
       // north-rule counters: generated == scored (threshold applied in the
       // same codegen stage, nothing is materialized below threshold);
       // kept = committed rows
-      "pairs_generated" -> Linker.totalComparisons(blocked),
-      "pairs_scored" -> Linker.totalComparisons(blocked),
-      "edges_kept" -> written.count()
-    )) {
+      val total = Linker.totalComparisons(blocked)
+      Map(
+        "pairs_generated" -> total,
+        "pairs_scored" -> total,
+        "edges_kept" -> written.count())
+    }) {
       import spark.implicits._
       val e = Linker.scoreCandidates(blocked, cfg)
       e.toDF()

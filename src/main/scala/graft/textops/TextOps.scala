@@ -44,9 +44,9 @@ object TextOps {
     * deterministic, SQL-replayable.) */
   def langIdColumns(text: Column): Seq[(String, Column)] = {
     val toks = split(text, " ")
-    val hits = EnStopwords.map(w =>
-      size(filter(toks, t => t === lit(w))).cast("long"))
-      .reduce(_ + _)
+    // one array pass: a token matches at most one stopword, so a single
+    // membership filter equals the per-word count sum
+    val hits = size(filter(toks, t => t.isInCollection(EnStopwords))).cast("long")
     val ratio = round(hits.cast("double") / size(toks), 4)
     Seq(
       "stopword_hits" -> hits,

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.ingest.ClkIO
+
+/** One-shot generator for `fixtures/febrl4_clks.parquet` — the febrl4 CLK
+  * fixtures re-encoded as (dp int, entity_id bigint, pc int,
+  * words array<bigint> = 16 little-endian longs per 128-byte CLK) so the
+  * driver's DuckDB oracle can replay the Dice kernel with
+  * `bit_count(a.words[i] & b.words[i])` (the reference's own correctness
+  * gate is exact score equality,
+  * `e2etests/tests/test_results_correctness.py:53-62`). Popcount and AND
+  * are byte-order-invariant, so the long packing choice is free as long
+  * as both join sides read the same parquet — they do.
+  *
+  * Committed output; rerun only if the .bin fixtures ever change:
+  *   sbt -batch "runMain graft.tools.MakeOracleFixtures"
+  */
+object MakeOracleFixtures {
+
+  def words(clk: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(clk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(clk.length / 8)(bb.getLong())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val a = ClkIO.readBinary(spark, "/root/repo/fixtures/febrl4_a.bin", 0, 128)
+    val b = ClkIO.readBinary(spark, "/root/repo/fixtures/febrl4_b.bin", 1, 128)
+    val tmp = "/tmp/graft_make_fixture"
+    a.union(b)
+      .map(r => (r.dp, r.entityId, r.popcount, words(r.clk)))
+      .toDF("dp", "entity_id", "pc", "words")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = java.nio.file.Paths.get("/root/repo/fixtures/febrl4_clks.parquet")
+    java.nio.file.Files.copy(part.toPath, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(s"wrote $dest (${java.nio.file.Files.size(dest)} bytes)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Temp perf probe (delete after use). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    for (round <- 1 to 2) {
+      time(s"q_jaccard_pairs r$round") {
+        graft.SparkEntry.queries("q_jaccard_pairs")(spark, sf).count()
+      }
+      time(s"q_minhash_pairs r$round") {
+        graft.SparkEntry.queries("q_minhash_pairs")(spark, sf).count()
+      }
+      time(s"q_cosine_pairs r$round") {
+        graft.SparkEntry.queries("q_cosine_pairs")(spark, sf).count()
+      }
+      time(s"q_cosine_pairs_lsh r$round") {
+        graft.SparkEntry.queries("q_cosine_pairs_lsh")(spark, sf).count()
+      }
+    }
+    spark.stop()
+  }
+}
