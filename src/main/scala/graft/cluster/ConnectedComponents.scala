@@ -14,8 +14,23 @@ import org.apache.spark.storage.StorageLevel
   * to fit its neighbor list in memory): per-node minima are computed with
   * a groupBy/min and joined back, so both steps are plain shuffles that
   * AQE can size. Converges in O(log n) rounds.
+  *
+  * Constant factor: each iteration is ONE Spark job — the round's output
+  * is lazily localCheckpoint'ed (truncating lineage) and materialized by
+  * the same action that computes the fixpoint signature. Below
+  * `localSolveMaxEdges` the graph drops to a single driver-side
+  * union-find (path compression + union-by-min, so the root IS the
+  * component minimum): candidate graphs after thresholding are tiny
+  * relative to the input — the reference solves the whole graph on one
+  * `highmemory` worker for the same reason — and at cluster scale the
+  * star rounds shrink any big graph under the threshold within a few
+  * iterations, so the tail of tiny-job rounds is replaced by one collect.
   */
 object ConnectedComponents {
+
+  /** Default driver-side solve threshold: 2M edges ~= 32 MB of (u,v)
+    * longs — negligible driver memory, saves ~O(log n) shuffle rounds. */
+  val LocalSolveMaxEdges: Long = 2000000L
 
   /** @param edges distinct undirected edges as (u, v) node-id pairs,
     *              self-loops allowed (ignored).
@@ -23,7 +38,8 @@ object ConnectedComponents {
     *         node appearing in the input is assigned (including isolated
     *         representatives mapping to themselves).
     */
-  def run(edges: Dataset[(Long, Long)], maxIterations: Int = 50): DataFrame = {
+  def run(edges: Dataset[(Long, Long)], maxIterations: Int = 50,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -34,25 +50,38 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // isolated nodes (possible once filters drop edges) handled by caller
 
+    val n0 = cur.count()
+    if (n0 <= localSolveMaxEdges) {
+      val arr = cur.as[(Long, Long)].collect()
+      cur.unpersist()
+      return localRun(spark, arr)
+    }
+
     var converged = false
     var iter = 0
     var prevSig: (Long, String) = (-1L, "")
     while (!converged && iter < maxIterations) {
-      val small = smallStar(largeStar(cur))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // lazy local checkpoint: materialized by the signature action below
+      // (one job per round), truncating lineage growth across iterations
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       // signature = (|E|, sum of row hashes): cheap fixpoint detection
       // decimal sum: overflow-free under ANSI mode
-      val sigRow = small.agg(
+      val sigRow = next.agg(
         count(lit(1)).cast("long"),
         coalesce(sum(xxhash64($"u", $"v").cast("decimal(28,0)")), lit(0))
           .cast("string")).as[(Long, String)].head()
       converged = sigRow == prevSig
       prevSig = sigRow
       cur.unpersist()
-      // break lineage growth across iterations
-      cur = small.localCheckpoint(true)
-      small.unpersist()
+      cur = next
       iter += 1
+      // the star rounds contract the graph fast — finish small tails on
+      // the driver instead of burning further shuffle rounds
+      if (!converged && sigRow._1 <= localSolveMaxEdges) {
+        val arr = cur.as[(Long, Long)].collect()
+        cur.unpersist()
+        return localRun(spark, arr)
+      }
     }
     require(converged, s"connected components did not converge in $maxIterations iterations")
 
@@ -61,6 +90,39 @@ object ConnectedComponents {
       .union(cur.select($"v".as("node"), $"v".as("component")))
       .distinct()
     assign
+  }
+
+  /** Driver-side union-find (path compression, union by min id — the
+    * root of a set is always its minimum node id). */
+  private[cluster] def localRun(spark: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val n = it.next()
+      out(i) = (n, find(n))
+      i += 1
+    }
+    spark.createDataset(out.toSeq).toDF("node", "component")
   }
 
   /** large-star: connect every strictly-larger neighbor of u to the

@@ -17,18 +17,9 @@ object Probe {
       val n = f
       println(f"PROBE $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    for (round <- 1 to 2) {
-      time(s"q_jaccard_pairs r$round") {
-        graft.SparkEntry.queries("q_jaccard_pairs")(spark, sf).count()
-      }
-      time(s"q_minhash_pairs r$round") {
-        graft.SparkEntry.queries("q_minhash_pairs")(spark, sf).count()
-      }
-      time(s"q_cosine_pairs r$round") {
-        graft.SparkEntry.queries("q_cosine_pairs")(spark, sf).count()
-      }
-      time(s"q_cosine_pairs_lsh r$round") {
-        graft.SparkEntry.queries("q_cosine_pairs_lsh")(spark, sf).count()
+    for (round <- 1 to 2; q <- args.drop(1)) {
+      time(s"$q r$round") {
+        graft.SparkEntry.queries(q)(spark, sf).count()
       }
     }
     spark.stop()

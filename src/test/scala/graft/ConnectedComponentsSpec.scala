@@ -1,0 +1,74 @@
+package graft
+
+import graft.cluster.ConnectedComponents
+import scala.util.Random
+
+/** Connected-components gate: the distributed large-star/small-star path
+  * and the driver-side union-find early-exit must agree with each other
+  * and with an in-test brute-force (BFS) oracle on random graphs, and the
+  * mid-loop drop-to-local path must match the pure-distributed fixpoint.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    val nodes = scala.collection.mutable.Set[Long]()
+    edges.foreach { case (u, v) =>
+      // self-loop-only nodes are dropped by run() — mirror that here
+      if (u != v) { nodes += u; nodes += v; adj(u) ::= v; adj(v) ::= u }
+    }
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    nodes.toSeq.sorted.foreach { start =>
+      if (!comp.contains(start)) {
+        var frontier = List(start)
+        val members = scala.collection.mutable.ArrayBuffer[Long]()
+        while (frontier.nonEmpty) {
+          val h = frontier.head
+          frontier = frontier.tail
+          if (!comp.contains(h)) {
+            comp(h) = start
+            members += h
+            frontier = adj(h) ::: frontier
+          }
+        }
+        val m = members.min
+        members.foreach(comp(_) = m)
+      }
+    }
+    comp.toMap
+  }
+
+  private def runToMap(edges: Seq[(Long, Long)], localMax: Long): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDS(), localSolveMaxEdges = localMax)
+      .as[(Long, Long)].collect().toMap
+
+  test("random graphs: distributed == local union-find == brute force") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 4) {
+      val n = 200 + trial * 100
+      val edges = Seq.fill(n)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+        Seq((1000L, 2000L), (2000L, 3000L), (3000L, 1000L)) // ring far from the rest
+      val oracle = bruteForce(edges)
+      val dist = runToMap(edges, localMax = 0) // forces the star iterations
+      val local = runToMap(edges, localMax = Long.MaxValue) // forces union-find
+      assert(dist === oracle, s"distributed path diverged (trial $trial)")
+      assert(local === oracle, s"local union-find diverged (trial $trial)")
+    }
+  }
+
+  test("mid-loop drop-to-local matches pure-distributed on a long chain") {
+    // chain contracts over iterations; localMax=64 triggers the mid-loop
+    // collect once the star rounds shrink the edge set under the bound
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val oracle = bruteForce(chain)
+    assert(runToMap(chain, localMax = 64) === oracle)
+    assert(runToMap(chain, localMax = 0) === oracle)
+  }
+
+  test("self-loops dropped (isolated nodes are the caller's concern)") {
+    val edges = Seq((5L, 5L), (1L, 2L))
+    assert(runToMap(edges, localMax = Long.MaxValue) === Map(1L -> 1L, 2L -> 1L))
+    assert(runToMap(edges, localMax = 0) === Map(1L -> 1L, 2L -> 1L))
+  }
+}
