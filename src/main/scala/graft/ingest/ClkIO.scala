@@ -90,6 +90,7 @@ object ClkIO {
   def validateEncodingSize(records: Dataset[Record]): Int = {
     import records.sparkSession.implicits._
     val sizes = records.select(length(col("clk")).as[Int]).distinct().collect()
+    require(sizes.nonEmpty, "empty upload: no encodings present")
     require(sizes.length == 1,
       s"encodings must all have the same size; saw ${sizes.sorted.mkString(",")}")
     val s = sizes.head

@@ -17,14 +17,31 @@ import java.nio.charset.StandardCharsets
   * write and is recomputed+overwritten on the next run; a stage with a
   * manifest is skipped and served from Parquet (resume).
   *
+  * Concurrency: stage compute is guarded by an atomic writer lock
+  * (`FileSystem.create(overwrite=false)` of `<root>/_locks/<stage>.lock`
+  * — atomic on local FS and HDFS; on S3-like stores swap for a
+  * conditional-put). A second writer waits for the holder's manifest and
+  * resumes from it, or fails after `lockWaitMs` — the same race-safe run
+  * start as the reference (`database/selections.py:137-148`
+  * `FOR UPDATE NOWAIT`). Locks older than `staleLockMs` are presumed
+  * crashed and stolen.
+  *
   * Lineage: one row per output partition (stage, partition_id, rows_out)
   * plus stage-level counters (e.g. pairs_generated / pairs_scored /
-  * edges_kept), appended to `<root>/_lineage` — the Spark analogue of the
-  * reference's per-task Redis progress counters (`cache/progress.py:34-58`).
+  * edges_kept), written to `<root>/_lineage/stage=<name>` — the Spark
+  * analogue of the reference's per-task Redis progress counters
+  * (`cache/progress.py:34-58`). The per-stage partition directory is
+  * OVERWRITTEN on recompute (and deleted on invalidate), so a crash-retry
+  * or invalidated recompute never double-counts lineage rows.
   */
 object Checkpoint {
 
   case class StageResult(df: DataFrame, rows: Long, resumed: Boolean)
+
+  /** How long a second writer waits for the lock holder's commit. */
+  val LockWaitMs: Long = 60000L
+  /** Locks older than this are presumed crashed and stolen. */
+  val StaleLockMs: Long = 600000L
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -35,13 +52,14 @@ object Checkpoint {
   }
 
   /** Run (or resume) a checkpointed stage. `compute` is only invoked when
-    * the stage is not yet committed. `counters` are stage-level metrics
-    * evaluated after the write (may read the checkpointed table). */
+    * the stage is not yet committed and this writer holds the stage lock.
+    * `counters` are stage-level metrics evaluated after the write (may
+    * read the checkpointed table). */
   def stage(spark: SparkSession, root: String, name: String,
-      counters: DataFrame => Map[String, Long] = _ => Map.empty)
+      counters: DataFrame => Map[String, Long] = _ => Map.empty,
+      lockWaitMs: Long = LockWaitMs)
       (compute: => DataFrame): StageResult = {
     val dir = s"$root/$name"
-    val dataPath = new Path(dir)
     val mfPath = new Path(s"$dir/_MANIFEST.json")
     val filesystem = fs(spark, mfPath)
 
@@ -50,6 +68,31 @@ object Checkpoint {
       return StageResult(df, -1L, resumed = true)
     }
 
+    if (!acquireLock(spark, root, name, lockWaitMs)) {
+      // another writer committed while we waited -> serve its result
+      if (filesystem.exists(mfPath))
+        return StageResult(spark.read.parquet(dir), -1L, resumed = true)
+      throw new IllegalStateException(
+        s"stage $name: writer lock held by another run and no commit " +
+          s"appeared within ${lockWaitMs}ms")
+    }
+    try {
+      // the lock holder re-checks: the previous holder may have committed
+      // between our manifest probe and lock acquisition
+      if (filesystem.exists(mfPath))
+        return StageResult(spark.read.parquet(dir), -1L, resumed = true)
+      doCompute(spark, root, name, counters, compute)
+    } finally releaseLock(spark, root, name)
+  }
+
+  private def doCompute(spark: SparkSession, root: String, name: String,
+      counters: DataFrame => Map[String, Long],
+      compute: => DataFrame): StageResult = {
+    val dir = s"$root/$name"
+    val dataPath = new Path(dir)
+    val mfPath = new Path(s"$dir/_MANIFEST.json")
+    val filesystem = fs(spark, mfPath)
+
     val t0 = System.nanoTime()
     // aborted prior attempt -> clobber
     if (filesystem.exists(dataPath)) filesystem.delete(dataPath, true)
@@ -57,13 +100,13 @@ object Checkpoint {
     val written = spark.read.parquet(dir)
 
     // per-partition lineage of the committed table (one row per read
-    // partition ~= parquet file split)
+    // partition ~= parquet file split); per-stage dir is overwritten, so
+    // a recompute replaces (never duplicates) the stage's lineage
     val lineage = written
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("rows_out"))
-      .withColumn("stage", lit(name))
-      .select("stage", "partition_id", "rows_out")
-    lineage.write.mode("append").parquet(s"$root/_lineage")
+      .select("partition_id", "rows_out")
+    lineage.write.mode("overwrite").parquet(s"$root/_lineage/stage=$name")
 
     val rows = written.count()
     val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -75,6 +118,46 @@ object Checkpoint {
     out.write(manifest.getBytes(StandardCharsets.UTF_8))
     out.close()
     StageResult(spark.read.parquet(dir), rows, resumed = false)
+  }
+
+  private def lockPath(root: String, name: String) =
+    new Path(s"$root/_locks/$name.lock")
+
+  /** Atomic acquire; waits up to `waitMs` for a competing holder to either
+    * release or commit. Returns false when the wait expired (caller checks
+    * for the competing commit). */
+  private def acquireLock(spark: SparkSession, root: String, name: String,
+      waitMs: Long): Boolean = {
+    val lp = lockPath(root, name)
+    val filesystem = fs(spark, lp)
+    val mfPath = new Path(s"$root/$name/_MANIFEST.json")
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      try {
+        val out = filesystem.create(lp, false) // atomic create-if-absent
+        out.write(s"""{"pid":${ProcessHandle.current().pid()},"ts":${System.currentTimeMillis()}}"""
+          .getBytes(StandardCharsets.UTF_8))
+        out.close()
+        return true
+      } catch {
+        case _: java.io.IOException =>
+          // held by someone: committed already? stale? else wait
+          if (filesystem.exists(mfPath)) return false
+          try {
+            val st = filesystem.getFileStatus(lp)
+            if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs)
+              filesystem.delete(lp, false) // steal a crashed writer's lock
+          } catch { case _: java.io.FileNotFoundException => () } // released: retry
+          if (System.currentTimeMillis() >= deadline) return false
+          Thread.sleep(200)
+      }
+    }
+    false
+  }
+
+  private def releaseLock(spark: SparkSession, root: String, name: String): Unit = {
+    val lp = lockPath(root, name)
+    try fs(spark, lp).delete(lp, false) catch { case _: Throwable => () }
   }
 
   def readManifest(spark: SparkSession, root: String, name: String): Option[String] = {
@@ -89,11 +172,14 @@ object Checkpoint {
     }
   }
 
-  /** Invalidate a stage (forces recompute on the next run). */
+  /** Invalidate a stage (forces recompute on the next run); also removes
+    * the stage's lineage rows so counters never mix attempts. */
   def invalidate(spark: SparkSession, root: String, name: String): Unit = {
     val dir = new Path(s"$root/$name")
     val filesystem = fs(spark, dir)
     if (filesystem.exists(dir)) filesystem.delete(dir, true)
+    val lin = new Path(s"$root/_lineage/stage=$name")
+    if (filesystem.exists(lin)) filesystem.delete(lin, true)
   }
 
   def lineage(spark: SparkSession, root: String): DataFrame =

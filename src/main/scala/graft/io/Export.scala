@@ -41,4 +41,29 @@ object Export {
     scoresFrame(edges)
       .select(to_json(struct(col("sim"), col("dp0"), col("rec0"), col("dp1"), col("rec1"))).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** 2-party similarity-scores CSV wire format: `rec0,rec1,sim` lines,
+    * dataset indices implied (0,1) — the exact shape
+    * `similarity_matrix_from_csv_bytes` parses
+    * (`backend/entityservice/utils.py:162-178`). Wire order: sim desc. */
+  def writeScoresCsv(edges: Dataset[Edge], path: String): Unit =
+    scoresFrame(edges)
+      .select(concat_ws(",", col("rec0"), col("rec1"), col("sim")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Source for the CSV scores wire format (round-trip of writeScoresCsv;
+    * dataset indices restored as (0, 1)). */
+  def readScoresCsv(spark: org.apache.spark.sql.SparkSession,
+      path: String): Dataset[Edge] = {
+    import spark.implicits._
+    spark.read.text(path)
+      .select(split(col("value"), ",").as("f"))
+      .select(
+        element_at(col("f"), 3).cast("double").as("sim"),
+        lit(0).as("dp0"),
+        element_at(col("f"), 1).cast("long").as("rec0"),
+        lit(1).as("dp1"),
+        element_at(col("f"), 2).cast("long").as("rec1"))
+      .as[Edge]
+  }
 }

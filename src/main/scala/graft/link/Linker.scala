@@ -50,8 +50,25 @@ object Linker {
     * packages (`tasks/comparing.py:102-170`).
     */
   def scoreCandidates(blocked: DataFrame, cfg: LinkConfig,
-      chunkSizeAim: Long = ChunkSizeAim): Dataset[Edge] =
-    scoreCandidatesChunked(blocked, cfg, chunkSizeAim)
+      chunkSizeAim: Long = ChunkSizeAim): Dataset[Edge] = {
+    val scored = scoreCandidatesChunked(blocked, cfg, chunkSizeAim)
+    cfg.topKPerRecord.fold(scored)(k => capTopKPerRecord(scored, k))
+  }
+
+  /** Optional anonlink-`k` parity: keep the k best candidates per left
+    * record (sim desc, ids as tie-break). A per-key window — hash
+    * partitioned by (dp0, rec0), never a global sort. */
+  def capTopKPerRecord(edges: Dataset[Edge], k: Int): Dataset[Edge] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"dp0", $"rec0")
+      .orderBy(desc("sim"), $"dp1", $"rec1")
+    edges.toDF()
+      .withColumn("__r", row_number().over(w))
+      .where($"__r" <= k).drop("__r")
+      .as[Edge]
+  }
 
   /** Declarative join formulation (semantic spec; see scoreCandidates). */
   def scoreCandidatesJoin(blocked: DataFrame, cfg: LinkConfig,

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * typed metadata; decode / feature-extract / frame-sample run as
   * per-partition batch transforms over the binary payload.
   *
-  * The decode step is STUBBED (no image/audio codecs ship in this
-  * container): `decodeStub` derives deterministic fake dimensions +
-  * features from the payload bytes, clearly marked below. Everything
-  * Spark-side — schema, batching via mapPartitions, partition-size
-  * control, column pruning of the heavy binary column — is real and
-  * tested (MultimodalSpec).
+  * Image payloads decode for real through `javax.imageio` (PNG/JPEG/GIF/
+  * BMP ship with the JDK): true width/height/channels + a deterministic
+  * luminance-grid feature vector. Payloads no JDK reader accepts (and
+  * audio/video, whose codecs don't ship in this container) fall back to
+  * `decodeStub` — deterministic fake dimensions + features derived from
+  * the bytes, clearly marked below. Everything Spark-side — schema,
+  * batching via mapPartitions, partition-size control, column pruning of
+  * the heavy binary column — is real and tested (MultimodalSpec).
   */
 object Multimodal {
 
@@ -39,10 +41,39 @@ object Multimodal {
     (meta, feat)
   }
 
+  /** Real image decode via the JDK's ImageIO; None when no registered
+    * reader accepts the payload (caller falls back to the stub).
+    * Features: deterministic luminance samples on a fixed pseudo-random
+    * pixel grid — a stand-in for a real embedding model with the same
+    * shape (fixed-width float vector per image). */
+  private[multimodal] def decodeImage(payload: Array[Byte],
+      featDim: Int): Option[(MediaMeta, Array[Float])] = {
+    if (payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        val feat = Array.tabulate(featDim) { i =>
+          val x = (((i + 1) * 2654435761L) % w).toInt
+          val y = (((i + 1) * 40503L) % h).toInt
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          lum / 255.0f
+        }
+        Some((MediaMeta(w, h, channels, payload.length.toLong), feat))
+      }
+    } catch { case _: Throwable => None }
+  }
+
   /** Batch feature extraction over a binary column: mapPartitions so a
     * real decoder amortizes per-partition init (model load / codec ctx) —
     * the Scala analogue of a pandas-UDF batch. Input needs (idCol long,
-    * binCol binary); heavy binary column is pruned after this stage. */
+    * binCol binary); heavy binary column is pruned after this stage.
+    * Decodable images get real dims+features; everything else the stub. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String,
       featDim: Int = 16): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
@@ -50,10 +81,12 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init would go here (decoder/model handle)
+        // per-partition init point (a real model/codec handle would load
+        // here, once per partition; ImageIO readers are stateless)
         it.map { case (id, bytes) =>
           val payload = if (bytes == null) Array.emptyByteArray else bytes
-          val (meta, feat) = decodeStub(payload, featDim)
+          val (meta, feat) = decodeImage(payload, featDim)
+            .getOrElse(decodeStub(payload, featDim))
           MediaFeatures(id, meta.width, meta.height, meta.channels, feat)
         }
       }

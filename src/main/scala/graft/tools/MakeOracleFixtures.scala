@@ -47,6 +47,28 @@ object MakeOracleFixtures {
     java.nio.file.Files.copy(part.toPath, dest,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     println(s"wrote $dest (${java.nio.file.Files.size(dest)} bytes)")
+
+    // Golden 5-party groups at t=0.8 — frozen output of THIS repo's own
+    // solver (mirrors the reference gate
+    // `e2etests/tests/test_results_correctness_multiparty.py:15-45`, which
+    // freezes anonlink's output). Deliberately circular on the day it was
+    // generated; its value is as a regression trap for any later change to
+    // the kernel / CC / greedy solver. Groups are canonicalized by
+    // (clusterId, dp, entityId).
+    val parties = (0 until 5).map { k =>
+      ClkIO.readBinary(spark, s"/root/repo/fixtures/multiparty_$k.bin", k, 128)
+    }.reduce(_ union _)
+    val clusters = graft.link.Pipeline.clusters(
+      graft.link.Pipeline.defaultBlock(parties),
+      graft.core.LinkConfig(threshold = 0.8))
+      .collect().sortBy(c => (c.clusterId, c.dp, c.entityId))
+    val lines = "clusterId,dp,entityId" +:
+      clusters.map(c => s"${c.clusterId},${c.dp},${c.entityId}")
+    val goldenDest = java.nio.file.Paths.get(
+      "/root/repo/fixtures/multiparty_golden_groups.csv")
+    java.nio.file.Files.write(goldenDest,
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    println(s"wrote $goldenDest (${clusters.length} member rows)")
     spark.stop()
   }
 }

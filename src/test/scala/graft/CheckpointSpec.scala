@@ -56,6 +56,40 @@ class CheckpointSpec extends SparkSpec {
     assert(set1 == set3)
   }
 
+  test("concurrent writers: one computes, the other resumes its commit") {
+    val root = Files.createTempDirectory("graft-ckpt3").toString
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def work() = Checkpoint.stage(spark, root, "race", lockWaitMs = 30000) {
+      computes.incrementAndGet()
+      Thread.sleep(1500) // hold the lock long enough for the race to bite
+      spark.range(7).toDF("v")
+    }
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val f1 = Future(work())
+    Thread.sleep(300) // writer 1 must grab the lock first
+    val f2 = Future(work())
+    val (r1, r2) = (Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
+    assert(computes.get() == 1, "compute must run exactly once under the lock")
+    assert(Seq(r1, r2).count(_.resumed) == 1)
+    assert(r1.df.count() == 7 && r2.df.count() == 7)
+  }
+
+  test("held lock without a commit fails cleanly after the wait") {
+    val root = Files.createTempDirectory("graft-ckpt4").toString
+    // a foreign writer holds the lock and never commits
+    val lockDir = java.nio.file.Paths.get(s"$root/_locks")
+    Files.createDirectories(lockDir)
+    Files.writeString(lockDir.resolve("stuck.lock"), s"""{"pid":0,"ts":${System.currentTimeMillis()}}""")
+    val e = intercept[IllegalStateException] {
+      Checkpoint.stage(spark, root, "stuck", lockWaitMs = 800) {
+        spark.range(1).toDF("v")
+      }
+    }
+    assert(e.getMessage.contains("writer lock"))
+  }
+
   test("aborted write (no manifest) is recomputed, not served") {
     val root = Files.createTempDirectory("graft-ckpt2").toString
     import spark.implicits._

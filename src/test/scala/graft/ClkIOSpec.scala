@@ -53,4 +53,60 @@ class ClkIOSpec extends SparkSpec {
     assert(k.count() == 1000)
     assert(k.filter(_.clk.length != 128).count() == 0)
   }
+
+  // --- negative-path battery (the reference's upload edge cases,
+  // --- e2etests/tests/test_project_uploads.py) ---
+
+  test("binary upload whose length is not a multiple of the encoding size fails") {
+    val dir = Files.createTempDirectory("clkio-neg").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.bin"), new Array[Byte](300))
+    val e = intercept[org.apache.spark.SparkException] {
+      ClkIO.readBinary(spark, s"$dir/bad.bin", 0, 128).count()
+    }
+    assert(e.getMessage.contains("not a multiple") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a multiple")))
+  }
+
+  test("mixed encoding sizes across providers are rejected") {
+    import spark.implicits._
+    val a = ClkIO.readBinary(spark, s"$fixturesDir/single_clk.bin", 0, 128)
+    val b = spark.createDataset(Seq(graft.core.Record(1, 0L, Array.fill[Byte](64)(1), 64)))
+    val e = intercept[IllegalArgumentException] {
+      ClkIO.validateEncodingSize(a.union(b))
+    }
+    assert(e.getMessage.contains("same size"))
+  }
+
+  test("encoding sizes outside [8,1024] or non-multiples of 8 are rejected") {
+    import spark.implicits._
+    def rec(n: Int) =
+      spark.createDataset(Seq(graft.core.Record(0, 0L, Array.fill[Byte](n)(1), n)))
+    for (bad <- Seq(4, 1032, 129)) {
+      val e = intercept[IllegalArgumentException] { ClkIO.validateEncodingSize(rec(bad)) }
+      assert(e.getMessage.contains("multiple of 8"), s"size $bad: ${e.getMessage}")
+    }
+    assert(ClkIO.validateEncodingSize(rec(8)) == 8)
+  }
+
+  test("empty upload is rejected with a clear message") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[graft.core.Record]
+    val e = intercept[IllegalArgumentException] { ClkIO.validateEncodingSize(empty) }
+    assert(e.getMessage.contains("empty upload"))
+  }
+
+  test("empty clks array yields zero rows (rejected downstream)") {
+    val dir = Files.createTempDirectory("clkio-neg2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/u.json"), """{"clks": []}""")
+    assert(ClkIO.readJson(spark, s"$dir/u.json", dp = 0).count() == 0)
+  }
+
+  test("unrecognized upload format is rejected") {
+    val dir = Files.createTempDirectory("clkio-neg3").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/u.json"), """{"bogus": [1,2]}""")
+    val e = intercept[IllegalArgumentException] {
+      ClkIO.readJson(spark, s"$dir/u.json", dp = 0)
+    }
+    assert(e.getMessage.contains("unrecognized"))
+  }
 }

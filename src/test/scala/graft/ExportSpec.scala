@@ -45,4 +45,39 @@ class ExportSpec extends SparkSpec {
     val sims = Export.scoresFrame(edges).select($"sim".as[Double]).collect()
     assert(sims.sameElements(Array(0.99, 0.9, 0.81)))
   }
+
+  test("scores CSV wire format round-trips (rec0,rec1,sim — utils.py:162-178)") {
+    import spark.implicits._
+    val edges = Seq(Edge(0.875, 0, 1L, 1, 2L), Edge(0.9921875, 0, 5L, 1, 6L))
+    val ds = spark.createDataset(edges)
+    val dir = Files.createTempDirectory("scorescsv").toString + "/out"
+    Export.writeScoresCsv(ds, dir)
+    val lines = spark.read.text(dir).as[String].collect()
+    // reference parser does row.split(',') -> (rec0, rec1, sim)
+    assert(lines.forall(_.split(",").length == 3))
+    assert(lines.contains("5,6,0.9921875"))
+    val back = Export.readScoresCsv(spark, dir).collect().toSet
+    assert(back == edges.toSet)
+  }
+
+  test("top-k per-record candidate cap (anonlink k parity)") {
+    import spark.implicits._
+    val edges = spark.createDataset(Seq(
+      Edge(0.99, 0, 1L, 1, 10L), Edge(0.95, 0, 1L, 1, 11L), Edge(0.90, 0, 1L, 1, 12L),
+      Edge(0.85, 0, 2L, 1, 10L)))
+    val capped = graft.link.Linker.capTopKPerRecord(edges, 2).collect().toSet
+    assert(capped == Set(
+      Edge(0.99, 0, 1L, 1, 10L), Edge(0.95, 0, 1L, 1, 11L), Edge(0.85, 0, 2L, 1, 10L)))
+    // pipeline plumbing: cfg.topKPerRecord caps the scored stream
+    val a = graft.ingest.ClkIO.readBinary(spark, s"$fixturesDir/febrl4_a.bin", 0, 128)
+      .filter(_.entityId < 200)
+    val b = graft.ingest.ClkIO.readBinary(spark, s"$fixturesDir/febrl4_b.bin", 1, 128)
+      .filter(_.entityId < 200)
+    val blocked = graft.link.Pipeline.defaultBlock(a.union(b))
+    val cfgK = graft.core.LinkConfig(threshold = 0.5, topKPerRecord = Some(1))
+    val cappedRun = graft.link.Linker.scoreCandidates(blocked, cfgK).toDF()
+    val perLeft = cappedRun.groupBy("dp0", "rec0").count()
+    assert(perLeft.where($"count" > 1).count() == 0)
+    assert(cappedRun.count() > 0)
+  }
 }

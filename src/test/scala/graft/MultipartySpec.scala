@@ -41,6 +41,28 @@ class MultipartySpec extends SparkSpec {
     info(s"edges=${edges.count()} groups=${byCluster.count()}")
   }
 
+  test("5-party groups exactly equal the frozen golden output at t=0.8") {
+    // Golden file = this repo's own solver output, frozen by
+    // tools/MakeOracleFixtures (documented circularity — the reference
+    // freezes anonlink's output the same way,
+    // test_results_correctness_multiparty.py:15-45). Gate catches any
+    // regression in kernel / CC / greedy-merge determinism.
+    import spark.implicits._
+    val golden = scala.io.Source.fromFile(
+      s"$fixturesDir/multiparty_golden_groups.csv").getLines().drop(1)
+      .map { l =>
+        val Array(c, d, e) = l.split(",")
+        (c.toLong, d.toInt, e.toLong)
+      }.toSet
+    val got = Solver.solve(
+      Pipeline.edges(Pipeline.defaultBlock(loadAll()), LinkConfig(threshold = 0.8)),
+      LinkConfig(threshold = 0.8))
+      .select($"clusterId".as[Long], $"dp".as[Int], $"entityId".as[Long])
+      .collect().toSet
+    assert(got.size == golden.size, s"member count ${got.size} != golden ${golden.size}")
+    assert(got == golden)
+  }
+
   test("result invariant under repartitioning/parallelism") {
     import spark.implicits._
     val cfg = LinkConfig(threshold = 0.85)

@@ -41,6 +41,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("cosine pair plans contain no CartesianProduct") {
+    val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val exact = graft.dedup.Dedup.embeddingCosinePairs(
+      embeddings, "vec_id", "embedding", 0.4)
+    val approx = graft.dedup.Dedup.embeddingCosinePairsApprox(
+      embeddings, "vec_id", "embedding", 0.4)
+    for ((name, df) <- Seq("exact" -> exact, "approx" -> approx)) {
+      val plan = executed(df)
+      assert(!plan.contains("CartesianProduct"), s"$name plan has a cartesian:\n$plan")
+      // the quadratic pair join must be an equi-join on the salt keys
+      // (the only tolerated nested-loop is the 1-row stats attach when the
+      // block key is a constant)
+      assert(plan.contains("salt0") && plan.contains("salt1"), s"$name plan unsalted:\n$plan")
+      val pairJoin = plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")) && l.contains("salt0"))
+      assert(pairJoin, s"$name pair join is not a salted equi-join:\n$plan")
+    }
+  }
+
+  test("salted dedup self-join fans out a hot block across salt keys") {
+    import spark.implicits._
+    // one hot block key, aim forced tiny -> the physical join must be an
+    // equi-join keyed on (bk, salt0, salt1), not a single-key hash join
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet").limit(200)
+    val pairs = graft.dedup.Dedup.jaccardPairs(
+      docs, "doc_id", "text", lit("hot"), 0.5, aim = 50L)
+    val plan = executed(pairs)
+    assert(plan.contains("salt0") && plan.contains("salt1"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("SQL functions available via SparkSessionExtensions") {
     // extensions apply at session build; simulate via direct injection on
     // a cloned session's registry through the extension class

@@ -76,6 +76,61 @@ class DedupSpec extends SparkSpec {
     val g = Dedup.exactGroups(documents, col("text"), col("doc_id"))
     assert(g.agg(sum($"group_size")).head().getLong(0) == documents.count())
   }
+
+  test("jaccard pairs: pathological single-block corpus, forced salting == brute force") {
+    import spark.implicits._
+    // every doc shares one block key; a tiny aim forces fan-out k > 1 so
+    // the pair set must survive two-sided salting without loss/duplication
+    val docs = documents.limit(300)
+    val one = lit("hot")
+    val aim = 50L // k = ceil(300/sqrt(50)) = 43 -> heavy fan-out
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", one, 0.5, aim = aim)
+      .select($"id0".as[Long], $"id1".as[Long], $"jaccard".as[Double])
+      .collect()
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length, "duplicate pairs")
+    val txts = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+    def jac(a: String, b: String): Double = {
+      val sa = a.split(" ").distinct.toSet; val sb = b.split(" ").distinct.toSet
+      val i = (sa intersect sb).size.toDouble
+      math.rint(i / (sa.size + sb.size - i) * 10000) / 10000
+    }
+    val truth = (for {
+      (i, ti) <- txts.iterator; (j, tj) <- txts.iterator
+      if i < j
+      s = jac(ti, tj) if s >= 0.5
+    } yield (i, j, s)).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == truth)
+    assert(truth.nonEmpty)
+  }
+
+  test("embedding cosine: exact salted equi-join == brute force; approx is a high-recall subset") {
+    import spark.implicits._
+    val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val exact = Dedup.embeddingCosinePairs(embeddings, "vec_id", "embedding", 0.4,
+      aim = 1000L) // force fan-out
+      .select($"id0".as[Long], $"id1".as[Long], $"cos".as[Double]).collect().toSet
+    // brute-force oracle
+    val vecs = embeddings.select($"vec_id".as[Long], $"embedding".as[Seq[Float]])
+      .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val truth = (for {
+      (i, vi) <- vecs.iterator; (j, vj) <- vecs.iterator
+      if i < j
+      c = cos(vi, vj) if c >= 0.4
+    } yield (i, j, c)).toSet
+    assert(exact == truth)
+    assert(truth.nonEmpty)
+    val approx = Dedup.embeddingCosinePairsApprox(embeddings, "vec_id", "embedding", 0.4)
+      .select($"id0".as[Long], $"id1".as[Long], $"cos".as[Double]).collect().toSet
+    assert(approx.subsetOf(exact), "approx must never invent pairs")
+    val recall = if (truth.isEmpty) 1.0 else approx.size.toDouble / truth.size
+    info(s"approx cosine recall = $recall (${approx.size}/${truth.size})")
+    assert(recall >= 0.5)
+  }
 }
 
 class AnnSpec extends SparkSpec {
@@ -129,6 +184,34 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(pages.repartition(13), "entity_id", "html", 16)
     assert(f2.collect().map(r => (r.doc, r.width, r.height, r.feature.toSeq)).toSet ==
       rows.map(r => (r.doc, r.width, r.height, r.feature.toSeq)).toSet)
+  }
+
+  test("real PNG payloads decode via ImageIO; non-images fall back to the stub") {
+    import spark.implicits._
+    // render a real 20x10 PNG in-test
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 20; y <- 0 until 10)
+      img.setRGB(x, y, (x * 12) << 16 | (y * 25) << 8 | 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val notAnImage = "<html><body>hello</body></html>".getBytes("UTF-8")
+
+    val df = Seq((1L, png), (2L, notAnImage)).toDF("id", "payload")
+    val rows = Multimodal.extractFeatures(df, "id", "payload", featDim = 8)
+      .collect().sortBy(_.doc)
+    val decoded = rows(0)
+    assert(decoded.width == 20 && decoded.height == 10 && decoded.channels == 3)
+    assert(decoded.feature.length == 8)
+    assert(decoded.feature.forall(f => f >= 0.0f && f <= 1.0f))
+    // fallback path produces the stub's deterministic fake dims
+    val stub = rows(1)
+    assert(stub.width >= 64 && stub.height >= 64)
+    // determinism across invocations
+    val again = Multimodal.extractFeatures(df, "id", "payload", 8)
+      .collect().sortBy(_.doc)
+    assert(again(0).feature.toSeq == decoded.feature.toSeq)
   }
 
   test("frame sampling slices fixed-size frames with stride") {
