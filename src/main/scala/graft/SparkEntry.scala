@@ -96,6 +96,12 @@ object SparkEntry {
         .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
     "er_febrl4_clusters" -> ((s, _) =>
       febrl4Clusters(s).orderBy(col("clusterId"), col("dp"))),
+    // anonlink-k candidate capping (LinkConfig.topKPerRecord) over the
+    // same fixture — oracle replays the kernel + a per-record window
+    "q_clk_edges_topk" -> ((s, _) =>
+      Pipeline.edges(febrl4Blocked(s),
+        LinkConfig(threshold = 0.8, topKPerRecord = Some(2)))
+        .toDF().orderBy(col("rec0"), col("dp1"), col("rec1"))),
     "er_febrl4_permutation" -> ((s, _) => {
       import s.implicits._
       val clusters = febrl4Clusters(s).as[graft.core.ClusterMember]
@@ -263,6 +269,18 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    "q_clk_edges_topk" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         t AS (SELECT *, row_number() OVER (PARTITION BY dp0, rec0
+                 ORDER BY sim DESC, dp1, rec1) AS rn
+               FROM p WHERE sim >= 0.8)
+         SELECT sim, dp0, rec0, dp1, rec1 FROM t WHERE rn <= 2""",
     // MinHash-LSH pairing replayed from the minhash_sig dump: candidates
     // share >= 1 band key, confirm = exact shingle Jaccard
     "q_minhash_pairs" ->

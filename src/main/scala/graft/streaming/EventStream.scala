@@ -28,6 +28,26 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Stateful streaming first-seen dedup: emits each key exactly once
+    * across the whole stream (the streaming analogue of
+    * Dedup.exactGroups' keeper selection) via flatMapGroupsWithState —
+    * per-key boolean state, append mode, no timeout (state size = one
+    * boolean per distinct key; for unbounded corpora bound it with a
+    * TTL timeout). Works identically over a batch Dataset (state engine
+    * runs per-group), which is how the spec pins semantics. */
+  def firstSeenKeys(df: DataFrame, keyCol: String): org.apache.spark.sql.Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    df.select(col(keyCol).cast("string")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, _: Iterator[String], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(key) }
+      }
+  }
+
   /** Drive a parquet-backed stream of the events table through the
     * windowed aggregation into an in-memory table; returns the query
     * (caller calls processAllAvailable + stop). maxFilesPerTrigger forces
