@@ -71,6 +71,22 @@ object Dedup {
       .drop("salt0", "salt1")
   }
 
+  /** Project `score` then threshold-filter WITHOUT Catalyst re-evaluating
+    * the scoring expression in both Filter and Project: PushDownPredicates
+    * only pushes a filter through an all-deterministic projection, so the
+    * score is wrapped in a value-preserving nondeterministic branch
+    * (`when(monotonically_increasing_id >= 0, score)` — the condition is
+    * always true, the value is bit-identical) that pins the filter ABOVE
+    * the projection. The expensive expression (array intersection / dot
+    * product) is then computed exactly once per candidate row
+    * (PlanSpec-gated). */
+  private def scoreAndFilter(df: DataFrame, name: String, score: Column,
+      threshold: Double, keep: String*): DataFrame =
+    df.select(col("*"),
+        when(monotonically_increasing_id() >= 0, score).as(name))
+      .where(col(name) >= threshold)
+      .select(keep.head, keep.tail: _*)
+
   /** Word n-gram Jaccard similarity between two texts' distinct-token
     * sets, as a column expression (array_intersect / union sizes). */
   def jaccard(a: Column, b: Column): Column = {
@@ -99,11 +115,9 @@ object Dedup {
     val sizeOk = least(col("sz0"), col("sz1")).cast("double") >=
       greatest(col("sz0"), col("sz1")) * (threshold - 1e-4)
     val inter = size(array_intersect(col("toks0"), col("toks1"))).cast("double")
-    paired.where(sizeOk)
-      .withColumn("jaccard",
-        round(inter / (col("sz0") + col("sz1") - inter), 4))
-      .where(col("jaccard") >= threshold)
-      .select("id0", "id1", "jaccard")
+    scoreAndFilter(paired.where(sizeOk), "jaccard",
+      round(inter / (col("sz0") + col("sz1") - inter), 4), threshold,
+      "id0", "id1", "jaccard")
   }
 
   /** Word-bigram shingles of a text (deduplicated). Bigrams discriminate
@@ -168,13 +182,13 @@ object Dedup {
       .select("id0", "id1")
       .dropDuplicates("id0", "id1")
     val inter = size(array_intersect(col("sh0"), col("sh1"))).cast("double")
-    pairs
-      .join(sig.select(col("doc").as("id0"), col("sh").as("sh0")), "id0")
-      .join(sig.select(col("doc").as("id1"), col("sh").as("sh1")), "id1")
-      .withColumn("jaccard",
-        round(inter / (size(col("sh0")) + size(col("sh1")) - inter), 4))
-      .where(col("jaccard") >= threshold)
-      .select("id0", "id1", "jaccard")
+    scoreAndFilter(
+      pairs
+        .join(sig.select(col("doc").as("id0"), col("sh").as("sh0")), "id0")
+        .join(sig.select(col("doc").as("id1"), col("sh").as("sh1")), "id1"),
+      "jaccard",
+      round(inter / (size(col("sh0")) + size(col("sh1")) - inter), 4), threshold,
+      "id0", "id1", "jaccard")
   }
 
   /** 64-bit SimHash over word tokens (sign-sum of per-token hash bits). */
@@ -241,11 +255,9 @@ object Dedup {
     val v = df.select(lit("1").as("bk"), col(id).as("id"),
       col(vec).cast("array<double>").as("v"))
       .withColumn("nrm", graft.expr.vectorNorm(col("v")))
-    saltedSelfPairs(v, aim)
-      .withColumn("cos",
-        round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("nrm0") * col("nrm1")), 6))
-      .where(col("cos") >= threshold)
-      .select("id0", "id1", "cos")
+    scoreAndFilter(saltedSelfPairs(v, aim), "cos",
+      round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("nrm0") * col("nrm1")), 6),
+      threshold, "id0", "id1", "cos")
   }
 
   /** APPROXIMATE embedding-cosine near-dup pairs — the 100-TB path: only
@@ -261,12 +273,12 @@ object Dedup {
     val pairs = saltedSelfPairs(ids, aim)
       .select("id0", "id1")
       .dropDuplicates("id0", "id1")
-    pairs
-      .join(sig.select(col("vid").as("id0"), col("v").as("v0"), col("nrm").as("nrm0")), "id0")
-      .join(sig.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("nrm1")), "id1")
-      .withColumn("cos",
-        round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("nrm0") * col("nrm1")), 6))
-      .where(col("cos") >= threshold)
-      .select("id0", "id1", "cos")
+    scoreAndFilter(
+      pairs
+        .join(sig.select(col("vid").as("id0"), col("v").as("v0"), col("nrm").as("nrm0")), "id0")
+        .join(sig.select(col("vid").as("id1"), col("v").as("v1"), col("nrm").as("nrm1")), "id1"),
+      "cos",
+      round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("nrm0") * col("nrm1")), 6),
+      threshold, "id0", "id1", "cos")
   }
 }

@@ -257,19 +257,16 @@ object Linker {
       // Tiled scan: the y side is processed in ~256 KB tiles so the tile
       // stays L2-resident while every x row passes over it (without
       // tiling, each x-pass streams the whole chunk from L3/DRAM and the
-      // kernel stops scaling past ~8 cores — measured). TWO x rows share
-      // each y sweep (adjacent x in popcount order have near-identical
-      // windows), halving tile read traffic — the shared-memory ceiling
-      // at 32 threads, not compute, limits the top end. Within a tile the
+      // kernel stops scaling past ~8 cores — measured). Within a tile the
       // popcount window [px*ratio, px/ratio] bounds y via monotone
       // pointers over the popcount-sorted order. Lazy: buffers at most
-      // one (x-pair, tile) sweep of survivors.
+      // one (x, tile) row of survivors.
       new Iterator[Edge] {
         private val tileRows = math.max(512, (256 * 1024) / math.max(stride1, 1))
         private var ts = 0
         private var te = math.min(tileRows, n1)
         private var x = 0
-        private var lo = 0 // first in-tile y with pc1(y) >= pxa*ratio
+        private var lo = 0 // first in-tile y with pc1(y) >= px*ratio
         private val buf = new scala.collection.mutable.ArrayBuffer[Edge](32)
         private var bi = 0
         fill()
@@ -279,52 +276,30 @@ object Linker {
             if (x >= n0) { // next tile
               ts = te; te = math.min(ts + tileRows, n1); x = 0; lo = ts
             } else {
-              val xa = x
-              val xb = x + 1 // -1-free: guarded by hasB below
-              val hasB = xb < n0
-              val pxa = pc0(xa)
-              val pxb = if (hasB) pc0(xb) else 0
-              val minA = pxa * ratio
-              val maxA = pxa / ratio
-              val minB = pxb * ratio // >= minA (popcount-sorted)
-              val maxB = if (hasB) pxb / ratio else maxA
-              while (lo < te && pc1(lo) < minA) lo += 1
+              val px = pc0(x)
+              val minPc = px * ratio
+              val maxPc = px / ratio
+              while (lo < te && pc1(lo) < minPc) lo += 1
               var y = lo
-              val offA = xa * stride0
-              val offB = xb * stride0
-              val phxa = if (halves) pch0(xa) else 0
-              val ptxa = if (halves) pxa - phxa else 0
-              val phxb = if (halves && hasB) pch0(xb) else 0
-              val ptxb = if (halves && hasB) pxb - phxb else 0
-              while (y < te && pc1(y) <= maxB) {
+              val xOff = x * stride0
+              val phx = if (halves) pch0(x) else 0
+              val ptx = if (halves) px - phx else 0
+              while (y < te && pc1(y) <= maxPc) {
                 val py = pc1(y)
-                val phy = if (halves) pch1(y) else 0
-                if (py <= maxA) { // xa window (py >= minA via lo)
-                  // second-level prune: inter <= min(heads) + min(tails)
-                  val skip = halves && {
-                    val upper = math.min(phxa, phy) + math.min(ptxa, py - phy)
-                    2.0 * upper < threshold * (pxa + py)
-                  }
-                  if (!skip) {
-                    val s = graft.core.BitOps.dicePreOff(
-                      flat0, offA, flat1, y * stride1, len, pxa + py)
-                    if (s >= threshold) buf += Edge(s, dp0, id0(xa), dp1, id1(y))
-                  }
+                // second-level prune: inter <= min(heads) + min(tails)
+                val skip = halves && {
+                  val phy = pch1(y)
+                  val upper = math.min(phx, phy) + math.min(ptx, py - phy)
+                  2.0 * upper < threshold * (px + py)
                 }
-                if (hasB && py >= minB) { // xb window (py <= maxB via loop)
-                  val skip = halves && {
-                    val upper = math.min(phxb, phy) + math.min(ptxb, py - phy)
-                    2.0 * upper < threshold * (pxb + py)
-                  }
-                  if (!skip) {
-                    val s = graft.core.BitOps.dicePreOff(
-                      flat0, offB, flat1, y * stride1, len, pxb + py)
-                    if (s >= threshold) buf += Edge(s, dp0, id0(xb), dp1, id1(y))
-                  }
+                if (!skip) {
+                  val s = graft.core.BitOps.dicePreOff(
+                    flat0, xOff, flat1, y * stride1, len, px + py)
+                  if (s >= threshold) buf += Edge(s, dp0, id0(x), dp1, id1(y))
                 }
                 y += 1
               }
-              x += 2
+              x += 1
             }
           }
         }

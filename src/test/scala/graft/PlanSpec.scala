@@ -73,6 +73,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("similarity expressions evaluate once (no Filter/Project duplication)") {
+    // the threshold filter must NOT be pushed through the scoring
+    // projection — that re-evaluates the O(n) intersection / dot product
+    // for every surviving row (scoreAndFilter pins it with a barrier)
+    // the expression must live ONLY in a Project; any occurrence inside a
+    // Filter condition or a Join condition means it's evaluated twice
+    def assertOnlyInProject(plan: String, needle: String): Unit =
+      plan.linesIterator.filter(_.contains(needle)).foreach { l =>
+        val t = l.trim.stripPrefix(":").stripPrefix("+-").trim
+        assert(t.startsWith("Project") || t.startsWith("*(") && t.contains("Project"),
+          s"$needle evaluated outside a Project:\n$l\n\nfull plan:\n$plan")
+      }
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet").limit(100)
+    val jp = graft.dedup.Dedup.jaccardPairs(
+      docs, "doc_id", "text", lit("b"), 0.5)
+    assertOnlyInProject(executed(jp), "array_intersect")
+    val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val cp = graft.dedup.Dedup.embeddingCosinePairs(embeddings, "vec_id", "embedding", 0.4)
+    assertOnlyInProject(executed(cp), "dot_product")
+  }
+
   test("SQL functions available via SparkSessionExtensions") {
     // extensions apply at session build; simulate via direct injection on
     // a cloned session's registry through the extension class
