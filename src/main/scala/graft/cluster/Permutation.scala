@@ -1,8 +1,8 @@
 package graft.cluster
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.core.ClusterMember
 
 /** 2-party permutation + mask construction — reference semantics at
@@ -20,13 +20,28 @@ import graft.core.ClusterMember
   * is a deterministic seeded hash order (`xxhash64(seed, idx)`), so runs
   * are reproducible.
   *
-  * Scale note: permutations are a 2-party, client-facing result — a dense
-  * array of min(n0,n1) slots. The reference materializes both dicts in one
-  * worker (`permutation.py:85-145`); here the only global ordering is a
-  * window sort over the slot/row ranges, which is fine at result-export
-  * sizes (the solver-stage cap is 1e8 pairs, settings.py:111).
+  * Scale note: every "shuffle rank" here is a DISTRIBUTED global rank —
+  * a range-partitioned sort + per-partition offsets (zipWithIndex), never
+  * a single-partition window — so permutation export scales with the
+  * cluster like any other sort. The rank of a row in a total order is
+  * invariant to partition boundaries, so results are identical at any
+  * parallelism (PermutationSpec).
   */
 object Permutation {
+
+  /** Distributed 0-based global rank in the total order given by `order`
+    * (must be a TOTAL order — include a unique tiebreaker). Implemented as
+    * sort + zipWithIndex: the one genuinely per-partition-imperative step
+    * (offset accumulation) that the DataFrame API lacks. */
+  private def withGlobalRank(df: DataFrame, out: String,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, sorted.schema.add(out, LongType, nullable = false))
+  }
 
   /** @return (permutation df: (dp, row_index, slot), mask df: (slot, bit)) */
   def permuteAndMask(clusters: Dataset[ClusterMember], n0: Long, n1: Long,
@@ -43,14 +58,14 @@ object Permutation {
 
     // shuffled slot sequence = range(smaller) ordered by seeded hash
     // (rank k of the shuffle == remaining_new_indexes[k])
-    val slots = spark.range(smaller).select($"id".as("slot"))
-      .withColumn("shuffle_rank",
-        row_number().over(Window.orderBy(xxhash64(lit(seed), $"slot"), $"slot")) - 1)
+    val slots = withGlobalRank(
+      spark.range(smaller).select($"id".as("slot")),
+      "shuffle_rank", Seq(xxhash64(lit(seed), $"slot"), $"slot"))
+      .cache()
 
     // deterministic group numbering (reference enumerates groups in stored
     // order; any fixed order satisfies the invariants)
-    val numbered = pairs.withColumn("group_number",
-      row_number().over(Window.orderBy($"a_index")) - 1)
+    val numbered = withGlobalRank(pairs, "group_number", Seq($"a_index"))
 
     val matched = numbered.join(slots, $"group_number" === $"shuffle_rank")
       .select($"a_index", $"b_index", $"slot")
@@ -64,12 +79,12 @@ object Permutation {
     def sidePermutation(dp: Int, n: Long, matchedSide: DataFrame): DataFrame = {
       val unusedSlots = slots.where($"shuffle_rank" >= nMatches).select($"slot")
       val overflow = spark.range(smaller, n).select($"id".as("slot"))
-      val remaining = unusedSlots.union(overflow)
-        .withColumn("rk",
-          row_number().over(Window.orderBy(xxhash64(lit(seed + dp + 1), $"slot"), $"slot")))
-      val unmatchedRows = spark.range(n).select($"id".as("row_index"))
-        .join(matchedSide.select($"row_index"), Seq("row_index"), "left_anti")
-        .withColumn("rk", row_number().over(Window.orderBy($"row_index")))
+      val remaining = withGlobalRank(unusedSlots.union(overflow),
+        "rk", Seq(xxhash64(lit(seed + dp + 1), $"slot"), $"slot"))
+      val unmatchedRows = withGlobalRank(
+        spark.range(n).select($"id".as("row_index"))
+          .join(matchedSide.select($"row_index"), Seq("row_index"), "left_anti"),
+        "rk", Seq($"row_index"))
       val filled = unmatchedRows.join(remaining, "rk").select($"row_index", $"slot")
       val matchedPart = matchedSide.select($"row_index", $"slot")
       matchedPart.union(filled).withColumn("dp", lit(dp))

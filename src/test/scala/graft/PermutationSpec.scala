@@ -48,6 +48,23 @@ class PermutationSpec extends SparkSpec {
     assert(Permutation.toDenseList(perm2, 0).sameElements(permA))
   }
 
+  test("permutation identical at different input parallelism (distributed global rank)") {
+    import spark.implicits._
+    val cfg = LinkConfig(threshold = 0.85)
+    val a = ClkIO.readBinary(spark, s"$fixturesDir/febrl4_a.bin", 0, 128)
+    val b = ClkIO.readBinary(spark, s"$fixturesDir/febrl4_b.bin", 1, 128)
+    val clusters = Pipeline.clusters(Pipeline.defaultBlock(a.union(b)), cfg)
+    def canon(c: org.apache.spark.sql.Dataset[graft.core.ClusterMember]) = {
+      val (perm, mask) = Permutation.permuteAndMask(c, 1000, 1000)
+      (perm.select($"dp".as[Int], $"row_index".as[Long], $"slot".as[Long]).collect().toSet,
+        mask.select($"slot".as[Long], $"bit".as[Int]).collect().toSet)
+    }
+    val (p1, m1) = canon(clusters)
+    val (p2, m2) = canon(clusters.repartition(23))
+    assert(p1 == p2 && m1 == m2)
+    assert(p1.nonEmpty)
+  }
+
   test("unequal sizes: mask length = min(n0,n1); overflow rows get slots >= min or unused") {
     import spark.implicits._
     // synthetic tiny matching: 3 matches between sides of 6 and 9 rows
