@@ -40,7 +40,22 @@ object SparkEntry {
     "ann_sig" -> ((s, dir) =>
       Ann.signatures(embs(s, dir), "vec_id", "embedding")
         .select(col("vid"), col("v"), col("bks"))),
+    "ivf_sig" -> ((s, dir) => ivfSig(s, dir)),
   )
+
+  // IVF centroid training sums floats in partition order — consistent
+  // within one materialized assignment table, not across calls — so the
+  // query and the oracle dump must share ONE result (memoized per
+  // session+dir, same eviction discipline as febrl4ClustersCache).
+  private val ivfSigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def ivfSig(spark: SparkSession, dir: String): DataFrame = {
+    ivfSigCache.keySet().removeIf(k =>
+      try k._1.sparkContext.isStopped catch { case _: Throwable => true })
+    ivfSigCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      Ann.ivfAssignments(embs(s, d), "vec_id", "embedding").persist()
+    })
+  }
 
   private def febrl4Blocked(spark: SparkSession): DataFrame = {
     val a = ClkIO.readBinary(spark, s"$FixturesDir/febrl4_a.bin", 0, 128)
@@ -249,6 +264,13 @@ object SparkEntry {
       Ann.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // IVF coarse-quantizer ANN (the other scale path; oracle replays the
+    // probe-list search from the ivf_sig dump)
+    "q_ann_ivf_topk" -> ((s, dir) =>
+      Ann.ivfTopKFromAssignments(ivfSig(s, dir),
+        embs(s, dir).where(col("vec_id") < 10)
+          .select(col("vec_id").cast("long").as("query_id")), k = 5)
+        .orderBy(col("query_id"), col("rank"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,6 +330,18 @@ object SparkEntry {
                   round(list_cosine_similarity(q.v, c.v), 6) AS cos
            FROM v q JOIN v c ON q.vid < 10 AND c.vid <> q.vid
              AND len(list_intersect(q.bks, c.bks)) > 0),
+         r AS (
+           SELECT query_id, neighbor_id, cos,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""",
+    "q_ann_ivf_topk" ->
+      s"""WITH v AS (SELECT vid, v, list, probes FROM '$OracleAuxDir/ivf_sig/*.parquet'),
+         s AS (
+           SELECT q.vid AS query_id, c.vid AS neighbor_id,
+                  round(list_dot_product(q.v, c.v), 6) AS cos
+           FROM v q JOIN v c ON q.vid < 10 AND c.vid <> q.vid
+             AND list_contains(q.probes, c.list)),
          r AS (
            SELECT query_id, neighbor_id, cos,
                   CAST(row_number() OVER (PARTITION BY query_id

@@ -11,10 +11,17 @@ import scala.util.Random
   * - `bruteForceTopK`: the exact baseline — broadcast the (small) query
   *   set against the corpus, cosine in codegen'd array expressions,
   *   window top-k. Scales linearly in corpus size, constant in queries.
-  * - `lshTopK`: the scale path — random-hyperplane (sign) signatures,
-  *   multi-probe via B independent bucket tables; candidates are scored
-  *   exactly within buckets only. Recall measured vs brute force in
-  *   AnnSpec.
+  * - `lshTopK`: random-hyperplane (sign) signatures, multi-probe via B
+  *   independent bucket tables; candidates scored exactly within buckets
+  *   only.
+  * - `ivfTopK`: the other classic scale path — k-means coarse quantizer
+  *   (deterministic seeded init + Lloyd iterations on normalized
+  *   vectors), corpus partitioned into nlist inverted lists, queries
+  *   probe the nprobe nearest lists and score exactly inside them. At
+  *   cluster scale the corpus is hash-partitioned by list id, so a query
+  *   touches nprobe/nlist of the data.
+  *
+  * Recall for both approximate paths measured vs brute force in AnnSpec.
   */
 object Ann {
 
@@ -68,6 +75,123 @@ object Ann {
     df.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
       .withColumn("nrm", graft.expr.vectorNorm(col("v")))
       .withColumn("bks", keysUdf(col("v")))
+  }
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Deterministic k-means coarse quantizer on L2-normalized vectors
+    * (argmax dot == cosine assignment): seeded-hash sample init, `iters`
+    * Lloyd rounds with distributed assignment + per-list mean (nlist
+    * groups — tiny). Returns the normalized centroids. */
+  private[ann] def trainCentroids(df: DataFrame, id: String, vec: String,
+      nlist: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(id).cast("long").as("vid"),
+      col(vec).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (vid, v) => (vid, l2normalize(v.toArray)) }
+    var centroids = vecs
+      .orderBy(xxhash64(lit(seed), col("_1")))
+      .limit(nlist)
+      .collect().map(_._2)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val means = vecs
+        .map { case (_, v) =>
+          val cs = bc.value
+          var best = 0; var bestD = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val d = dot(cs(c), v)
+            if (d > bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (best, v)
+        }
+        .groupByKey(_._1)
+        .mapGroups { (list, it) =>
+          var n = 0L
+          var acc: Array[Double] = null
+          it.foreach { case (_, v) =>
+            if (acc == null) acc = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          (list, l2normalize(acc.map(_ / n)))
+        }
+        .collect().toMap
+      centroids = Array.tabulate(centroids.length)(c => means.getOrElse(c, centroids(c)))
+    }
+    centroids
+  }
+
+  /** Per-vector IVF state: (vid, v normalized, list = nearest centroid,
+    * probes = the nprobe nearest lists — used when the vector queries).
+    * The dump the DuckDB oracle replays IVF search semantics from. */
+  def ivfAssignments(df: DataFrame, id: String, vec: String,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      seed: Long = 0x1f5L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(df, id, vec, nlist, iters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col(id).cast("long").as("vid"),
+      col(vec).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (vid, raw) =>
+        val v = l2normalize(raw.toArray)
+        val cs = bc.value
+        val ds = Array.tabulate(cs.length)(c => dot(cs(c), v))
+        val order = ds.indices.sortBy(c => (-ds(c), c)).toArray
+        (vid, v, order.head, order.take(nprobe))
+      }
+      .toDF("vid", "v", "list", "probes")
+  }
+
+  /** IVF approximate top-k: queries score exactly against the corpus
+    * vectors in their nprobe nearest inverted lists. Each corpus vector
+    * lives in exactly one list, so no candidate dedup is needed.
+    * Centroid training sums floats in partition order (nondeterministic
+    * across CALLS in the last ulp) but the trained centroids are
+    * collected once and fixed in the returned plan — callers that need
+    * run-to-run consistency (e.g. the oracle dump) must reuse ONE
+    * `ivfAssignments` result via [[ivfTopKFromAssignments]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      seed: Long = 0x1f5L): DataFrame =
+    ivfTopKFromAssignments(
+      ivfAssignments(corpus, id, vec, nlist, nprobe, iters, seed),
+      queries.select(col(id).cast("long").as("query_id")), k)
+
+  /** Search over a precomputed (vid, v, list, probes) assignment table. */
+  def ivfTopKFromAssignments(assigned: DataFrame, queryIds: DataFrame,
+      k: Int): DataFrame = {
+    val c = assigned.select(col("vid").as("neighbor_id"), col("v").as("cv"), col("list"))
+    val q = assigned.join(queryIds, col("vid") === col("query_id"))
+      .select(col("query_id"), col("v").as("qv"), explode(col("probes")).as("list"))
+    val cands = c.join(q, "list")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(graft.expr.dotProduct(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
   }
 
   /** LSH-bucketed approximate top-k: only pairs sharing at least one of

@@ -157,6 +157,27 @@ class AnnSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("IVF top-k: recall@5 vs brute force (16 lists, 4 probes) + valid ranks") {
+    import spark.implicits._
+    val q = embeddings.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(embeddings, q, "vec_id", "embedding", 5)
+      .select($"query_id".as[Long], $"neighbor_id".as[Long]).collect().toSet
+    val ivf = Ann.ivfTopK(embeddings, q, "vec_id", "embedding", 5)
+    val rows = ivf.select($"query_id".as[Long], $"neighbor_id".as[Long],
+      $"rank".as[Long]).collect()
+    // ranks are 1..k per query, no duplicate neighbors
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length))
+      assert(rs.map(_._2).distinct.length == rs.length)
+    }
+    val approx = rows.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    // near-random embeddings are the worst case for any coarse quantizer;
+    // 4/16 probes touch 25% of the corpus
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("LSH top-k achieves >=0.5 recall@5 vs brute force (16x6 tables)") {
     import spark.implicits._
     val q = embeddings.where(col("vec_id") < 20)
