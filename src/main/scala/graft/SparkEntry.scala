@@ -186,6 +186,10 @@ object SparkEntry {
       val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
       base.select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
     }),
+    // composite cleaning pipeline: quality window + language gate + dedup
+    "q_clean_corpus" -> ((s, dir) =>
+      TextOps.cleanCorpus(docs(s, dir), "doc_id", "text")
+        .orderBy(col("dup_key"))),
     // heuristic language ID
     "q_lang_id" -> ((s, dir) => {
       val cols = TextOps.langIdColumns(col("text")).map { case (n, c) => c.as(n) }
@@ -357,6 +361,21 @@ object SparkEntry {
          SELECT id0, id1, cos FROM p WHERE cos >= 0.4""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "q_clean_corpus" ->
+      """WITH q AS (
+           SELECT doc_id, text,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  round(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                    / len(str_split(text, ' ')), 4) AS ttr,
+                  round(CAST(len(list_filter(str_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                    / len(str_split(text, ' ')), 4) AS stop_ratio
+           FROM documents)
+         SELECT array_to_string(str_split(text, ' ')[1:3], ' ') AS dup_key,
+                min(doc_id) AS keeper_id, count(*) AS group_size
+         FROM q
+         WHERE n_tokens BETWEEN 5 AND 5000 AND ttr >= 0.3 AND stop_ratio >= 0.05
+         GROUP BY 1""",
     "q_block_stats" ->
       """SELECT CAST(doc_id % 2 AS INT) AS dp, str_split(text, ' ')[1] AS block_key,
          count(*) AS n FROM documents GROUP BY 1, 2""",

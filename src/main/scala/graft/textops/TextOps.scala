@@ -54,6 +54,28 @@ object TextOps {
       "lang_pred" -> when(ratio >= 0.05, "en").otherwise("unk"))
   }
 
+  /** Composite corpus cleaner — the canonical training-data pipeline
+    * chain as ONE declarative plan: token-count window + type-token-ratio
+    * floor (quality), stopword-ratio language gate, then exact dedup on a
+    * prefix key (keeper = min id). Filters run BEFORE the dedup shuffle,
+    * so only surviving rows are hashed — at 100 TB the quality/language
+    * gates are a map-side scan and the only shuffle is the final
+    * hash-aggregate. Output: (dup_key, keeper_id, group_size). */
+  def cleanCorpus(df: DataFrame, id: String, text: String,
+      minTokens: Long = 5, maxTokens: Long = 5000, minTtr: Double = 0.3,
+      minStopRatio: Double = 0.05, dupKeyTokens: Int = 3): DataFrame = {
+    val t = col(text)
+    val toks = split(t, " ")
+    val n = size(toks).cast("long")
+    val ttr = round(size(array_distinct(toks)).cast("double") / n, 4)
+    val stopRatio = round(
+      size(filter(toks, w => w.isInCollection(EnStopwords))).cast("double") / n, 4)
+    df.where(n.between(minTokens, maxTokens) && ttr >= minTtr &&
+        stopRatio >= minStopRatio)
+      .groupBy(concat_ws(" ", slice(toks, 1, dupKeyTokens)).as("dup_key"))
+      .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("group_size"))
+  }
+
   /** 64-bit FNV-1a document fingerprint over UTF-8 bytes (pure,
     * deterministic; pinned by test vectors — not SQL-replayable). */
   def fingerprint64(text: String): Long = {

@@ -7,6 +7,25 @@ import graft.textops.TextOps
 import graft.multimodal.Multimodal
 
 class TextOpsSpec extends SparkSpec {
+  test("cleanCorpus: filters precede dedup; groups partition survivors") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val cleaned = TextOps.cleanCorpus(docs, "doc_id", "text")
+    val total = cleaned.agg(sum($"group_size")).head().getLong(0)
+    // survivors counted independently
+    val toks = split($"text", " ")
+    val n = size(toks).cast("long")
+    val survivors = docs.where(
+      n.between(5, 5000) &&
+        round(size(array_distinct(toks)).cast("double") / n, 4) >= 0.3 &&
+        round(size(org.apache.spark.sql.functions.filter(toks,
+          t => t.isInCollection(TextOps.EnStopwords))).cast("double") / n, 4) >= 0.05)
+      .count()
+    assert(total == survivors && survivors > 0)
+    // lang/quality gates actually filtered something
+    assert(survivors < docs.count())
+  }
+
   test("fingerprint64: FNV-1a vectors + determinism") {
     // FNV-1a 64 known vectors
     assert(TextOps.fingerprint64("") == 0xcbf29ce484222325L)
