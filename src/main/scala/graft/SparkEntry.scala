@@ -41,6 +41,29 @@ object SparkEntry {
       Ann.signatures(embs(s, dir), "vec_id", "embedding")
         .select(col("vid"), col("v"), col("bks"))),
     "ivf_sig" -> ((s, dir) => ivfSig(s, dir)),
+    // per-record LSH block keys of the synthetic pages corpus (B1 explode
+    // + B3 agg replayed by the er_pages_block_stats oracle)
+    "pages_sig" -> ((s, _) => {
+      val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000))
+      val keysUdf = udf((t: String) =>
+        graft.ingest.Blocking.lshKeys(if (t == null) "" else t))
+      pages.toDF().select(col("dp"), col("entity_id"), keysUdf(col("text")).as("bks"))
+    }),
+    // permutation construction inputs: matched pairs + the seeded slot
+    // hashes (er_febrl4_permutation's oracle replays the full M1
+    // construction — shuffle ranks, slot packing, remainder fill)
+    "perm_pairs" -> ((s, _) => {
+      import s.implicits._
+      graft.cluster.Solver.pairsFromClusters(
+        febrl4Clusters(s).as[graft.core.ClusterMember])
+        .where($"dp0" === 0 && $"dp1" === 1)
+        .select($"rec0".as("a_index"), $"rec1".as("b_index"))
+    }),
+    "perm_slots" -> ((s, _) =>
+      s.range(1000).select(col("id").as("slot"),
+        xxhash64(lit(42L), col("id")).as("h"),
+        xxhash64(lit(43L), col("id")).as("h0"),
+        xxhash64(lit(44L), col("id")).as("h1"))),
   )
 
   // IVF centroid training sums floats in partition order — consistent
@@ -295,6 +318,48 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // B1/B3 over the pages corpus, replayed from the block-key dump
+    "er_pages_block_stats" ->
+      s"""WITH m AS (SELECT dp, entity_id, unnest(bks) AS block_key
+                     FROM '$OracleAuxDir/pages_sig/*.parquet')
+         SELECT dp, block_key, count(*) AS n FROM m GROUP BY 1, 2""",
+    // M1 permutation construction replayed from the pairs + slot-hash
+    // dumps: seeded shuffle ranks, matched-pair slot packing, remainder
+    // fill per side (n0 = n1 = 1000, so the overflow ranges are empty)
+    "er_febrl4_permutation" ->
+      s"""WITH pairs AS (SELECT a_index, b_index FROM '$OracleAuxDir/perm_pairs/*.parquet'),
+         slots AS (SELECT slot, h, h0, h1 FROM '$OracleAuxDir/perm_slots/*.parquet'),
+         sh AS (SELECT slot, row_number() OVER (ORDER BY h, slot) - 1 AS shuffle_rank
+                FROM slots),
+         numbered AS (SELECT a_index, b_index,
+                             row_number() OVER (ORDER BY a_index) - 1 AS g FROM pairs),
+         matched AS (SELECT n.a_index, n.b_index, s.slot
+                     FROM numbered n JOIN sh s ON n.g = s.shuffle_rank),
+         nm AS (SELECT count(*) AS n FROM pairs),
+         unused AS (SELECT sl.slot, sl.h0, sl.h1
+                    FROM sh JOIN slots sl ON sh.slot = sl.slot
+                    WHERE sh.shuffle_rank >= (SELECT n FROM nm)),
+         rem0 AS (SELECT slot, row_number() OVER (ORDER BY h0, slot) - 1 AS rk FROM unused),
+         rem1 AS (SELECT slot, row_number() OVER (ORDER BY h1, slot) - 1 AS rk FROM unused),
+         un0 AS (SELECT r.range AS row_index,
+                        row_number() OVER (ORDER BY r.range) - 1 AS rk
+                 FROM range(0, 1000) r
+                 WHERE r.range NOT IN (SELECT a_index FROM pairs)),
+         un1 AS (SELECT r.range AS row_index,
+                        row_number() OVER (ORDER BY r.range) - 1 AS rk
+                 FROM range(0, 1000) r
+                 WHERE r.range NOT IN (SELECT b_index FROM pairs)),
+         perm AS (
+           SELECT 0 AS dp, a_index AS row_index, slot FROM matched
+           UNION ALL
+           SELECT 0 AS dp, u.row_index, m.slot FROM un0 u JOIN rem0 m ON u.rk = m.rk
+           UNION ALL
+           SELECT 1 AS dp, b_index AS row_index, slot FROM matched
+           UNION ALL
+           SELECT 1 AS dp, u.row_index, m.slot FROM un1 u JOIN rem1 m ON u.rk = m.rk)
+         SELECT CAST(dp AS INT) AS dp, CAST(row_index AS BIGINT) AS row_index,
+                CAST(slot AS BIGINT) AS slot
+         FROM perm""",
     "q_clk_edges_topk" ->
       """WITH c AS (SELECT dp, entity_id, pc, words
                     FROM '/root/repo/fixtures/febrl4_clks.parquet'),
