@@ -115,8 +115,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "60000").toInt
-    val sweepsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_SWEEPS", "2").toInt
-    val runsPerLevel = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    // 3 short sweeps beat 2 long ones on this host: a sweep is only as
+    // good as its window, and shorter sweeps are more often internally
+    // consistent (run 1 of each level doubles as that session's warmup)
+    val sweepsN = sys.env.getOrElse("SPARK_GRAFT_SCALE_SWEEPS", "3").toInt
+    val runsPerLevel = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
 
     // --- headline queries (after a JVM warmup so the first alphabetical
     // query doesn't absorb all JIT/codegen cost) ---
