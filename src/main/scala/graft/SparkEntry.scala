@@ -213,6 +213,10 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, dir) =>
       TextOps.cleanCorpus(docs(s, dir), "doc_id", "text")
         .orderBy(col("dup_key"))),
+    // unigram LM quality score (CCNet-style perplexity filter, reduced)
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // heuristic language ID
     "q_lang_id" -> ((s, dir) => {
       val cols = TextOps.langIdColumns(col("text")).map { case (n, c) => c.as(n) }
@@ -426,6 +430,14 @@ object SparkEntry {
          SELECT id0, id1, cos FROM p WHERE cos >= 0.4""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "q_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+         freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM freq)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(log10(CAST(f.cnt AS DOUBLE) / t.total)), 6) AS mean_logprob
+         FROM tok JOIN freq f USING (token), tot t
+         GROUP BY doc_id""",
     "q_clean_corpus" ->
       """WITH q AS (
            SELECT doc_id, text,

@@ -76,6 +76,30 @@ object TextOps {
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("group_size"))
   }
 
+  /** Corpus-level unigram frequencies: (token, cnt, total). One explode +
+    * one hash-aggregate; the tiny result broadcasts back for scoring. */
+  def unigramFrequencies(df: DataFrame, text: String): DataFrame = {
+    val tok = df.select(explode(split(col(text), " ")).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+  }
+
+  /** Unigram LM quality score (the CCNet-style perplexity filter at
+    * reduced fidelity): mean log10 corpus probability of the document's
+    * tokens. Fluent in-domain text scores high; gibberish and
+    * out-of-vocabulary junk score low. Plan shape: explode -> broadcast
+    * join with the frequency table -> per-doc agg — two shuffles total,
+    * no UDF. Output: (id, n_tokens, mean_logprob). */
+  def unigramLogProb(df: DataFrame, id: String, text: String): DataFrame = {
+    val freqs = unigramFrequencies(df, text)
+    val toks = df.select(col(id).as("__id"), explode(split(col(text), " ")).as("token"))
+    toks.join(broadcast(freqs), Seq("token"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("cnt").cast("double") / col("total"))), 6).as("mean_logprob"))
+      .select(col("__id").as(id), col("n_tokens"), col("mean_logprob"))
+  }
+
   /** 64-bit FNV-1a document fingerprint over UTF-8 bytes (pure,
     * deterministic; pinned by test vectors — not SQL-replayable). */
   def fingerprint64(text: String): Long = {

@@ -26,6 +26,21 @@ class TextOpsSpec extends SparkSpec {
     assert(survivors < docs.count())
   }
 
+  test("unigramLogProb: probabilities valid, repeated-token doc scores higher") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa aa aa"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id".as[Long], $"n_tokens".as[Long], $"mean_logprob".as[Double])
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == 4 && got(2L)._1 == 4)
+    // all logprobs of corpus probabilities are <= 0
+    assert(got.values.forall(_._2 <= 0.0))
+    // "aa" appears 5/8 times; doc 1 (all "aa") must outscore the mixed doc
+    assert(got(1L)._2 > got(2L)._2)
+    // exact value: doc1 = log10(5/8), doc2 = (log10(5/8) + 3*log10(1/8))/4
+    assert(math.abs(got(1L)._2 - math.rint(math.log10(5.0 / 8) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("fingerprint64: FNV-1a vectors + determinism") {
     // FNV-1a 64 known vectors
     assert(TextOps.fingerprint64("") == 0xcbf29ce484222325L)
