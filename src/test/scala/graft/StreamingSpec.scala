@@ -21,6 +21,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("append mode emits exactly the watermark-finalized windows") {
+    import spark.implicits._
+    // batch 1: events on day 1 and day 2; batch 2: one event on day 5.
+    // watermark = maxTs - 2 days = day 3 after batch 2, so the day-1 and
+    // day-2 windows finalize; the day-5 window must NOT be emitted.
+    val dir = java.nio.file.Files.createTempDirectory("wm").toString
+    def ev(day: Int, typ: String, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-0$day 12:00:00"), typ, v)
+    val in = s"$dir/stream"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def write(name: String, rows: Seq[(java.sql.Timestamp, String, Double)]): Unit = {
+      val tmp = s"$dir/$name-tmp"
+      rows.toDF("ts", "event_type", "value").coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    write("f1", Seq(ev(1, "a", 1.0), ev(1, "a", 2.0), ev(2, "b", 3.0)))
+    write("f2", Seq(ev(5, "a", 9.0)))
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = EventStream.windowedRates(stream)
+      .writeStream.outputMode("append").format("memory").queryName("wm_windows")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_windows")
+      .select($"window_start".as[Long], $"event_type".as[String],
+        $"n".as[Long], $"sum_value".as[Double]).collect().toSet
+    def epoch(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime / 1000
+    assert(got == Set((epoch(1), "a", 2L, 3.0), (epoch(2), "b", 1L, 3.0)), got.toString)
+  }
+
   test("stateful first-seen dedup emits each key once across incremental batches") {
     import spark.implicits._
     // two parquet files with overlapping keys -> two micro-batches; keys
