@@ -32,11 +32,15 @@ object Linker {
 
   /** Comparisons per task when decomposing blocks (reference
     * CHUNK_SIZE_AIM=3e8, `settings.py:103`, sized for its C++ kernel).
-    * Ours is 6.4e7 so a chunk (~8k 128-byte records ~= 1 MB per side)
-    * stays cache-resident in the nested-loop kernel — measured 2-3x
-    * faster than 3e8 chunks at 32 threads (L3 contention), and tasks
-    * still run 1-3 s each. */
-  val ChunkSizeAim: Long = 64000000L
+    * 2.56e8 (~16k 128-byte records per side): before the kernel was
+    * L2-tiled, big chunks thrashed the shared L3 and 6.4e7 measured 2-3x
+    * faster at 32 threads; WITH tiling the cache-active set is one tile
+    * regardless of chunk size, so bigger chunks win back the task-count
+    * and shuffle-replication overhead (shuffle is 2k·chunkBytes per
+    * block, k ~ 1/sqrt(aim)) — re-measured r2: 256M beat 64M in every
+    * round at local[32]. The adaptive floor below still splits small jobs
+    * across all cores. */
+  val ChunkSizeAim: Long = 256000000L
 
   /** Input: columns (dp int, entity_id long, clk binary, popcount int,
     * block_key string). Output: deduplicated scored edges with dp0 < dp1.
