@@ -98,8 +98,10 @@ object Linker {
       .head().getDecimal(0).toBigInteger.min(
         java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
+    // effective tasks ~= totalPairs/(2*aim) (the dp0<dp1 filter halves the
+    // k^2 chunk pairs) -> divisor 6 targets ~3 waves per core
     val aim = math.max(1000000L,
-      math.min(chunkSizeAim, totalPairsUb / (3L * parallelism) + 1))
+      math.min(chunkSizeAim, totalPairsUb / (6L * parallelism) + 1))
     val stats = statsRaw
       .withColumn("k",
         least(
@@ -170,8 +172,10 @@ object Linker {
       .head().getDecimal(0).toBigInteger.min(
         java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
+    // effective tasks ~= totalPairs/(2*aim) (the dp0<dp1 filter halves the
+    // k^2 chunk pairs) -> divisor 6 targets ~3 waves per core
     val aim = math.max(1000000L,
-      math.min(chunkSizeAim, totalPairsUb / (3L * parallelism) + 1))
+      math.min(chunkSizeAim, totalPairsUb / (6L * parallelism) + 1))
     val stats = statsRaw
       .withColumn("k",
         least(
