@@ -227,6 +227,12 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
+    // character-trigram Jaccard (pure column exprs; same salted pairing)
+    "q_jaccard_char3" -> ((s, dir) =>
+      Dedup.jaccardPairsBy(docs(s, dir), "doc_id",
+        Dedup.charNgrams(col("text"), 3),
+        element_at(split(col("text"), " "), 1), threshold = 0.5)
+        .orderBy(col("id0"), col("id1"))),
     // C1 semantics, SQL-replayable form: Dice coefficient over distinct
     // token SETS (2|A∩B|/(|A|+|B|)) thresholded within blocks — the same
     // candidate-generation + threshold-join shape as the CLK kernel, with
@@ -505,6 +511,21 @@ object SparkEntry {
       """WITH b AS (
            SELECT str_split(text, ' ')[1] AS bk, doc_id AS id,
                   list_distinct(str_split(text, ' ')) AS toks FROM documents),
+         p AS (
+           SELECT l.id AS id0, r.id AS id1,
+                  round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                    / (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))),
+                    4) AS jaccard
+           FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id)
+         SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    "q_jaccard_char3" ->
+      """WITH b AS (
+           SELECT str_split(text, ' ')[1] AS bk, doc_id AS id,
+                  CASE WHEN length(text) < 3 THEN [text]
+                       ELSE list_distinct(list_transform(
+                         range(1, length(text) - 1), i -> substr(text, i, 3)))
+                  END AS toks
+           FROM documents),
          p AS (
            SELECT l.id AS id0, r.id AS id1,
                   round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)

@@ -96,6 +96,15 @@ object Dedup {
     round(inter / (size(ta) + size(tb) - inter), 4)
   }
 
+  /** Distinct character n-gram set of a text column — a pure (codegen'd)
+    * column expression, no UDF: transform over an index sequence +
+    * substring. Texts shorter than n yield the whole text as one gram. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array(text))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
   /** n-gram Jaccard near-dup pairs within candidate blocks: block on a
     * cheap key first (never all-pairs), then score. Token sets are
     * computed once per document, not once per pair. `blockKey` must be a
@@ -107,9 +116,15 @@ object Dedup {
     * O(|A|+|B|) intersection for pairs whose sizes can't reach the
     * threshold (the 1e-4 slack covers the round(.,4) boundary). */
   def jaccardPairs(df: DataFrame, id: String, text: String, blockKey: Column,
+      threshold: Double, aim: Long = PairAim): DataFrame =
+    jaccardPairsBy(df, id, array_distinct(split(col(text), " ")), blockKey,
+      threshold, aim)
+
+  /** Jaccard pairs over an arbitrary precomputed element-set column
+    * (word tokens, char n-grams, shingles — anything array-typed). */
+  def jaccardPairsBy(df: DataFrame, id: String, elems: Column, blockKey: Column,
       threshold: Double, aim: Long = PairAim): DataFrame = {
-    val base = df.select(blockKey.as("bk"), col(id).as("id"),
-      array_distinct(split(col(text), " ")).as("toks"))
+    val base = df.select(blockKey.as("bk"), col(id).as("id"), elems.as("toks"))
       .withColumn("sz", size(col("toks")))
     val paired = saltedSelfPairs(base, aim)
     val sizeOk = least(col("sz0"), col("sz1")).cast("double") >=
