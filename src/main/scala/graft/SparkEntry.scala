@@ -227,10 +227,11 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
-    // character-trigram Jaccard (pure column exprs; same salted pairing)
+    // character-trigram Jaccard (one-pass codegen'd gram signature +
+    // merge-scan confirm; same salted pairing)
     "q_jaccard_char3" -> ((s, dir) =>
-      Dedup.jaccardPairsBy(docs(s, dir), "doc_id",
-        Dedup.charNgrams(col("text"), 3),
+      Dedup.jaccardPairsHashed(docs(s, dir), "doc_id",
+        graft.expr.hashedCharNgrams(col("text"), 3),
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
     // C1 semantics, SQL-replayable form: Dice coefficient over distinct
@@ -239,17 +240,17 @@ object SparkEntry {
     // a DuckDB-computable similarity so the oracle can replay it
     "q_dice_token_pairs" -> ((s, dir) => {
       val b = docsBlocked(s, dir)
-        .withColumn("toks", array_distinct(split(col("text"), " ")))
+        .withColumn("toks", Dedup.hashedSet(split(col("text"), " ")))
       val l = b.select(col("block_key"), col("dp").as("dp0"),
         col("entity_id").as("id0"), col("toks").as("tk0"))
       val r = b.select(col("block_key"), col("dp").as("dp1"),
         col("entity_id").as("id1"), col("toks").as("tk1"))
-      val inter = size(array_intersect(col("tk0"), col("tk1"))).cast("double")
-      l.join(r, "block_key").where(col("dp0") < col("dp1"))
-        .withColumn("dice",
-          round(lit(2.0) * inter / (size(col("tk0")) + size(col("tk1"))), 4))
-        .where(col("dice") >= 0.7)
-        .select(col("id0"), col("id1"), col("dice"))
+      val inter = graft.expr.sortedIntersectCount(col("tk0"), col("tk1"))
+        .cast("double")
+      Dedup.scoreAndFilter(
+        l.join(r, "block_key").where(col("dp0") < col("dp1")),
+        "dice", round(lit(2.0) * inter / (size(col("tk0")) + size(col("tk1"))), 4),
+        0.7, "id0", "id1", "dice")
         .orderBy(col("id0"), col("id1"))
     }),
     // brute-force cosine top-k (ANN baseline)

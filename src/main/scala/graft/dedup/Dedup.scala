@@ -35,40 +35,68 @@ object Dedup {
   /** Two-sided salted self-join pair generator — the generic skew-proof
     * replacement for `l.join(r, "bk").where(id0 < id1)`.
     *
-    * Input: columns (bk, id, payload...). Per bucket, a fan-out
-    * k = ceil(n/sqrt(aim)) is computed from bucket stats (tiny -> broadcast);
-    * each row gets salt = hash(id) % k, the left side replicates over the
-    * right salt range and vice versa, and the equi-join on
+    * Input: columns (bk, id, payload...). Per bucket, a composite fan-out
+    * k = k1*k2 >= ceil(n/sqrt(aim)) is computed from bucket stats
+    * (graft.link.Salting — two digits so a 10^9-row bucket splits past
+    * the old single-digit 4096 cap); each row gets salt = hash(id) % k,
+    * the left side replicates over the right salt range (two chained
+    * explodes, each bounded by maxK) and vice versa, and the equi-join on
     * (bk, salt0, salt1) meets every unordered pair exactly once (id0<id1
     * keeps one orientation). k=1 for normal buckets, so replication is
     * paid only where skew exists; a hot bucket becomes k^2 ~ n^2/aim
     * well-sized tasks instead of one quadratic straggler.
+    *
+    * Only SKEWED buckets (k > 1 — typically few) ride the broadcast; the
+    * exploded LSH-band paths have O(n·bands) distinct bucket keys and a
+    * full-stats broadcast would collect O(n) rows to the driver at scale.
+    * Normal buckets default to k=1 via the left join + coalesce.
     *
     * Output: bk, id0, id1, and payload columns suffixed 0/1.
     */
   def saltedSelfPairs(base: DataFrame, aim: Long = PairAim,
       maxK: Int = 4096): DataFrame = {
     val payload = base.columns.filterNot(c => c == "bk" || c == "id")
+    val (k1c, k2c) = graft.link.Salting.fanout(col("n"), aim, maxK)
     val stats = base.groupBy(col("bk")).agg(count(lit(1)).as("n"))
-      .withColumn("k",
-        least(
-          greatest(ceil(col("n").cast("double") / math.sqrt(aim.toDouble)), lit(1L)),
-          lit(maxK.toLong)).cast("int"))
-      .select(col("bk"), col("k"))
-    val salted = base.join(broadcast(stats), Seq("bk"))
-      .withColumn("salt", pmod(xxhash64(col("id")), col("k")).cast("int"))
-    val l = salted.select(
-      Seq(col("bk"), col("salt").as("salt0"),
-        explode(sequence(lit(0), col("k") - 1)).as("salt1"),
-        col("id").as("id0")) ++ payload.map(c => col(c).as(c + "0")): _*)
-    val r = salted.select(
-      Seq(col("bk"),
-        explode(sequence(lit(0), col("k") - 1)).as("salt0"),
-        col("salt").as("salt1"),
-        col("id").as("id1")) ++ payload.map(c => col(c).as(c + "1")): _*)
+      .select(col("bk"), k1c.as("k1"), k2c.as("k2"))
+      .where(col("k1") > 1 || col("k2") > 1)
+    val salted = base.join(broadcast(stats), Seq("bk"), "left")
+      .withColumn("k1", coalesce(col("k1"), lit(1)))
+      .withColumn("k2", coalesce(col("k2"), lit(1)))
+      .withColumn("s",
+        pmod(xxhash64(col("id")), (col("k1") * col("k2")).cast("long")).cast("int"))
+    def side(own: String, other: String, idAs: String, sfx: String) =
+      salted.select(
+        Seq(col("bk"), col("s").as(own),
+          explode(sequence(lit(0), col("k1") - 1)).as("ta"),
+          col("k1"), col("k2"), col("id").as(idAs)) ++
+          payload.map(c => col(c).as(c + sfx)): _*)
+        .withColumn("tb", explode(sequence(lit(0), col("k2") - 1)))
+        .withColumn(other, col("ta") + col("k1") * col("tb"))
+        .drop("ta", "tb", "k1", "k2")
+    val l = side("salt0", "salt1", "id0", "0")
+    val r = side("salt1", "salt0", "id1", "1")
     l.join(r, Seq("bk", "salt0", "salt1"))
       .where(col("id0") < col("id1"))
       .drop("salt0", "salt1")
+  }
+
+  // Signature tables feeding a pair join are referenced 2-3x in one plan
+  // (bucket explode + two confirm-join sides); AQE compiles the branches
+  // as separate stages with no exchange reuse, so without persist the
+  // whole signature scan+UDF pipeline runs per branch (3x the corpus
+  // scan at 100 TB). One cached table per call site, previous unpersisted
+  // (same discipline as Linker.lastChunksCache).
+  private val lastSigCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def persistLatest(slot: String, df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastSigCaches.put(slot, p)).foreach { prev =>
+      try if (!(prev eq p) && !prev.sparkSession.sparkContext.isStopped)
+        prev.unpersist(false)
+      catch { case _: Throwable => () }
+    }
+    p
   }
 
   /** Project `score` then threshold-filter WITHOUT Catalyst re-evaluating
@@ -80,21 +108,24 @@ object Dedup {
     * the projection. The expensive expression (array intersection / dot
     * product) is then computed exactly once per candidate row
     * (PlanSpec-gated). */
-  private def scoreAndFilter(df: DataFrame, name: String, score: Column,
+  def scoreAndFilter(df: DataFrame, name: String, score: Column,
       threshold: Double, keep: String*): DataFrame =
     df.select(col("*"),
         when(monotonically_increasing_id() >= 0, score).as(name))
       .where(col(name) >= threshold)
       .select(keep.head, keep.tail: _*)
 
-  /** Word n-gram Jaccard similarity between two texts' distinct-token
-    * sets, as a column expression (array_intersect / union sizes). */
-  def jaccard(a: Column, b: Column): Column = {
-    val ta = array_distinct(split(a, " "))
-    val tb = array_distinct(split(b, " "))
-    val inter = size(array_intersect(ta, tb)).cast("double")
-    round(inter / (size(ta) + size(tb) - inter), 4)
-  }
+  /** Sorted distinct xxhash64 image of an array column — the per-document
+    * precompute behind every hashed-set confirm kernel. Hashing each
+    * element to a long once per DOCUMENT turns the per-PAIR intersection
+    * from a UTF8String hash-set probe (~1-3 ms on ~143-element trigram
+    * sets — the round-2 q_jaccard_char3 outlier) into a codegen'd long
+    * merge scan ([[graft.expr.sortedIntersectCount]]). Set sizes and
+    * intersection counts are preserved exactly absent xxhash64 collisions
+    * (P ~ |set|^2/2^64 per document — negligible, and the driver's
+    * value-hash gate would surface one). */
+  def hashedSet(elems: Column): Column =
+    sort_array(array_distinct(transform(elems, e => xxhash64(e))))
 
   /** Distinct character n-gram set of a text column — a pure (codegen'd)
     * column expression, no UDF: transform over an index sequence +
@@ -121,16 +152,39 @@ object Dedup {
       threshold, aim)
 
   /** Jaccard pairs over an arbitrary precomputed element-set column
-    * (word tokens, char n-grams, shingles — anything array-typed). */
+    * (word tokens, char n-grams, shingles — anything array-typed).
+    *
+    * Element sets are reduced to sorted long-hash sets ONCE per document
+    * ([[hashedSet]], persisted — the gram pipeline would otherwise
+    * re-evaluate per join branch); pair generation carries only
+    * (id, set size) so the arrays never ride the salted fan-out shuffle;
+    * the size-window prune — jaccard <= min(|A|,|B|)/max(|A|,|B|), the
+    * set analogue of the linkage kernel's popcount window — drops pairs
+    * before their arrays are ever fetched; the per-pair confirm is the
+    * codegen'd long merge scan. */
   def jaccardPairsBy(df: DataFrame, id: String, elems: Column, blockKey: Column,
-      threshold: Double, aim: Long = PairAim): DataFrame = {
-    val base = df.select(blockKey.as("bk"), col(id).as("id"), elems.as("toks"))
-      .withColumn("sz", size(col("toks")))
-    val paired = saltedSelfPairs(base, aim)
+      threshold: Double, aim: Long = PairAim, maxK: Int = 4096): DataFrame =
+    jaccardPairsHashed(df, id, hashedSet(elems), blockKey, threshold, aim, maxK)
+
+  /** Jaccard pairs over a PRE-HASHED sorted long-set column (e.g.
+    * [[graft.expr.hashedCharNgrams]] — the one-pass gram signature). */
+  def jaccardPairsHashed(df: DataFrame, id: String, toks: Column, blockKey: Column,
+      threshold: Double, aim: Long = PairAim, maxK: Int = 4096): DataFrame = {
+    val sig = persistLatest("jaccard",
+      df.select(blockKey.as("bk"), col(id).as("id"), toks.as("toks"))
+        .withColumn("sz", size(col("toks"))))
+    val paired = saltedSelfPairs(sig.select(col("bk"), col("id"), col("sz")),
+      aim, maxK)
     val sizeOk = least(col("sz0"), col("sz1")).cast("double") >=
       greatest(col("sz0"), col("sz1")) * (threshold - 1e-4)
-    val inter = size(array_intersect(col("toks0"), col("toks1"))).cast("double")
-    scoreAndFilter(paired.where(sizeOk), "jaccard",
+    val cand = paired.where(sizeOk).select("id0", "id1", "sz0", "sz1")
+    val inter = graft.expr.sortedIntersectCount(col("toks0"), col("toks1"))
+      .cast("double")
+    scoreAndFilter(
+      cand
+        .join(sig.select(col("id").as("id0"), col("toks").as("toks0")), "id0")
+        .join(sig.select(col("id").as("id1"), col("toks").as("toks1")), "id1"),
+      "jaccard",
       round(inter / (col("sz0") + col("sz1") - inter), 4), threshold,
       "id0", "id1", "jaccard")
   }
@@ -191,16 +245,19 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: String, text: String,
       threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
       seed: Int = 0xd5ed, aim: Long = PairAim): DataFrame = {
-    val sig = minhashSignatures(df, id, text, bands, rowsPerBand, seed)
+    val sig = persistLatest("minhash",
+      minhashSignatures(df, id, text, bands, rowsPerBand, seed)
+        .withColumn("shh", hashedSet(col("sh"))))
     val ids = sig.select(explode(col("bks")).as("bk"), col("doc").as("id"))
     val pairs = saltedSelfPairs(ids, aim)
       .select("id0", "id1")
       .dropDuplicates("id0", "id1")
-    val inter = size(array_intersect(col("sh0"), col("sh1"))).cast("double")
+    val inter = graft.expr.sortedIntersectCount(col("sh0"), col("sh1"))
+      .cast("double")
     scoreAndFilter(
       pairs
-        .join(sig.select(col("doc").as("id0"), col("sh").as("sh0")), "id0")
-        .join(sig.select(col("doc").as("id1"), col("sh").as("sh1")), "id1"),
+        .join(sig.select(col("doc").as("id0"), col("shh").as("sh0")), "id0")
+        .join(sig.select(col("doc").as("id1"), col("shh").as("sh1")), "id1"),
       "jaccard",
       round(inter / (size(col("sh0")) + size(col("sh1")) - inter), 4), threshold,
       "id0", "id1", "jaccard")
@@ -283,7 +340,8 @@ object Dedup {
   def embeddingCosinePairsApprox(df: DataFrame, id: String, vec: String,
       threshold: Double, tables: Int = 16, bits: Int = 6, dim: Int = 64,
       seed: Long = 0xa11L, aim: Long = PairAim): DataFrame = {
-    val sig = graft.ann.Ann.signatures(df, id, vec, tables, bits, dim, seed)
+    val sig = persistLatest("cosine_lsh",
+      graft.ann.Ann.signatures(df, id, vec, tables, bits, dim, seed))
     val ids = sig.select(explode(col("bks")).as("bk"), col("vid").as("id"))
     val pairs = saltedSelfPairs(ids, aim)
       .select("id0", "id1")

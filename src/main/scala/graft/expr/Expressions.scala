@@ -77,6 +77,46 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vector_norm"
 }
 
+/** Intersection size of two ascending-sorted, duplicate-free
+  * array&lt;long&gt; columns — the set analogue of [[DotProduct]]: a
+  * codegen'd merge scan (graft.core.SetOps), no per-pair hash set, no
+  * UTF8String comparisons. The confirm kernel for every hashed-gram
+  * Jaccard path (word tokens, char n-grams, MinHash shingles). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.SetOps.intersectCountSortedLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.SetOps.intersectCountSortedLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Sorted distinct 64-bit hashes of a text's character n-grams — the
+  * whole per-document gram-signature pipeline (substring → hash →
+  * distinct → sort) as one codegen'd pass over the UTF8String bytes
+  * (graft.core.SetOps.hashedCharNgrams), replacing a
+  * sequence+transform+substr plan that allocated one UTF8String per
+  * character position. Feeds [[SortedIntersectCount]]. */
+case class HashedCharNgrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, n: Any): Any =
+    graft.core.SetOps.hashedCharNgrams(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.core.SetOps.hashedCharNgrams($t, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashedCharNgrams =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hashed_char_ngrams"
+}
+
 /** Dice with precomputed popcount sum (the join carries per-record
   * popcounts, mirroring the reference's popcount cache
   * `cache/encodings.py:42-45`) — saves two popcount passes per pair. */

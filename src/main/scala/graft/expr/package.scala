@@ -23,6 +23,15 @@ package object expr {
   /** Allocation-free dot product of two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
 
+  /** Merge-scan intersection size of two sorted array<long> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    col(SortedIntersectCount(ex(a), ex(b)))
+
+  /** Sorted distinct 64-bit hashes of a text's character n-grams. */
+  def hashedCharNgrams(text: Column, n: Int): Column =
+    col(HashedCharNgrams(ex(text),
+      ex(org.apache.spark.sql.functions.lit(n))))
+
   /** L2 norm of an array<double> column. */
   def vectorNorm(a: Column): Column = col(VectorNorm(ex(a)))
 

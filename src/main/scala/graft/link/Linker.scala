@@ -53,6 +53,10 @@ object Linker {
     * hot path is chunk-pair nested loops, exactly the reference's work
     * packages (`tasks/comparing.py:102-170`).
     */
+  /** Single salt-digit cap; the composite two-level fan-out reaches
+    * MaxSaltFanout^2 (graft.link.Salting). */
+  val MaxSaltFanout: Int = 4096
+
   def scoreCandidates(blocked: DataFrame, cfg: LinkConfig,
       chunkSizeAim: Long = ChunkSizeAim): Dataset[Edge] = {
     val scored = scoreCandidatesChunked(blocked, cfg, chunkSizeAim)
@@ -159,7 +163,7 @@ object Linker {
     * kernel, not the shuffle, is the bottleneck at cluster scale.
     */
   def scoreCandidatesChunked(blocked: DataFrame, cfg: LinkConfig,
-      chunkSizeAim: Long = ChunkSizeAim): Dataset[Edge] = {
+      chunkSizeAim: Long = ChunkSizeAim, maxK: Int = MaxSaltFanout): Dataset[Edge] = {
     val spark = blocked.sparkSession
     import spark.implicits._
 
@@ -176,14 +180,15 @@ object Linker {
     // k^2 chunk pairs) -> divisor 6 targets ~3 waves per core
     val aim = math.max(1000000L,
       math.min(chunkSizeAim, totalPairsUb / (6L * parallelism) + 1))
+    // composite two-level fan-out k1*k2 >= n/sqrt(aim) (Salting): one salt
+    // digit caps at maxK, so a block needing more splits on a second digit
+    // instead of silently under-splitting into ~(needK/maxK)^2-times-aim
+    // tasks. Only skewed blocks (k > 1) ride the broadcast; k=1 defaults
+    // via the left join (block-key cardinality can be O(rows) at scale).
+    val (k1c, k2c) = Salting.fanout($"n", aim, maxK)
     val stats = statsRaw
-      .withColumn("k",
-        least(
-          greatest(
-            ceil($"n".cast("double") / math.sqrt(aim.toDouble)),
-            lit(1L)),
-          lit(4096L)).cast("int"))
-      .select($"block_key", $"k")
+      .select($"block_key", k1c.as("k1"), k2c.as("k2"))
+      .where($"k1" > 1 || $"k2" > 1)
 
     // Chunks are packed ONCE at aggregation time into primitive arrays
     // (ids, popcounts, one contiguous zero-padded clk buffer, sorted by
@@ -191,17 +196,20 @@ object Linker {
     // measured to generate enough garbage to send later rounds into GC
     // collapse; primitive arrays deserialize with zero boxing and the
     // popcount sort is paid once per chunk instead of once per chunk pair.
-    val chunks = blocked.join(broadcast(stats), Seq("block_key"))
-      .withColumn("salt", pmod(xxhash64($"dp", $"entity_id"), $"k").cast("int"))
-      .select($"block_key", $"k", $"dp", $"salt", $"entity_id", $"clk", $"popcount")
-      .as[(String, Int, Int, Int, Long, Array[Byte], Int)]
-      .groupByKey(r => (r._1, r._2, r._3, r._4))
-      .mapGroups { (key: (String, Int, Int, Int), it: Iterator[(String, Int, Int, Int, Long, Array[Byte], Int)]) =>
-        val (bk, k, dp, salt) = key
-        val recs = it.toArray.sortBy(_._7)
+    val chunks = blocked.join(broadcast(stats), Seq("block_key"), "left")
+      .withColumn("k1", coalesce($"k1", lit(1)))
+      .withColumn("k2", coalesce($"k2", lit(1)))
+      .withColumn("salt",
+        pmod(xxhash64($"dp", $"entity_id"), ($"k1" * $"k2").cast("long")).cast("int"))
+      .select($"block_key", $"k1", $"k2", $"dp", $"salt", $"entity_id", $"clk", $"popcount")
+      .as[(String, Int, Int, Int, Int, Long, Array[Byte], Int)]
+      .groupByKey(r => (r._1, r._2, r._3, r._4, r._5))
+      .mapGroups { (key: (String, Int, Int, Int, Int), it: Iterator[(String, Int, Int, Int, Int, Long, Array[Byte], Int)]) =>
+        val (bk, k1, k2, dp, salt) = key
+        val recs = it.toArray.sortBy(_._8)
         val n = recs.length
         var maxLen = 0
-        recs.foreach(r => if (r._6.length > maxLen) maxLen = r._6.length)
+        recs.foreach(r => if (r._7.length > maxLen) maxLen = r._7.length)
         val stride = math.max(((maxLen + 7) / 8) * 8, 8)
         val ids = new Array[Long](n)
         val pcs = new Array[Int](n)
@@ -210,15 +218,15 @@ object Linker {
         val half = stride / 2
         var i = 0
         while (i < n) {
-          val r = recs(i); ids(i) = r._5; pcs(i) = r._7
-          System.arraycopy(r._6, 0, flat, i * stride, r._6.length)
+          val r = recs(i); ids(i) = r._6; pcs(i) = r._8
+          System.arraycopy(r._7, 0, flat, i * stride, r._7.length)
           pch(i) = graft.core.BitOps.popcount(
             java.util.Arrays.copyOfRange(flat, i * stride, i * stride + half))
           i += 1
         }
-        (bk, k, dp, salt, stride, ids, pcs, pch, flat)
+        (bk, k1, k2, dp, salt, stride, ids, pcs, pch, flat)
       }
-      .toDF("block_key", "k", "dp", "salt", "stride", "ids", "pcs", "pch", "flat")
+      .toDF("block_key", "k1", "k2", "dp", "salt", "stride", "ids", "pcs", "pch", "flat")
       // both join branches derive from this subtree and AQE compiles them
       // as separate query stages (no exchange reuse) — without caching,
       // the whole scan+encode+pack pipeline runs twice. Bounded to one
@@ -233,14 +241,25 @@ object Linker {
       lastChunksCache = Some(chunks)
     }
 
+    // other-side salt range = two chained explodes (bounded by maxK each),
+    // composite digit recombined as ta + k1*tb — equivalent to one
+    // sequence(0, k1*k2-1) without ever materializing a k1*k2-long array
     val left = chunks.select($"block_key",
-      $"salt".as("salt0"), explode(sequence(lit(0), $"k" - 1)).as("salt1"),
+      $"salt".as("salt0"), explode(sequence(lit(0), $"k1" - 1)).as("ta"),
+      $"k1", $"k2",
       $"dp".as("dp0"), $"stride".as("stride0"),
       $"ids".as("ids0"), $"pcs".as("pcs0"), $"pch".as("pch0"), $"flat".as("flat0"))
+      .withColumn("tb", explode(sequence(lit(0), $"k2" - 1)))
+      .withColumn("salt1", $"ta" + $"k1" * $"tb")
+      .drop("ta", "tb", "k1", "k2")
     val right = chunks.select($"block_key",
-      explode(sequence(lit(0), $"k" - 1)).as("salt0"), $"salt".as("salt1"),
+      $"salt".as("salt1"), explode(sequence(lit(0), $"k1" - 1)).as("ta"),
+      $"k1", $"k2",
       $"dp".as("dp1"), $"stride".as("stride1"),
       $"ids".as("ids1"), $"pcs".as("pcs1"), $"pch".as("pch1"), $"flat".as("flat1"))
+      .withColumn("tb", explode(sequence(lit(0), $"k2" - 1)))
+      .withColumn("salt0", $"ta" + $"k1" * $"tb")
+      .drop("ta", "tb", "k1", "k2")
 
     val threshold = cfg.threshold
     val pairsDs = left.join(right, Seq("block_key", "salt0", "salt1"))

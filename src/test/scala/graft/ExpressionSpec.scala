@@ -30,6 +30,61 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count == set intersection on random long sets") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val rows = (1 to 300).map { i =>
+      val a = Array.fill(rnd.nextInt(200))(rnd.nextInt(300).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(200))(rnd.nextInt(300).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val got = rows.toDF("id", "a", "b")
+      .withColumn("n", graft.expr.sortedIntersectCount(col("a"), col("b")))
+      .select($"id", $"n").as[(Int, Int)].collect().sortBy(_._1)
+    rows.zip(got).foreach { case ((_, a, b), (_, n)) =>
+      assert(n == a.toSet.intersect(b.toSet).size)
+    }
+    // hashedSet ∘ sorted_intersect_count == array_intersect on strings
+    // (the per-document precompute + per-pair merge must reproduce the
+    // generic string-set intersection count exactly)
+    val srows = (1 to 100).map { i =>
+      (i, Array.fill(1 + rnd.nextInt(80))("g" + rnd.nextInt(120)).distinct.toSeq,
+        Array.fill(1 + rnd.nextInt(80))("g" + rnd.nextInt(120)).distinct.toSeq)
+    }
+    val sgot = srows.toDF("id", "a", "b")
+      .withColumn("n", graft.expr.sortedIntersectCount(
+        graft.dedup.Dedup.hashedSet(col("a")), graft.dedup.Dedup.hashedSet(col("b"))))
+      .withColumn("m", size(array_intersect(col("a"), col("b"))))
+      .select($"id", $"n", $"m").as[(Int, Int, Int)].collect()
+    sgot.foreach { case (i, n, m) => assert(n == m, s"row $i: $n != $m") }
+  }
+
+  test("hashed_char_ngrams == hashed charNgrams string sets (incl. multibyte)") {
+    import spark.implicits._
+    val rnd = new Random(3)
+    val alphabet = "ab cd€漢e" // multibyte chars exercise the UTF-8 walk
+    val rows = (1 to 150).map { i =>
+      (i, Array.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ ((151, "")) :+ ((152, "ab")) // shorter than n -> whole-text gram
+    val got = rows.toDF("id", "t")
+      .withColumn("fast", graft.expr.hashedCharNgrams(col("t"), 3))
+      .withColumn("slow", graft.dedup.Dedup.charNgrams(col("t"), 3))
+      .select($"id", $"fast", size($"fast").as("nf"), size($"slow").as("ns"),
+        // cross-check a pairwise intersection via both representations
+        $"slow")
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3), s"row ${r.getInt(0)} distinct-count mismatch")
+      val fast = r.getSeq[Long](1)
+      assert(fast == fast.sorted && fast.distinct == fast, "not sorted-distinct")
+    }
+    // intersection counts agree with string-set intersections on all pairs
+    val sets = got.map(r => (r.getSeq[Long](1).toSet, r.getSeq[String](4).toSet))
+    for (a <- sets.take(30); b <- sets.take(30)) {
+      assert((a._1 intersect b._1).size == (a._2 intersect b._2).size)
+    }
+  }
+
   test("expressions are null-safe and SQL-registered") {
     import spark.implicits._
     graft.expr.registerAll(spark)

@@ -64,4 +64,48 @@ class LinkerPropertySpec extends SparkSpec {
       assert(expected.nonEmpty, s"seed=$seed produced an empty oracle — weak test")
     }
   }
+
+  test("two-level salting past a tiny maxK cap == brute force, tasks near aim") {
+    import spark.implicits._
+    val recs = randomDataset(7)
+    val t = 0.35
+    val blocked = spark.createDataset(recs)
+      .toDF("dp", "entity_id", "clk", "blocks")
+      .withColumn("popcount", graft.expr.popcount(col("clk")))
+      .withColumn("block_key", explode(col("blocks")))
+      .select("dp", "entity_id", "clk", "popcount", "block_key")
+    // aim 400 on ~100-200-row blocks needs k ~ 10 > maxK=4 -> the second
+    // salt digit must engage (k2 > 1) for correctness AND task sizing
+    val aim = 400L
+    val got = Linker.scoreCandidatesChunked(blocked, LinkConfig(t),
+      chunkSizeAim = aim, maxK = 4)
+      .collect().map(e => (e.dp0, e.rec0, e.dp1, e.rec1, e.sim)).toSet
+    val expected = (for {
+      a <- recs.iterator; b <- recs.iterator
+      if a.dp < b.dp && a.blocks.exists(b.blocks.contains)
+      s = BitOps.dice(a.clk, b.clk) if s >= t
+    } yield (a.dp, a.id, b.dp, b.id, s)).toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    assert(expected.nonEmpty)
+
+    // fan-out math: k1*k2 covers needK whenever needK <= maxK^2, so no
+    // chunk pair exceeds ~aim comparisons in expectation (the old
+    // single-digit cap silently under-split: k stuck at maxK)
+    for (n <- Seq(1L, 10L, 100L, 1000L, 100000L, 1000000000L)) {
+      val needK = math.max(math.ceil(n / math.sqrt(aim.toDouble)).toLong, 1L)
+      val (k1, k2) = graft.link.Salting.fanoutScala(n, aim, 4)
+      assert(k1 <= 4 && k2 <= 4 || needK > 16L)
+      if (needK <= 16L)
+        assert(k1.toLong * k2 >= needK, s"n=$n k1=$k1 k2=$k2 needK=$needK")
+    }
+    // and at the production cap a 10^9-row block is fully covered
+    val (k1, k2) = graft.link.Salting.fanoutScala(1000000000L,
+      Linker.ChunkSizeAim, Linker.MaxSaltFanout)
+    val needK = math.ceil(1000000000L / math.sqrt(Linker.ChunkSizeAim.toDouble)).toLong
+    assert(k1.toLong * k2 >= needK, s"k1=$k1 k2=$k2 needK=$needK")
+    // expected per-chunk rows -> chunk-pair comparisons <= ~2x aim
+    val rowsPerChunk = 1000000000.0 / (k1.toLong * k2)
+    assert(rowsPerChunk * rowsPerChunk <= 2.0 * Linker.ChunkSizeAim,
+      s"chunk pair ${rowsPerChunk * rowsPerChunk} vs aim ${Linker.ChunkSizeAim}")
+  }
 }

@@ -88,10 +88,26 @@ class PlanSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet").limit(100)
     val jp = graft.dedup.Dedup.jaccardPairs(
       docs, "doc_id", "text", lit("b"), 0.5)
-    assertOnlyInProject(executed(jp), "array_intersect")
+    assertOnlyInProject(executed(jp), "sorted_intersect_count")
     val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
     val cp = graft.dedup.Dedup.embeddingCosinePairs(embeddings, "vec_id", "embedding", 0.4)
     assertOnlyInProject(executed(cp), "dot_product")
+    // the driver's q_dice_token_pairs goes through the same barrier
+    val dt = SparkEntry.queries("q_dice_token_pairs")(spark, sfTiny)
+    assertOnlyInProject(executed(dt), "sorted_intersect_count")
+  }
+
+  test("signature tables referenced by multiple join branches are cached") {
+    // minhash sig feeds the bucket explode + two confirm joins; without
+    // persist the signature UDF pipeline runs once per branch (3x the
+    // corpus scan at scale) — the plan must read it from InMemoryRelation
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet").limit(150)
+    val mh = graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+    val plan = mh.queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"), plan)
+    val approx = graft.dedup.Dedup.embeddingCosinePairsApprox(
+      spark.read.parquet(s"$sfTiny/embeddings.parquet"), "vec_id", "embedding", 0.4)
+    assert(approx.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
   }
 
   test("SQL functions available via SparkSessionExtensions") {

@@ -137,6 +137,33 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("jaccard pairs: two-level salting past a tiny maxK cap == brute force") {
+    import spark.implicits._
+    // aim 50 on 300 single-block docs needs k ~ 43 > maxK=4, so the
+    // composite digit (k1=4, k2=4) must carry the fan-out without
+    // losing/duplicating pairs
+    val docs = documents.limit(300)
+    val got = Dedup.jaccardPairsBy(docs, "doc_id",
+      array_distinct(split(col("text"), " ")), lit("hot"), 0.5,
+      aim = 50L, maxK = 4)
+      .select($"id0".as[Long], $"id1".as[Long], $"jaccard".as[Double])
+      .collect()
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length, "duplicate pairs")
+    val txts = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+    def jac(a: String, b: String): Double = {
+      val sa = a.split(" ").distinct.toSet; val sb = b.split(" ").distinct.toSet
+      val i = (sa intersect sb).size.toDouble
+      math.rint(i / (sa.size + sb.size - i) * 10000) / 10000
+    }
+    val truth = (for {
+      (i, ti) <- txts.iterator; (j, tj) <- txts.iterator
+      if i < j
+      s = jac(ti, tj) if s >= 0.5
+    } yield (i, j, s)).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == truth)
+    assert(truth.nonEmpty)
+  }
+
   test("embedding cosine: exact salted equi-join == brute force; approx is a high-recall subset") {
     import spark.implicits._
     val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
