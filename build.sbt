@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally routes through sbt's logger, which
+// '[info]'-prefixes every stdout line (drivers parsing Bench's JSON line
+// recorded parsed:null in rounds 1-2). StdoutOutput makes the forked JVM
+// inherit sbt's own stdout fd — the JSON line arrives clean.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

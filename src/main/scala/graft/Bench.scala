@@ -27,9 +27,12 @@ import graft.link.Linker
   *    `benchmarking/default-experiments.json:15-22`) at reduced scale:
   *    10K x 100K pages through LSH blocking -> chunked scoring.
   *
-  * Headline scaling_efficiency fields = the BEST same-window sweep (the
-  * judge-sanctioned best-of-N with host microbench inline); every sweep is
-  * reported raw in "sweeps" for transparency.
+  * Headline scaling_efficiency fields = the single sweep with the FASTEST
+  * local[2] baseline (max-efficiency selection rewards corrupted baselines
+  * — an eff > 1 is evidence the local[2] window was slow, not that scaling
+  * is good); both efficiency fields and the headline per-level numbers
+  * come from that one sweep, eff > 1.05 is flagged `window_valid:false`,
+  * and every sweep is reported raw in "sweeps" for transparency.
   */
 object Bench {
 
@@ -152,16 +155,26 @@ object Bench {
       val host = if (la.cpu > 0) (lb.pairsPerSec / la.pairsPerSec) / (lb.cpu / la.cpu) else 0.0
       (r3(raw), r3(host))
     }
-    val best28 = sweeps.maxBy(s => sweepEff(s, 2, 8)._1)
-    val best832 = sweeps.maxBy(s => sweepEff(s, 8, 32)._1)
-    val (eff28, eff28h) = sweepEff(best28, 2, 8)
-    val (eff832, eff832h) = sweepEff(best832, 8, 32)
-    // per-level best across all sweeps (peak throughput evidence)
-    val bestLevels = levelCores.map(c =>
-      sweeps.flatten.filter(_.cores == c).maxBy(_.pairsPerSec))
+    // ONE headline sweep: the one with the FASTEST local[2] baseline. An
+    // efficiency > 1 means the baseline ran in a corrupted window (round 2
+    // recorded 2.425 from a 178 s local[2] where the same code measured
+    // 60 s in the adjacent sweep), so maximizing efficiency selects
+    // exactly the broken windows; the fastest baseline is the honest one.
+    // Headline per-level numbers and BOTH efficiency fields come from this
+    // single sweep — one consistent window, no per-metric cherry-pick.
+    val headlineSweep = sweeps.minBy(_.find(_.cores == 2).get.wall)
+    val (eff28, eff28h) = sweepEff(headlineSweep, 2, 8)
+    val (eff832, eff832h) = sweepEff(headlineSweep, 8, 32)
+    // eff > ~1 is super-linear = measurement artifact, not good scaling
+    val windowValid = eff28 <= 1.05 && eff832 <= 1.05
 
     // --- reference blocked shape, reduced (100Kx1M -> 10Kx100K) ---
     val (bWall, bEdges, bCmp) = blockedShape(cpus, 10000, 100000)
+    // full-size reference shape (benchmarking/default-experiments.json:
+    // 100K x 1M) — ~minutes of wall; on by default, opt out via env if the
+    // driver's window is tight
+    val blockedFull = sys.env.getOrElse("SPARK_GRAFT_BLOCKED_FULL", "1") == "1"
+    val full = if (blockedFull) Some(blockedShape(cpus, 100000, 1000000)) else None
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -177,21 +190,29 @@ object Bench {
     }.mkString("[", ",", "]")
     val scaling =
       s"""{"job":"2x$scaleN all-pairs dice t=0.95","comparisons":$comparisons,""" +
-      s""""method":"interleaved same-window sweeps (levels 2,8,32 per sweep), best sweep reported, all sweeps listed",""" +
-      bestLevels.map(levelJson).mkString("", ",", ",") +
+      s""""method":"interleaved same-window sweeps (levels 2,8,32 per sweep); headline = the sweep with the fastest local[2] baseline (a slow baseline inflates efficiency, so picking by max-eff rewards corrupted windows); eff > 1.05 flagged invalid; all sweeps listed raw",""" +
+      headlineSweep.map(levelJson).mkString("", ",", ",") +
       s""""scaling_efficiency_2_to_8":$eff28,"efficiency_vs_host_2_to_8":$eff28h,""" +
       s""""scaling_efficiency_8_to_32":$eff832,"efficiency_vs_host_8_to_32":$eff832h,""" +
+      s""""window_valid":$windowValid,""" +
       s""""sweeps":$sweepJson}"""
     val blockedJson =
       s"""{"shape":"10000x100000 LSH-blocked dice t=0.8","sec":${r3(bWall)},""" +
       s""""edges":$bEdges,"comparisons_after_blocking":$bCmp}"""
+    val blockedFullJson = full.map { case (w, e, c) =>
+      s""","blocked_full":{"shape":"100000x1000000 LSH-blocked dice t=0.8 (reference benchmarking/default-experiments.json full size)","sec":${r3(w)},"edges":$e,"comparisons_after_blocking":$c}"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""scaling":$scaling,"blocked":$blockedJson}"""
-    // stdout arrives '[info]'-prefixed through sbt's logger (round-1 driver
-    // recorded parsed:null) -> the file is the machine-readable copy
+      s""""scaling":$scaling,"blocked":$blockedJson$blockedFullJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    println(json)
+    // sbt's logger '[info]'-prefixes System.out (rounds 1-2: driver
+    // recorded parsed:null even with the file copy) -> write the line to
+    // RAW fd 1, which sbt does not intercept, plus the file above
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    raw.println(json)
+    raw.flush()
   }
 }
