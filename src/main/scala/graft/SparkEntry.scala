@@ -329,6 +329,34 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // Greedy-solver outputs, gated against FROZEN golden parquet fixtures
+    // (graft.tools.MakeOracleFixtures — sequential greedy is not
+    // SQL-expressible). Deliberately semi-circular: these rows pin
+    // regression under the driver's hash gate; first-principles
+    // correctness stays with LinkageFixtureSpec's exact brute-force
+    // oracle + F1-vs-truth and the frozen multiparty golden.
+    "er_febrl4_clusters" ->
+      """SELECT "clusterId", "dp", "entityId"
+         FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet'""",
+    "er_pages_clusters" ->
+      """SELECT "clusterId", "dp", "entityId"
+         FROM '/root/repo/fixtures/pages_golden_clusters.parquet'""",
+    // FNV-1a 64-bit replayed byte-for-byte in HUGEINT arithmetic
+    // (documents are ASCII, so ord(substr) == the UTF-8 byte; the
+    // multibyte case is covered by TextOpsSpec's reference vectors)
+    "q_fingerprint" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(text) + 1),
+                   i -> ord(substr(text, i, 1))::HUGEINT)),
+               (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+                 % 18446744073709551616::HUGEINT) AS h
+           FROM documents)""",
     // B1/B3 over the pages corpus, replayed from the block-key dump
     "er_pages_block_stats" ->
       s"""WITH m AS (SELECT dp, entity_id, unnest(bks) AS block_key
@@ -343,7 +371,8 @@ object SparkEntry {
          sh AS (SELECT slot, row_number() OVER (ORDER BY h, slot) - 1 AS shuffle_rank
                 FROM slots),
          numbered AS (SELECT a_index, b_index,
-                             row_number() OVER (ORDER BY a_index) - 1 AS g FROM pairs),
+                             row_number() OVER (ORDER BY a_index, b_index) - 1 AS g
+                      FROM pairs),
          matched AS (SELECT n.a_index, n.b_index, s.slot
                      FROM numbered n JOIN sh s ON n.g = s.shuffle_rank),
          nm AS (SELECT count(*) AS n FROM pairs),

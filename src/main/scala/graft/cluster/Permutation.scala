@@ -64,8 +64,12 @@ object Permutation {
       .cache()
 
     // deterministic group numbering (reference enumerates groups in stored
-    // order; any fixed order satisfies the invariants)
-    val numbered = withGlobalRank(pairs, "group_number", Seq($"a_index"))
+    // order; any fixed order satisfies the invariants). b_index tiebreaker
+    // makes the order TOTAL even when a multi-member cluster yields two
+    // cross pairs sharing a_index — a_index alone would leave the rank
+    // partition-dependent there.
+    val numbered = withGlobalRank(pairs, "group_number",
+      Seq($"a_index", $"b_index"))
 
     val matched = numbered.join(slots, $"group_number" === $"shuffle_rank")
       .select($"a_index", $"b_index", $"slot")

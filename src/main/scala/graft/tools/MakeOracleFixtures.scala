@@ -69,6 +69,35 @@ object MakeOracleFixtures {
     java.nio.file.Files.write(goldenDest,
       String.join("\n", lines: _*).getBytes("UTF-8"))
     println(s"wrote $goldenDest (${clusters.length} member rows)")
+
+    // Frozen greedy-solver outputs as parquet, so the driver's DuckDB
+    // oracle can gate er_febrl4_clusters / er_pages_clusters (sequential
+    // greedy is not SQL-expressible). DELIBERATELY CIRCULAR on the day of
+    // generation — these pin regression, not first-principles correctness;
+    // the semantic gates remain LinkageFixtureSpec's exact brute-force
+    // oracle and the frozen multiparty golden above. clusterId = min
+    // packed member NodeId, so the output is partitioning-invariant.
+    def freezeClusters(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmpDir = s"/tmp/graft_make_fixture_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val p = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val d = java.nio.file.Paths.get(s"/root/repo/fixtures/$name.parquet")
+      java.nio.file.Files.copy(p.toPath, d,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"wrote $d (${java.nio.file.Files.size(d)} bytes)")
+    }
+    freezeClusters(
+      graft.link.Pipeline.clusters(
+        graft.link.Pipeline.defaultBlock(a.union(b)),
+        graft.core.LinkConfig(threshold = 0.8)).toDF(),
+      "febrl4_golden_clusters")
+    freezeClusters(
+      graft.link.Pipeline.clusters(
+        graft.ingest.Ingest.encodeAndBlock(
+          graft.ingest.PagesSynth.pages(spark, Seq(1000, 1000))),
+        graft.core.LinkConfig(threshold = 0.8)).toDF(),
+      "pages_golden_clusters")
     spark.stop()
   }
 }
