@@ -24,7 +24,14 @@ import java.nio.charset.StandardCharsets
   * resumes from it, or fails after `lockWaitMs` — the same race-safe run
   * start as the reference (`database/selections.py:137-148`
   * `FOR UPDATE NOWAIT`). Locks older than `staleLockMs` are presumed
-  * crashed and stolen.
+  * crashed and stolen — and because stage computes can legitimately run
+  * longer than that, the holder (a) HEARTBEATS the lock's mtime from a
+  * daemon thread every `heartbeatMs` (<< staleLockMs, so a live holder is
+  * never presumed crashed), and (b) carries a unique attempt id in the
+  * lock body and RE-VERIFIES ownership immediately before the manifest
+  * commit, aborting the commit if the lock changed hands — a stolen lock
+  * can waste this attempt's work but can never commit a manifest over a
+  * competing writer's in-progress output.
   *
   * Lineage: one row per output partition (stage, partition_id, rows_out)
   * plus stage-level counters (e.g. pairs_generated / pairs_scored /
@@ -42,6 +49,9 @@ object Checkpoint {
   val LockWaitMs: Long = 60000L
   /** Locks older than this are presumed crashed and stolen. */
   val StaleLockMs: Long = 600000L
+  /** Lock-mtime refresh period for the live holder (sized well below
+    * StaleLockMs so a slow-but-alive compute is never stolen from). */
+  val HeartbeatMs: Long = 60000L
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,7 +67,7 @@ object Checkpoint {
     * read the checkpointed table). */
   def stage(spark: SparkSession, root: String, name: String,
       counters: DataFrame => Map[String, Long] = _ => Map.empty,
-      lockWaitMs: Long = LockWaitMs)
+      lockWaitMs: Long = LockWaitMs, heartbeatMs: Long = HeartbeatMs)
       (compute: => DataFrame): StageResult = {
     val dir = s"$root/$name"
     val mfPath = new Path(s"$dir/_MANIFEST.json")
@@ -68,7 +78,8 @@ object Checkpoint {
       return StageResult(df, -1L, resumed = true)
     }
 
-    if (!acquireLock(spark, root, name, lockWaitMs)) {
+    val attemptId = java.util.UUID.randomUUID().toString
+    if (!acquireLock(spark, root, name, lockWaitMs, attemptId)) {
       // another writer committed while we waited -> serve its result
       if (filesystem.exists(mfPath))
         return StageResult(spark.read.parquet(dir), -1L, resumed = true)
@@ -81,44 +92,81 @@ object Checkpoint {
       // between our manifest probe and lock acquisition
       if (filesystem.exists(mfPath))
         return StageResult(spark.read.parquet(dir), -1L, resumed = true)
-      doCompute(spark, root, name, counters, compute)
-    } finally releaseLock(spark, root, name)
+      doCompute(spark, root, name, counters, compute, attemptId, heartbeatMs)
+    } finally releaseLock(spark, root, name, attemptId)
   }
 
   private def doCompute(spark: SparkSession, root: String, name: String,
       counters: DataFrame => Map[String, Long],
-      compute: => DataFrame): StageResult = {
+      compute: => DataFrame, attemptId: String, heartbeatMs: Long): StageResult = {
     val dir = s"$root/$name"
     val dataPath = new Path(dir)
     val mfPath = new Path(s"$dir/_MANIFEST.json")
     val filesystem = fs(spark, mfPath)
+    val lp = lockPath(root, name)
+
+    // mtime heartbeat: a compute running past StaleLockMs must not look
+    // crashed to a waiting writer (whose stale-steal would otherwise
+    // delete this attempt's in-progress output)
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(heartbeatMs)
+          try filesystem.setTimes(lp, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () } // stolen: commit check catches it
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-$name")
+    hb.setDaemon(true)
+    hb.start()
 
     val t0 = System.nanoTime()
-    // aborted prior attempt -> clobber
-    if (filesystem.exists(dataPath)) filesystem.delete(dataPath, true)
-    compute.write.mode("overwrite").parquet(dir)
-    val written = spark.read.parquet(dir)
+    try {
+      // aborted prior attempt -> clobber
+      if (filesystem.exists(dataPath)) filesystem.delete(dataPath, true)
+      compute.write.mode("overwrite").parquet(dir)
+      val written = spark.read.parquet(dir)
 
-    // per-partition lineage of the committed table (one row per read
-    // partition ~= parquet file split); per-stage dir is overwritten, so
-    // a recompute replaces (never duplicates) the stage's lineage
-    val lineage = written
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("rows_out"))
-      .select("partition_id", "rows_out")
-    lineage.write.mode("overwrite").parquet(s"$root/_lineage/stage=$name")
+      // per-partition lineage of the committed table (one row per read
+      // partition ~= parquet file split); per-stage dir is overwritten, so
+      // a recompute replaces (never duplicates) the stage's lineage
+      val lineage = written
+        .groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows_out"))
+        .select("partition_id", "rows_out")
+      lineage.write.mode("overwrite").parquet(s"$root/_lineage/stage=$name")
 
-    val rows = written.count()
-    val wallMs = (System.nanoTime() - t0) / 1000000L
-    val metrics = counters(written)
-    val metricsJson = metrics.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    val manifest =
-      s"""{"stage":"$name","rows":$rows,"wall_ms":$wallMs,"metrics":{$metricsJson}}"""
-    val out = filesystem.create(mfPath, true)
-    out.write(manifest.getBytes(StandardCharsets.UTF_8))
-    out.close()
-    StageResult(spark.read.parquet(dir), rows, resumed = false)
+      val rows = written.count()
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val metrics = counters(written)
+      val metricsJson = metrics.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val manifest =
+        s"""{"stage":"$name","rows":$rows,"wall_ms":$wallMs,"metrics":{$metricsJson}}"""
+
+      // ownership re-verify IMMEDIATELY before the commit: if the lock was
+      // stolen (holder paused past StaleLockMs despite the heartbeat — GC
+      // pause, FS hiccup), a competing writer may be mid-recompute over
+      // this directory; committing a manifest now could bless mixed
+      // partial output. Abort instead — the thief commits its own attempt.
+      if (!holdsLock(filesystem, lp, attemptId))
+        throw new IllegalStateException(
+          s"stage $name: writer lock lost during compute (attempt " +
+            s"$attemptId); aborting commit — a competing writer owns the stage")
+      val out = filesystem.create(mfPath, true)
+      out.write(manifest.getBytes(StandardCharsets.UTF_8))
+      out.close()
+      StageResult(spark.read.parquet(dir), rows, resumed = false)
+    } finally hb.interrupt()
   }
+
+  /** True iff the lock file exists and carries this attempt's id. */
+  private def holdsLock(filesystem: FileSystem, lp: Path, attemptId: String): Boolean =
+    try {
+      val in = filesystem.open(lp)
+      val bytes = new Array[Byte](filesystem.getFileStatus(lp).getLen.toInt)
+      in.readFully(bytes); in.close()
+      new String(bytes, StandardCharsets.UTF_8).contains(attemptId)
+    } catch { case _: java.io.IOException => false }
 
   private def lockPath(root: String, name: String) =
     new Path(s"$root/_locks/$name.lock")
@@ -127,7 +175,7 @@ object Checkpoint {
     * release or commit. Returns false when the wait expired (caller checks
     * for the competing commit). */
   private def acquireLock(spark: SparkSession, root: String, name: String,
-      waitMs: Long): Boolean = {
+      waitMs: Long, attemptId: String): Boolean = {
     val lp = lockPath(root, name)
     val filesystem = fs(spark, lp)
     val mfPath = new Path(s"$root/$name/_MANIFEST.json")
@@ -135,7 +183,8 @@ object Checkpoint {
     while (true) {
       try {
         val out = filesystem.create(lp, false) // atomic create-if-absent
-        out.write(s"""{"pid":${ProcessHandle.current().pid()},"ts":${System.currentTimeMillis()}}"""
+        out.write((s"""{"pid":${ProcessHandle.current().pid()},""" +
+          s""""attempt":"$attemptId","ts":${System.currentTimeMillis()}}""")
           .getBytes(StandardCharsets.UTF_8))
         out.close()
         return true
@@ -155,9 +204,15 @@ object Checkpoint {
     false
   }
 
-  private def releaseLock(spark: SparkSession, root: String, name: String): Unit = {
+  /** Ownership-checked release: a stolen lock belongs to the thief now —
+    * deleting it blindly would unlock the stage under the thief's feet. */
+  private def releaseLock(spark: SparkSession, root: String, name: String,
+      attemptId: String): Unit = {
     val lp = lockPath(root, name)
-    try fs(spark, lp).delete(lp, false) catch { case _: Throwable => () }
+    try {
+      val filesystem = fs(spark, lp)
+      if (holdsLock(filesystem, lp, attemptId)) filesystem.delete(lp, false)
+    } catch { case _: Throwable => () }
   }
 
   def readManifest(spark: SparkSession, root: String, name: String): Option[String] = {

@@ -90,6 +90,45 @@ class CheckpointSpec extends SparkSpec {
     assert(e.getMessage.contains("writer lock"))
   }
 
+  test("stolen lock aborts the commit instead of blessing mixed output") {
+    val root = Files.createTempDirectory("graft-ckpt5").toString
+    val lockFile = java.nio.file.Paths.get(s"$root/_locks/theft.lock")
+    val e = intercept[IllegalStateException] {
+      Checkpoint.stage(spark, root, "theft") {
+        // mid-compute, a competing writer presumes us crashed and steals
+        // the lock (delete + re-create with its own attempt id)
+        Files.delete(lockFile)
+        Files.writeString(lockFile,
+          s"""{"pid":0,"attempt":"thief","ts":${System.currentTimeMillis()}}""")
+        spark.range(3).toDF("v")
+      }
+    }
+    assert(e.getMessage.contains("lock lost"))
+    assert(!Checkpoint.isCommitted(spark, root, "theft"),
+      "a writer that lost its lock must never commit a manifest")
+    // the thief's lock must survive our release (ownership-checked delete)
+    assert(Files.readString(lockFile).contains("thief"))
+  }
+
+  test("heartbeat keeps a slow compute's lock mtime fresh") {
+    val root = Files.createTempDirectory("graft-ckpt6").toString
+    val lockFile = java.nio.file.Paths.get(s"$root/_locks/slow.lock")
+    @volatile var mtimeAtStart = 0L
+    @volatile var mtimeMidCompute = 0L
+    val r = Checkpoint.stage(spark, root, "slow", heartbeatMs = 100) {
+      mtimeAtStart = Files.getLastModifiedTime(lockFile).toMillis
+      Thread.sleep(1200) // several heartbeat periods
+      mtimeMidCompute = Files.getLastModifiedTime(lockFile).toMillis
+      spark.range(2).toDF("v")
+    }
+    assert(!r.resumed && r.rows == 2)
+    // the heartbeat must advance the lock mtime while the compute sleeps —
+    // a waiting writer's staleness clock keeps resetting, so a live holder
+    // is never presumed crashed no matter how long the compute runs
+    assert(mtimeMidCompute > mtimeAtStart,
+      s"lock mtime never advanced ($mtimeAtStart -> $mtimeMidCompute)")
+  }
+
   test("aborted write (no manifest) is recomputed, not served") {
     val root = Files.createTempDirectory("graft-ckpt2").toString
     import spark.implicits._
