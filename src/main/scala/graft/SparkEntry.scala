@@ -103,6 +103,9 @@ object SparkEntry {
         .toDF().persist())
   }
 
+  // memory-sink table names must be unique within a session
+  private val streamQueryIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -269,6 +272,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
           round(avg(col("value")), 4).as("avg_value"))
         .orderBy(col("event_type"))),
+    // the SAME windowed aggregation executed through Structured Streaming
+    // (file-stream source, maxFilesPerTrigger-forced incremental batches,
+    // watermark, memory sink) — the one driver query that runs the actual
+    // streaming engine; the oracle is the batch form, so stream == batch
+    // is checked by the driver itself (not just StreamingSpec)
+    "q_events_stream_windows" -> ((s, dir) => {
+      val qn = s"events_stream_q${streamQueryIds.incrementAndGet()}"
+      val q = graft.streaming.EventStream.streamFromParquet(
+        s, s"$dir/events.parquet", qn)
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      s.table(qn).orderBy(col("window_start"), col("event_type"))
+    }),
     // tumbling-window aggregation over the event stream table
     "q_events_windows" -> ((s, dir) =>
       events(s, dir)
@@ -597,6 +612,13 @@ object SparkEntry {
          FROM events GROUP BY 1""",
     "q_events_windows" ->
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // Spark's window('1 day') buckets are epoch-aligned in the session tz
+    // (UTC here), so the streaming result's window_start equals the batch
+    // day-truncation epoch — the driver itself verifies stream == batch
+    "q_events_stream_windows" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
                 event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
   )
