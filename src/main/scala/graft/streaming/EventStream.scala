@@ -54,6 +54,10 @@ object EventStream {
     * genuine incremental batches. */
   def streamFromParquet(spark: SparkSession, path: String,
       queryName: String): StreamingQuery = {
+    // short-lived sessions: keep the state-store maintenance thread from
+    // firing after the context stops (it would log RpcEndpointNotFound
+    // noise against the dead coordinator, one line per store partition)
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
     val schema = spark.read.parquet(path).schema
     // the file-stream source wants a directory: stream the parent with a
     // glob filter when given a single parquet file
