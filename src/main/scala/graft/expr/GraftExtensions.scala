@@ -31,5 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vector_norm"),
       info("vector_norm", "vector_norm(a) - L2 norm of a double array"),
       (es: Seq[Expression]) => VectorNorm(es.head)))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - merge-scan intersection size of two sorted long arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hashed_char_ngrams"),
+      info("hashed_char_ngrams",
+        "hashed_char_ngrams(text, n) - sorted distinct xxhash64 of character n-grams"),
+      (es: Seq[Expression]) => HashedCharNgrams(es(0), es(1))))
   }
 }

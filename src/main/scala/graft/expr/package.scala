@@ -35,11 +35,18 @@ package object expr {
   /** L2 norm of an array<double> column. */
   def vectorNorm(a: Column): Column = col(VectorNorm(ex(a)))
 
-  /** Register SQL names (popcount/dice/dice_pre) on a session. */
+  /** Register all SQL names on a live session (same surface as
+    * [[GraftExtensions]] gives a session built `.withExtensions`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("popcount", es => Popcount(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dice", es => DiceSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dice_pre", es => DiceSimilarityPre(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_norm", es => VectorNorm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_char_ngrams",
+      es => HashedCharNgrams(es(0), es(1)), "scala_udf")
   }
 }

@@ -123,5 +123,15 @@ class PlanSpec extends SparkSpec {
         " popcount(cast('a' as binary)) p").head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getInt(1) == Integer.bitCount('a'))
+    // the round-3 confirm-kernel expressions are SQL-reachable too
+    val r2 = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 7L, 9L)) i," +
+        " size(hashed_char_ngrams('abcd', 3)) g," +
+        " dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) dp," +
+        " vector_norm(array(3.0d, 4.0d)) nrm").head()
+    assert(r2.getInt(0) == 2)
+    assert(r2.getInt(1) == 2) // 'abc', 'bcd'
+    assert(r2.getDouble(2) == 11.0)
+    assert(r2.getDouble(3) == 5.0)
   }
 }
