@@ -284,6 +284,23 @@ object SparkEntry {
       try q.awaitTermination() finally if (q.isActive) q.stop()
       s.table(qn).orderBy(col("window_start"), col("event_type"))
     }),
+    // stateful streaming first-seen dedup driven through the REAL engine
+    // (file stream -> flatMapGroupsWithState -> memory sink): each dup_key
+    // is emitted exactly once across all micro-batches, so the result is
+    // the distinct key set — which is what the SQL oracle checks
+    "q_stream_first_seen" -> ((s, dir) => {
+      val qn = s"stream_firstseen_q${streamQueryIds.incrementAndGet()}"
+      val src = graft.streaming.EventStream
+        .parquetStream(s, s"$dir/documents.parquet")
+        .select(concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("k"))
+      val q = graft.streaming.EventStream.firstSeenKeys(src, "k")
+        .toDF("dup_key")
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      s.table(qn).orderBy(col("dup_key"))
+    }),
     // tumbling-window aggregation over the event stream table
     "q_events_windows" -> ((s, dir) =>
       events(s, dir)
@@ -614,6 +631,10 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
                 event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // exactly-once emission across micro-batches == the distinct key set
+    "q_stream_first_seen" ->
+      """SELECT DISTINCT array_to_string(str_split(text, ' ')[1:3], ' ') AS dup_key
+         FROM documents""",
     // Spark's window('1 day') buckets are epoch-aligned in the session tz
     // (UTC here), so the streaming result's window_start equals the batch
     // day-truncation epoch — the driver itself verifies stream == batch

@@ -17,27 +17,20 @@ import graft.expr.popcount
   */
 object ClkIO {
 
-  /** Read one fixed-width binary CLK file as a provider's records.
-    * Entity ids are the record's position in the file. Each file is one
-    * `binaryFile` row; slicing happens distributed per file, so a
-    * multi-file provider parallelizes per file.
-    */
+  /** Read fixed-width binary CLK file(s) as a provider's records.
+    * Entity ids are the record's position in its file. Delegates to the
+    * [[ClkDataSource]] DataSourceV2 (`format("clk")`): splits are
+    * record-aligned byte ranges, so even ONE multi-TB dump file
+    * parallelizes across the cluster (the earlier `binaryFile` path read
+    * each file as a single whole-blob task). */
   def readBinary(spark: SparkSession, path: String, dp: Int, encodingSize: Int): Dataset[Record] = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
-      .select($"path", $"content")
-      .as[(String, Array[Byte])]
-    val size = encodingSize
-    val dpId = dp
-    files.flatMap { case (p, bytes) =>
-      require(bytes.length % size == 0,
-        s"binary CLK file $p length ${bytes.length} not a multiple of $size")
-      val n = bytes.length / size
-      (0 until n).iterator.map { i =>
-        val clk = java.util.Arrays.copyOfRange(bytes, i * size, (i + 1) * size)
-        Record(dpId, i.toLong, clk, graft.core.BitOps.popcount(clk))
-      }
-    }
+    spark.read.format("clk")
+      .option("dp", dp)
+      .option("encodingSize", encodingSize)
+      .load(path)
+      .withColumnRenamed("entity_id", "entityId")
+      .as[Record]
   }
 
   /** Normalize any of the three JSON upload formats to

@@ -52,26 +52,29 @@ object EventStream {
     * windowed aggregation into an in-memory table; returns the query
     * (caller calls processAllAvailable + stop). maxFilesPerTrigger forces
     * genuine incremental batches. */
-  def streamFromParquet(spark: SparkSession, path: String,
-      queryName: String): StreamingQuery = {
+  /** A genuine file-stream source over an existing parquet table
+    * (maxFilesPerTrigger forces incremental micro-batches). The source
+    * wants a directory; a single-file path streams the parent with a glob
+    * filter. */
+  def parquetStream(spark: SparkSession, path: String): DataFrame = {
     // short-lived sessions: keep the state-store maintenance thread from
     // firing after the context stops (it would log RpcEndpointNotFound
     // noise against the dead coordinator, one line per store partition)
     spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
     val schema = spark.read.parquet(path).schema
-    // the file-stream source wants a directory: stream the parent with a
-    // glob filter when given a single parquet file
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-    val events =
-      if (fs.getFileStatus(p).isFile)
-        reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
-      else reader.parquet(path)
-    windowedRates(events)
+    if (fs.getFileStatus(p).isFile)
+      reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
+    else reader.parquet(path)
+  }
+
+  def streamFromParquet(spark: SparkSession, path: String,
+      queryName: String): StreamingQuery =
+    windowedRates(parquetStream(spark, path))
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
-  }
 }

@@ -54,13 +54,40 @@ class ClkIOSpec extends SparkSpec {
     assert(k.filter(_.clk.length != 128).count() == 0)
   }
 
+  test("clk DataSourceV2: record-aligned splits, layout-invariant result") {
+    import spark.implicits._
+    // force many small splits (1000 x 128 B file, 4 KiB splits -> 32
+    // record-aligned ranges) and check bytes + positional ids match the
+    // single-split read exactly
+    def read(splitBytes: Long) = spark.read.format("clk")
+      .option("dp", 1).option("encodingSize", 128)
+      .option("splitBytes", splitBytes)
+      .load(s"$fixturesDir/clks_128B_1k.bin")
+      .select($"entity_id", base64($"clk").as("b64"), $"popcount")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    val whole = read(1L << 30)
+    val split = read(4096)
+    assert(whole.length == 1000 && split.sameElements(whole))
+    val parts = spark.read.format("clk")
+      .option("dp", 1).option("encodingSize", 128).option("splitBytes", 4096)
+      .load(s"$fixturesDir/clks_128B_1k.bin").rdd.getNumPartitions
+    assert(parts == 32, s"expected 32 record-aligned splits, got $parts")
+    // missing encodingSize is a clear planning error
+    val e = intercept[Exception] {
+      spark.read.format("clk").load(s"$fixturesDir/single_clk.bin").count()
+    }
+    assert(e.getMessage.contains("encodingSize") ||
+      Option(e.getCause).exists(_.getMessage.contains("encodingSize")))
+  }
+
   // --- negative-path battery (the reference's upload edge cases,
   // --- e2etests/tests/test_project_uploads.py) ---
 
   test("binary upload whose length is not a multiple of the encoding size fails") {
     val dir = Files.createTempDirectory("clkio-neg").toString
     Files.write(java.nio.file.Paths.get(s"$dir/bad.bin"), new Array[Byte](300))
-    val e = intercept[org.apache.spark.SparkException] {
+    // V2 source: the length check fires at split planning (driver side)
+    val e = intercept[Exception] {
       ClkIO.readBinary(spark, s"$dir/bad.bin", 0, 128).count()
     }
     assert(e.getMessage.contains("not a multiple") ||
