@@ -201,10 +201,11 @@ object SparkEntry {
       Dedup.exactGroups(docs(s, dir),
         concat_ws(" ", slice(split(col("text"), " "), 1, 3)), col("doc_id"))
         .orderBy(col("dup_key"))),
-    // token counting
+    // token counting (whitespace + BPE-ish pre-tokenizer regex)
     "q_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.distinctTokenCount(col("text")).as("n_distinct"))
+        TextOps.distinctTokenCount(col("text")).as("n_distinct"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))),
     // quality scoring
     "q_quality" -> ((s, dir) => {
@@ -544,9 +545,14 @@ object SparkEntry {
       """SELECT array_to_string(str_split(text, ' ')[1:3], ' ') AS dup_key,
                 min(doc_id) AS keeper_id, count(*) AS group_size
          FROM documents GROUP BY 1""",
+    // the BPE-ish pattern is leftmost-first in both Java regex and RE2;
+    // the SQL literal doubles the pattern's single quotes
     "q_token_count" ->
       """SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-                CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct
+                CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct,
+                CAST(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+                  AS BIGINT) AS n_bpe_tokens
          FROM documents""",
     "q_quality" ->
       """SELECT doc_id,

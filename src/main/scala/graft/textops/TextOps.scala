@@ -22,6 +22,20 @@ object TextOps {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(split(text, " "))).cast("long")
 
+  /** GPT-2-style pre-tokenizer regex, ASCII-simplified: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs. Leftmost-first alternation behaves identically in
+    * Java regex (Spark) and RE2 (the DuckDB oracle) — verified on
+    * contraction/mixed-alnum cases in TextOpsSpec. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** BPE-ish subword pre-token count — the token-count estimate an LLM
+    * data pipeline budgets with (whitespace counts undercount punctuation
+    * and contractions that BPE tokenizers split). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Quality scoring: token count, type-token ratio, mean token length —
     * the length/diversity heuristics of web-corpus quality filters. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {

@@ -26,6 +26,23 @@ class TextOpsSpec extends SparkSpec {
     assert(survivors < docs.count())
   }
 
+  test("bpeTokenCount: GPT-2-style pre-token counts on contraction/mixed cases") {
+    import spark.implicits._
+    // expected values computed by hand against the documented pattern
+    // (contraction suffixes split off; digit/letter runs split; punct runs
+    // one token; whitespace runs one token each)
+    val cases = Seq(
+      ("the cat's hat isn't here", 7L),  // the| cat|'s| hat| isn|'t| here
+      ("hello  world", 3L),              // hello|(1 space)|( world)
+      ("a1b2 3.14, x!", 10L),
+      ("don't stop", 3L),
+      ("it's 100% a2z", 7L))
+    val got = cases.toDF("text", "want")
+      .select(TextOps.bpeTokenCount($"text").as[Long], $"want".as[Long])
+      .collect()
+    got.foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
   test("unigramLogProb: probabilities valid, repeated-token doc scores higher") {
     import spark.implicits._
     val docs = Seq((1L, "aa aa aa aa"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
