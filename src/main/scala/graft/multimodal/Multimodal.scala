@@ -92,6 +92,50 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(doc: Long, ok: Boolean, outWidth: Int,
+      outHeight: Int, resized: Array[Byte])
+
+  /** REAL image resize over a binary column: ImageIO decode → bilinear
+    * Graphics2D scale → PNG re-encode, per-partition batches (the codec/
+    * buffer state amortizes like a pandas-UDF batch). Payloads no JDK
+    * reader accepts pass through with `ok = false` and the original
+    * bytes, so a mixed corpus keeps its schema and row count — the
+    * standard shape of a best-effort media-normalization stage at scale
+    * (filter on `ok` downstream). */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    require(outW > 0 && outH > 0, s"target dims must be positive: ${outW}x$outH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)))
+            catch { case _: Throwable => None }
+          decoded match {
+            case Some(img) =>
+              val out = new java.awt.image.BufferedImage(outW, outH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, outW, outH, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              ResizedMedia(id, ok = true, outW, outH, bos.toByteArray)
+            case None =>
+              ResizedMedia(id, ok = false, 0, 0, payload)
+          }
+        }
+      }
+  }
+
   /** Frame sampling stub: split a binary "video" payload into fixed-size
     * frames and keep every `stride`-th — exercises the explode/slice
     * plumbing of per-frame rows. */

@@ -313,6 +313,36 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).feature.toSeq == decoded.feature.toSeq)
   }
 
+  test("resizeImages: real bilinear resize, PNG re-encode, pass-through for non-images") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 20; y <- 0 until 10)
+      img.setRGB(x, y, (x * 12) << 16 | (y * 25) << 8 | 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val notAnImage = "plain text".getBytes("UTF-8")
+
+    val rows = Multimodal.resizeImages(
+      Seq((1L, png), (2L, notAnImage)).toDF("id", "payload"),
+      "id", "payload", outW = 8, outH = 6).collect().sortBy(_.doc)
+    val ok = rows(0)
+    assert(ok.ok && ok.outWidth == 8 && ok.outHeight == 6)
+    // output is a real PNG with the requested dimensions
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ok.resized))
+    assert(round != null && round.getWidth == 8 && round.getHeight == 6)
+    // non-image passes through unchanged, flagged
+    val thru = rows(1)
+    assert(!thru.ok && thru.resized.toSeq == notAnImage.toSeq)
+    // determinism: same bytes out on a second run
+    val again = Multimodal.resizeImages(
+      Seq((1L, png)).toDF("id", "payload"), "id", "payload", 8, 6)
+      .collect().head
+    assert(again.resized.toSeq == ok.resized.toSeq)
+  }
+
   test("frame sampling slices fixed-size frames with stride") {
     import spark.implicits._
     val df = Seq((1L, Array.tabulate[Byte](100)(_.toByte))).toDF("id", "payload")
