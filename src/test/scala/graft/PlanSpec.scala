@@ -30,6 +30,20 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("event_type") && pushed.contains("value"), plan)
   }
 
+  test("driver queries: pushdown + pruning reach their parquet scans") {
+    // q_topk_cosine's query-side filter must land in the scan, not a
+    // post-scan Filter over the full embeddings table
+    val topk = SparkEntry.queries("q_topk_cosine")(spark, sfSmall)
+    val tp = executed(topk)
+    assert(tp.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("vec_id")), tp)
+    // q_token_count must read only (doc_id, text) of documents
+    val tc = SparkEntry.queries("q_token_count")(spark, sfSmall)
+    val read = executed(tc).linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("n_chars"), read)
+  }
+
   test("block-stats side of the scoring plan is broadcast") {
     import spark.implicits._
     val blocked = graft.link.Pipeline.defaultBlock(
