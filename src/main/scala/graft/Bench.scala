@@ -74,6 +74,33 @@ object Bench {
     threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** DRAM-streaming throughput of `threads` concurrent sequential sweeps
+    * over private 64 MiB long arrays (aggregate GB/s) — the SHARED-memory
+    * ceiling, as opposed to [[cpuOps]]'s L1-resident compute ceiling. On
+    * one box all threads share a memory subsystem; when this number goes
+    * flat from 8 to 32 threads while cpuOps still scales, an 8→32
+    * efficiency drop is bandwidth, not scheduling. */
+  private def memGbps(threads: Int): Double = {
+    val words = 8 * 1024 * 1024 // 64 MiB per thread
+    val arrays = Array.fill(threads)(Array.tabulate[Long](words)(_.toLong))
+    def sweep(a: Array[Long], passes: Int): Long = {
+      var acc = 0L; var p = 0
+      while (p < passes) {
+        var i = 0
+        while (i < a.length) { acc += a(i); i += 1 }
+        p += 1
+      }
+      acc
+    }
+    sweep(arrays(0), 1) // JIT warmup
+    val passes = 6
+    val ts = arrays.map(a => new Thread(() => { sweep(a, passes); () }))
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val bytes = threads.toDouble * words * 8 * passes
+    bytes / ((System.nanoTime() - t0) / 1e9) / 1e9
+  }
+
   /** The scaling job; returns wall seconds (records pre-encoded+cached so
     * the measurement covers chunking + scoring + dedup + count). */
   private def linkOnce(spark: SparkSession, records: org.apache.spark.sql.DataFrame,
@@ -83,7 +110,8 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private case class Level(cores: Int, wall: Double, pairsPerSec: Double, cpu: Double)
+  private case class Level(cores: Int, wall: Double, pairsPerSec: Double,
+      cpu: Double, memGb: Double)
 
   /** One measurement of one level: fresh session, persisted pre-encoded
     * records, best of `runs` job executions (run 1 doubles as the
@@ -98,8 +126,9 @@ object Bench {
     records.count()
     val best = (1 to runs).map(_ => linkOnce(spark, records, 0.95)).min
     val cpu = cpuOps(cores)
+    val mem = memGbps(cores)
     spark.stop()
-    Level(cores, best, n.toLong * n / best, cpu)
+    Level(cores, best, n.toLong * n / best, cpu, mem)
   }
 
   /** Reference big-benchmark shape at reduced scale: two providers pushed
@@ -166,7 +195,7 @@ object Bench {
     val levelCores = Seq(2, 8, 32)
     val comparisons = scaleN.toLong * scaleN
     val sweeps =
-      if (skipScaling) Seq(levelCores.map(c => Level(c, 1.0, 1.0, 1.0)))
+      if (skipScaling) Seq(levelCores.map(c => Level(c, 1.0, 1.0, 1.0, 1.0)))
       else (1 to sweepsN).map { _ =>
         levelCores.map(c => measureLevel(c, scaleN, runsPerLevel))
       }
@@ -209,7 +238,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def levelJson(l: Level) =
-      s""""local${l.cores}":{"sec":${r3(l.wall)},"pairs_per_sec":${l.pairsPerSec.toLong},"host_cpu_ops":${l.cpu.toLong}}"""
+      s""""local${l.cores}":{"sec":${r3(l.wall)},"pairs_per_sec":${l.pairsPerSec.toLong},"host_cpu_ops":${l.cpu.toLong},"host_mem_gbps":${r3(l.memGb)}}"""
     val sweepJson = sweeps.map { s =>
       val (e28, e28h) = sweepEff(s, 2, 8)
       val (e832, e832h) = sweepEff(s, 8, 32)
