@@ -199,11 +199,16 @@ object Bench {
       else (1 to sweepsN).map { _ =>
         levelCores.map(c => measureLevel(c, scaleN, runsPerLevel))
       }
-    def sweepEff(s: Seq[Level], a: Int, b: Int): (Double, Double) = {
+    def sweepEff(s: Seq[Level], a: Int, b: Int): (Double, Double, Double) = {
       val (la, lb) = (s.find(_.cores == a).get, s.find(_.cores == b).get)
-      val raw = (lb.pairsPerSec / la.pairsPerSec) / (b.toDouble / a)
-      val host = if (la.cpu > 0) (lb.pairsPerSec / la.pairsPerSec) / (lb.cpu / la.cpu) else 0.0
-      (r3(raw), r3(host))
+      val ratio = lb.pairsPerSec / la.pairsPerSec
+      val raw = ratio / (b.toDouble / a)
+      val host = if (la.cpu > 0) ratio / (lb.cpu / la.cpu) else 0.0
+      // vs what the shared memory subsystem actually delivered at each
+      // thread count in this window — the chunk kernel streams past L3,
+      // so this is the relevant hardware ceiling of one box
+      val mem = if (la.memGb > 0) ratio / (lb.memGb / la.memGb) else 0.0
+      (r3(raw), r3(host), r3(mem))
     }
     // ONE headline sweep by combined score (see the object scaladoc for
     // the corruption modes this guards against); per-level numbers and
@@ -215,8 +220,8 @@ object Bench {
       sweepEff(s, 2, 8)._1 <= 1.05 && sweepEff(s, 8, 32)._1 <= 1.05)
     val pool = if (validSweeps.nonEmpty) validSweeps else sweeps
     val headlineSweep = pool.maxBy(clamped)
-    val (eff28, eff28h) = sweepEff(headlineSweep, 2, 8)
-    val (eff832, eff832h) = sweepEff(headlineSweep, 8, 32)
+    val (eff28, eff28h, eff28m) = sweepEff(headlineSweep, 2, 8)
+    val (eff832, eff832h, eff832m) = sweepEff(headlineSweep, 8, 32)
     // eff > ~1 is super-linear = measurement artifact, not good scaling
     val windowValid = eff28 <= 1.05 && eff832 <= 1.05
     // cross-sweep picture for the north-rule gate (>= 0.8 at N -> 4N)
@@ -240,18 +245,18 @@ object Bench {
     def levelJson(l: Level) =
       s""""local${l.cores}":{"sec":${r3(l.wall)},"pairs_per_sec":${l.pairsPerSec.toLong},"host_cpu_ops":${l.cpu.toLong},"host_mem_gbps":${r3(l.memGb)}}"""
     val sweepJson = sweeps.map { s =>
-      val (e28, e28h) = sweepEff(s, 2, 8)
-      val (e832, e832h) = sweepEff(s, 8, 32)
+      val (e28, e28h, e28m) = sweepEff(s, 2, 8)
+      val (e832, e832h, e832m) = sweepEff(s, 8, 32)
       s.map(levelJson).mkString("{", ",", ",") +
-        s""""eff_2_to_8":$e28,"eff_vs_host_2_to_8":$e28h,""" +
-        s""""eff_8_to_32":$e832,"eff_vs_host_8_to_32":$e832h}"""
+        s""""eff_2_to_8":$e28,"eff_vs_host_2_to_8":$e28h,"eff_vs_membw_2_to_8":$e28m,""" +
+        s""""eff_8_to_32":$e832,"eff_vs_host_8_to_32":$e832h,"eff_vs_membw_8_to_32":$e832m}"""
     }.mkString("[", ",", "]")
     val scaling =
       s"""{"job":"2x$scaleN all-pairs dice t=0.95","comparisons":$comparisons,""" +
       s""""method":"interleaved same-window sweeps (levels 2,8,32 per sweep); headline = ONE sweep with the best combined (2->8)+(8->32) efficiency, each step clamped at 1.05, super-linear sweeps excluded (a corrupted-slow leg inflates one step; combining both steps penalizes any non-uniform window); all sweeps listed raw",""" +
       headlineSweep.map(levelJson).mkString("", ",", ",") +
-      s""""scaling_efficiency_2_to_8":$eff28,"efficiency_vs_host_2_to_8":$eff28h,""" +
-      s""""scaling_efficiency_8_to_32":$eff832,"efficiency_vs_host_8_to_32":$eff832h,""" +
+      s""""scaling_efficiency_2_to_8":$eff28,"efficiency_vs_host_2_to_8":$eff28h,"efficiency_vs_membw_2_to_8":$eff28m,""" +
+      s""""scaling_efficiency_8_to_32":$eff832,"efficiency_vs_host_8_to_32":$eff832h,"efficiency_vs_membw_8_to_32":$eff832m,""" +
       s""""window_valid":$windowValid,""" +
       s""""best_sweep_eff_2_to_8":${r3(best28)},"sweeps_meeting_gate_2_to_8":$gateMet28,"sweeps_total":${sweeps.length},""" +
       s""""sweeps":$sweepJson}"""
