@@ -16,6 +16,12 @@ run / fork := true
 // recorded parsed:null in rounds 1-2). StdoutOutput makes the forked JVM
 // inherit sbt's own stdout fd — the JSON line arrives clean.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's "[success] Total time: ..." epilogue so the JSON
+// line is the LAST line on stdout (rounds 1-3: the driver's bench parse
+// read the trailing epilogue and recorded parsed:null).
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,6 +55,13 @@ object Bench {
     s
   }
 
+  /** Volatile sink for the microbench loops: an AtomicLong add is a
+    * side-effecting volatile write the JIT cannot dead-code-eliminate, so
+    * the measured loops below can't be optimized away (which would
+    * silently inflate host_cpu_ops / host_mem_gbps — the numbers the
+    * bandwidth-normalized scaling evidence is built on). */
+  private val benchSink = new java.util.concurrent.atomic.AtomicLong
+
   /** Pure-CPU (L1-resident, no shared-memory traffic) throughput of
     * `threads` spinning popcount loops — the host's compute ceiling. */
   private def cpuOps(threads: Int): Double = {
@@ -67,8 +74,8 @@ object Bench {
       }
       acc
     }
-    work(iters / 4) // warmup/JIT
-    val ts = Array.fill(threads)(new Thread(() => { work(iters); () }))
+    benchSink.addAndGet(work(iters / 4)) // warmup/JIT
+    val ts = Array.fill(threads)(new Thread(() => { benchSink.addAndGet(work(iters)); () }))
     val t0 = System.nanoTime()
     ts.foreach(_.start()); ts.foreach(_.join())
     threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
@@ -92,9 +99,9 @@ object Bench {
       }
       acc
     }
-    sweep(arrays(0), 1) // JIT warmup
+    benchSink.addAndGet(sweep(arrays(0), 1)) // JIT warmup
     val passes = 6
-    val ts = arrays.map(a => new Thread(() => { sweep(a, passes); () }))
+    val ts = arrays.map(a => new Thread(() => { benchSink.addAndGet(sweep(a, passes)); () }))
     val t0 = System.nanoTime()
     ts.foreach(_.start()); ts.foreach(_.join())
     val bytes = threads.toDouble * words * 8 * passes
@@ -182,20 +189,34 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").limit(500)
         .groupBy("lang").count().count()
     }
+    // Round-3 driver window read 333.6 s for queries a calm re-run does in
+    // 37.2 s (9x co-tenant inflation, illegible from the artifact alone).
+    // Two mitigations: best-of-N per query (a brief load spike can't taint
+    // a query's number twice), and a same-window host microbench + OS
+    // loadavg recorded NEXT TO the query map so a reader can normalize.
+    val queryRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "2").toInt
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
+    val qHostCpuBefore = if (skipQueries) 0.0 else cpuOps(cpus)
     val results =
       if (skipQueries) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val runs = (1 to queryRuns).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> runs.min
       }
+    val qHostCpuAfter = if (skipQueries) 0.0 else cpuOps(cpus)
+    val loadAfter = osBean.getSystemLoadAverage
     spark.stop()
 
     // --- north-rule scaling evidence: interleaved same-window sweeps ---
     val levelCores = Seq(2, 8, 32)
     val comparisons = scaleN.toLong * scaleN
     val sweeps =
-      if (skipScaling) Seq(levelCores.map(c => Level(c, 1.0, 1.0, 1.0, 1.0)))
+      if (skipScaling) Seq.empty
       else (1 to sweepsN).map { _ =>
         levelCores.map(c => measureLevel(c, scaleN, runsPerLevel))
       }
@@ -216,18 +237,6 @@ object Bench {
     // cherry-pick across windows.
     def clamped(s: Seq[Level]): Double =
       math.min(sweepEff(s, 2, 8)._1, 1.05) + math.min(sweepEff(s, 8, 32)._1, 1.05)
-    val validSweeps = sweeps.filter(s =>
-      sweepEff(s, 2, 8)._1 <= 1.05 && sweepEff(s, 8, 32)._1 <= 1.05)
-    val pool = if (validSweeps.nonEmpty) validSweeps else sweeps
-    val headlineSweep = pool.maxBy(clamped)
-    val (eff28, eff28h, eff28m) = sweepEff(headlineSweep, 2, 8)
-    val (eff832, eff832h, eff832m) = sweepEff(headlineSweep, 8, 32)
-    // eff > ~1 is super-linear = measurement artifact, not good scaling
-    val windowValid = eff28 <= 1.05 && eff832 <= 1.05
-    // cross-sweep picture for the north-rule gate (>= 0.8 at N -> 4N)
-    val all28 = sweeps.map(s => sweepEff(s, 2, 8)._1)
-    val best28 = all28.max
-    val gateMet28 = all28.count(e => e >= 0.8 && e <= 1.05)
 
     // --- reference blocked shape, reduced (100Kx1M -> 10Kx100K) ---
     val (bWall, bEdges, bCmp) =
@@ -244,14 +253,29 @@ object Bench {
     val total = results.map(_._2).sum
     def levelJson(l: Level) =
       s""""local${l.cores}":{"sec":${r3(l.wall)},"pairs_per_sec":${l.pairsPerSec.toLong},"host_cpu_ops":${l.cpu.toLong},"host_mem_gbps":${r3(l.memGb)}}"""
-    val sweepJson = sweeps.map { s =>
-      val (e28, e28h, e28m) = sweepEff(s, 2, 8)
-      val (e832, e832h, e832m) = sweepEff(s, 8, 32)
-      s.map(levelJson).mkString("{", ",", ",") +
-        s""""eff_2_to_8":$e28,"eff_vs_host_2_to_8":$e28h,"eff_vs_membw_2_to_8":$e28m,""" +
-        s""""eff_8_to_32":$e832,"eff_vs_host_8_to_32":$e832h,"eff_vs_membw_8_to_32":$e832m}"""
-    }.mkString("[", ",", "]")
-    val scaling =
+    // Skipped runs emit an explicit marker instead of placeholder levels —
+    // a downstream consumer must never mistake synthetic values for a
+    // measurement.
+    val scaling = if (skipScaling) """{"skipped":true}""" else {
+      val validSweeps = sweeps.filter(s =>
+        sweepEff(s, 2, 8)._1 <= 1.05 && sweepEff(s, 8, 32)._1 <= 1.05)
+      val pool = if (validSweeps.nonEmpty) validSweeps else sweeps
+      val headlineSweep = pool.maxBy(clamped)
+      val (eff28, eff28h, eff28m) = sweepEff(headlineSweep, 2, 8)
+      val (eff832, eff832h, eff832m) = sweepEff(headlineSweep, 8, 32)
+      // eff > ~1 is super-linear = measurement artifact, not good scaling
+      val windowValid = eff28 <= 1.05 && eff832 <= 1.05
+      // cross-sweep picture for the north-rule gate (>= 0.8 at N -> 4N)
+      val all28 = sweeps.map(s => sweepEff(s, 2, 8)._1)
+      val best28 = all28.max
+      val gateMet28 = all28.count(e => e >= 0.8 && e <= 1.05)
+      val sweepJson = sweeps.map { s =>
+        val (e28, e28h, e28m) = sweepEff(s, 2, 8)
+        val (e832, e832h, e832m) = sweepEff(s, 8, 32)
+        s.map(levelJson).mkString("{", ",", ",") +
+          s""""eff_2_to_8":$e28,"eff_vs_host_2_to_8":$e28h,"eff_vs_membw_2_to_8":$e28m,""" +
+          s""""eff_8_to_32":$e832,"eff_vs_host_8_to_32":$e832h,"eff_vs_membw_8_to_32":$e832m}"""
+      }.mkString("[", ",", "]")
       s"""{"job":"2x$scaleN all-pairs dice t=0.95","comparisons":$comparisons,""" +
       s""""method":"interleaved same-window sweeps (levels 2,8,32 per sweep); headline = ONE sweep with the best combined (2->8)+(8->32) efficiency, each step clamped at 1.05, super-linear sweeps excluded (a corrupted-slow leg inflates one step; combining both steps penalizes any non-uniform window); all sweeps listed raw",""" +
       headlineSweep.map(levelJson).mkString("", ",", ",") +
@@ -260,14 +284,26 @@ object Bench {
       s""""window_valid":$windowValid,""" +
       s""""best_sweep_eff_2_to_8":${r3(best28)},"sweeps_meeting_gate_2_to_8":$gateMet28,"sweeps_total":${sweeps.length},""" +
       s""""sweeps":$sweepJson}"""
+    }
     val blockedJson =
       s"""{"shape":"10000x100000 LSH-blocked dice t=0.8","sec":${r3(bWall)},""" +
       s""""edges":$bEdges,"comparisons_after_blocking":$bCmp}"""
     val blockedFullJson = full.map { case (w, e, c) =>
       s""","blocked_full":{"shape":"100000x1000000 LSH-blocked dice t=0.8 (reference benchmarking/default-experiments.json full size)","sec":${r3(w)},"edges":$e,"comparisons_after_blocking":$c}"""
     }.getOrElse("")
+    // Same-window host evidence for the query section (round-3 driver
+    // window was 9x inflated by co-tenant load with nothing in the
+    // artifact to show it): per-query best-of-N, plus a host-CPU
+    // microbench and OS loadavg bracketing the query block. Calibration:
+    // calm-window host_cpu_ops at local[32] reads ~19e9 on this box; a
+    // query total far above ~40 s with host_cpu_ops well below that is
+    // window noise, not regression.
+    val queriesEnv =
+      s"""{"runs_per_query":$queryRuns,"host_cpu_ops_before":${qHostCpuBefore.toLong},""" +
+      s""""host_cpu_ops_after":${qHostCpuAfter.toLong},""" +
+      s""""loadavg_before":${r3(loadBefore)},"loadavg_after":${r3(loadAfter)}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_env":$queriesEnv,"sf":"$sfDir",""" +
       s""""scaling":$scaling,"blocked":$blockedJson$blockedFullJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
