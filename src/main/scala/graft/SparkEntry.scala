@@ -64,6 +64,17 @@ object SparkEntry {
         xxhash64(lit(42L), col("id")).as("h"),
         xxhash64(lit(43L), col("id")).as("h0"),
         xxhash64(lit(44L), col("id")).as("h1"))),
+    // raw media payloads of the er_pages_media_features corpus (ASCII
+    // html, so a string dump is byte-faithful); the oracle replays the
+    // decode dispatch in SQL: no JDK image reader accepts these payloads,
+    // so every row takes Multimodal.decodeStub, whose dims derive from
+    // java.util.Arrays.hashCode — 32-bit wrap arithmetic DuckDB can
+    // replay exactly (same pattern as the q_fingerprint FNV-1a oracle)
+    "media_payloads" -> ((s, _) => {
+      val pages = graft.ingest.PagesSynth.pages(s, Seq(500, 500))
+      pages.toDF().select(col("entity_id").cast("long").as("doc"),
+        col("html").cast("string").as("payload"))
+    }),
   )
 
   // IVF centroid training sums floats in partition order — consistent
@@ -390,6 +401,38 @@ object SparkEntry {
                (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
                  % 18446744073709551616::HUGEINT) AS h
            FROM documents)""",
+    // Multimodal metadata replayed from the raw payload dump: these ASCII
+    // html payloads are rejected by every JDK image reader, so the decode
+    // dispatch lands in decodeStub for all rows — dims are pure functions
+    // of java.util.Arrays.hashCode(payload) (h=1; h=31*h+b, 32-bit wrap;
+    // bytes are ASCII so unsigned ord == signed byte), and Java's
+    // truncate-toward-zero / and % are replayed with explicit sign cases
+    // (DuckDB's // floors). The luminance feature vector stays spec-gated
+    // (MultimodalSpec) and is dropped from the query projection.
+    "er_pages_media_features" ->
+      s"""WITH h AS (
+           SELECT doc,
+             list_reduce(
+               list_prepend(1::HUGEINT,
+                 list_transform(range(1, length(payload) + 1),
+                   i -> ord(substr(payload, i, 1))::HUGEINT)),
+               (acc, b) -> (acc * 31 + b) % 4294967296::HUGEINT) AS hu
+           FROM '$OracleAuxDir/media_payloads/*.parquet'),
+         s AS (
+           SELECT doc,
+             CAST(CASE WHEN hu >= 2147483648::HUGEINT
+                  THEN hu - 4294967296::HUGEINT ELSE hu END AS BIGINT) AS hs
+           FROM h),
+         d AS (
+           SELECT doc, hs,
+             CASE WHEN hs >= 0 THEN hs // 961 ELSE -((-hs) // 961) END AS q
+           FROM s)
+         SELECT doc,
+           CAST(64 + abs(hs - q * 961) AS INT) AS width,
+           CAST(64 + abs(q - (CASE WHEN q >= 0 THEN q // 961
+                ELSE -((-q) // 961) END) * 961) AS INT) AS height,
+           3 AS channels
+         FROM d""",
     // B1/B3 over the pages corpus, replayed from the block-key dump
     "er_pages_block_stats" ->
       s"""WITH m AS (SELECT dp, entity_id, unnest(bks) AS block_key
