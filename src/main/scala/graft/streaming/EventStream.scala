@@ -48,6 +48,56 @@ object EventStream {
       }
   }
 
+  /** TTL-bounded variant of [[firstSeenKeys]] — the scale-safe default
+    * for unbounded streams: per-key state expires once the WATERMARK
+    * passes `last sighting + ttlMs` (sliding TTL — every sighting pushes
+    * the deadline, so hot keys stay deduped while cold keys release their
+    * state), and a key re-emits if it reappears after expiry. State size
+    * is bounded by the distinct keys per TTL window instead of the whole
+    * stream history.
+    *
+    * Event-time (watermark) expiry is deliberate: processing-time
+    * timeouts make FlatMapGroupsWithStateExec report "may need another
+    * batch" unconditionally, so an AvailableNow/Once drain spins empty
+    * micro-batches forever (measured here — hundreds of batches/min);
+    * event-time timers fire only when the watermark moves, terminate
+    * cleanly, and are reprocessing-deterministic (a replay of the same
+    * data expires the same keys). Over a batch Dataset timeouts never
+    * fire, so semantics degrade to exactly [[firstSeenKeys]]
+    * (spec-pinned). */
+  def firstSeenKeysTtl(df: DataFrame, keyCol: String, tsCol: String,
+      ttlMs: Long, watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val cast = df.select(col(keyCol).cast("string").as("k"),
+      col(tsCol).cast("timestamp").as("ts"))
+    val base = if (cast.isStreaming) cast.withWatermark("ts", watermarkDelay) else cast
+    base.as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val deadline = it.map(_._2.getTime).max + ttlMs
+            // batch mode has no watermark (timeouts never fire there)
+            val wm = try state.getCurrentWatermarkMs() catch { case _: Exception => 0L }
+            val alive = deadline > wm
+            if (state.exists) {
+              if (alive) state.setTimeoutTimestamp(deadline)
+              Iterator.empty
+            } else {
+              // deadline already behind the watermark -> emit but store no
+              // state (it would be unexpirable: timers must be > watermark)
+              if (alive) { state.update(true); state.setTimeoutTimestamp(deadline) }
+              Iterator.single(key)
+            }
+          }
+      }
+  }
+
   /** Drive a parquet-backed stream of the events table through the
     * windowed aggregation into an in-memory table; returns the query
     * (caller calls processAllAvailable + stop). maxFilesPerTrigger forces

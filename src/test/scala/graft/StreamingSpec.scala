@@ -89,4 +89,46 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(in), "k").collect().toList
     assert(batchGot.sorted == List("a", "b", "c", "d"))
   }
+
+  test("TTL first-seen dedup: watermark-expired keys re-emit; batch parity") {
+    import spark.implicits._
+    // Event-time TTL = 1 day, watermark delay 0. Timeline (one query run,
+    // one file per micro-batch; the watermark for batch N is the max
+    // event time through batch N-1):
+    //   f1: a@day1        -> emit a, deadline day2
+    //   f2: b@day5        -> wm=day1: a alive; emit b
+    //   f3: c@day9        -> wm=day5 > day2: a EXPIRES; emit c
+    //   f4: a@day9 18:00  -> wm=day9: a re-emits (state was released)
+    val dir = java.nio.file.Files.createTempDirectory("fsdttl").toString
+    val in = s"$dir/stream"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def write(name: String, rows: Seq[(String, String)]): Unit = {
+      val tmp = s"$dir/$name-tmp"
+      rows.map { case (k, d) => (k, java.sql.Timestamp.valueOf(d)) }
+        .toDF("k", "ts").coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    write("f1", Seq(("a", "2024-01-01 12:00:00"), ("a", "2024-01-01 13:00:00")))
+    write("f2", Seq(("b", "2024-01-05 12:00:00")))
+    write("f3", Seq(("c", "2024-01-09 12:00:00")))
+    write("f4", Seq(("a", "2024-01-09 18:00:00")))
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = EventStream.firstSeenKeysTtl(stream, "k", "ts", 24L * 3600 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("ttl_keys")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttl_keys").as[String].collect().toList
+    assert(got.sorted == List("a", "a", "b", "c"),
+      s"expected expired key 'a' to re-emit after event-time TTL, got $got")
+    // batch parity: over a bounded Dataset timeouts never fire -> exactly
+    // firstSeenKeys semantics (one row per distinct key)
+    val batchTtl = EventStream.firstSeenKeysTtl(
+      spark.read.parquet(in), "k", "ts", 24L * 3600 * 1000).collect().toList
+    assert(batchTtl.sorted == List("a", "b", "c"))
+  }
 }
