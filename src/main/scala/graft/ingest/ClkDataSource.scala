@@ -56,8 +56,17 @@ private[ingest] class ClkTable(options: CaseInsensitiveStringMap)
 }
 
 private[ingest] class ClkScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder {
-  override def build(): Scan = new ClkScan(options)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = ClkDataSource.Schema
+  // Catalyst hands down the projected subset (table-schema order); the
+  // scan then materializes ONLY those columns — `select(entity_id)` on a
+  // multi-TB dump never allocates a clk buffer or runs popcount, and if
+  // neither clk nor popcount is projected the reader never reads file
+  // BYTES at all (ids are positional: offset / encodingSize).
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ClkScan(options, required)
 }
 
 /** One record-aligned byte range of one file. */
@@ -65,12 +74,13 @@ private[ingest] case class ClkInputPartition(file: String, start: Long,
     length: Long, firstEntityId: Long, dp: Int, encodingSize: Int)
   extends InputPartition
 
-private[ingest] class ClkScan(options: CaseInsensitiveStringMap)
-    extends Scan with Batch {
-  override def readSchema(): StructType = ClkDataSource.Schema
+private[ingest] class ClkScan(options: CaseInsensitiveStringMap,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"ClkScan(path=${options.get("path")}, encodingSize=${options.get("encodingSize")})"
+    s"ClkScan(path=${options.get("path")}, encodingSize=${options.get("encodingSize")}, " +
+      s"ReadSchema=${required.fieldNames.mkString("[", ",", "]")})"
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
@@ -111,18 +121,31 @@ private[ingest] class ClkScan(options: CaseInsensitiveStringMap)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    new ClkPartitionReaderFactory(conf)
+    new ClkPartitionReaderFactory(conf, required)
   }
 }
 
 private[ingest] class ClkPartitionReaderFactory(
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration, required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ClkInputPartition]
+    val fields = required.fieldNames
+    val needClk = fields.contains("clk")
+    val needPc = fields.contains("popcount")
     new PartitionReader[InternalRow] {
       private val path = new Path(part.file)
-      private val in = path.getFileSystem(conf.value).open(path)
-      in.seek(part.start)
+      // neither clk nor popcount projected -> rows are pure arithmetic
+      // (dp constant, ids positional); never open the file
+      private val needBytes = needClk || needPc
+      private val in = if (needBytes) {
+        val s = path.getFileSystem(conf.value).open(path)
+        s.seek(part.start)
+        s
+      } else null
+      // popcount-only projection: reuse one buffer, no per-row allocation
+      private val scratch = if (needBytes && !needClk)
+        new Array[Byte](part.encodingSize) else null
       private val nRecords = part.length / part.encodingSize
       private var i = 0L
       private var row: InternalRow = _
@@ -130,16 +153,28 @@ private[ingest] class ClkPartitionReaderFactory(
       override def next(): Boolean =
         if (i >= nRecords) false
         else {
-          val clk = new Array[Byte](part.encodingSize)
-          in.readFully(clk)
-          row = new GenericInternalRow(Array[Any](
-            part.dp, part.firstEntityId + i, clk,
-            graft.core.BitOps.popcount(clk)))
+          val clk = if (needBytes) {
+            val buf = if (needClk) new Array[Byte](part.encodingSize) else scratch
+            in.readFully(buf)
+            buf
+          } else null
+          val values = new Array[Any](fields.length)
+          var f = 0
+          while (f < fields.length) {
+            values(f) = fields(f) match {
+              case "dp" => part.dp
+              case "entity_id" => part.firstEntityId + i
+              case "clk" => clk
+              case "popcount" => graft.core.BitOps.popcount(clk)
+            }
+            f += 1
+          }
+          row = new GenericInternalRow(values)
           i += 1
           true
         }
       override def get(): InternalRow = row
-      override def close(): Unit = in.close()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }

@@ -44,6 +44,33 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("lang") && !read.contains("n_chars"), read)
   }
 
+  test("clk DataSourceV2 prunes columns down to the scan") {
+    import spark.implicits._
+    def scan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.getOrElse(fail("no BatchScanExec in plan"))
+    val base = spark.read.format("clk")
+      .option("dp", 1).option("encodingSize", 128)
+      .load(s"$fixturesDir/clks_128B_1k.bin")
+    // id-only projection: the scan's output schema must shrink to the
+    // projected column (the reader then never opens the file bytes)
+    val ids = base.select($"entity_id")
+    assert(scan(ids).output.map(_.name) == Seq("entity_id"),
+      scan(ids).output.toString)
+    assert(ids.as[Long].collect().sorted.sameElements(0L until 1000L))
+    // popcount without clk: scan output excludes the heavy binary column
+    val pc = base.select($"entity_id", $"popcount")
+    assert(scan(pc).output.map(_.name) == Seq("entity_id", "popcount"),
+      scan(pc).output.toString)
+    // pruned popcounts match the full read's popcounts
+    val full = base.select($"entity_id", $"popcount")
+      .as[(Long, Int)].collect().sortBy(_._1)
+    val pruned = pc.as[(Long, Int)].collect().sortBy(_._1)
+    assert(pruned.sameElements(full))
+  }
+
   test("block-stats side of the scoring plan is broadcast") {
     import spark.implicits._
     val blocked = graft.link.Pipeline.defaultBlock(
