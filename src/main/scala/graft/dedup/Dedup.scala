@@ -87,6 +87,13 @@ object Dedup {
   // whole signature scan+UDF pipeline runs per branch (3x the corpus
   // scan at 100 TB). One cached table per call site, previous unpersisted
   // (same discipline as Linker.lastChunksCache).
+  //
+  // CONTRACT: at most ONE in-flight query per slot. A second call on the
+  // same slot unpersists the previous DataFrame immediately, so two
+  // concurrent jobs sharing a slot (e.g. two minhashLshPairs actions in
+  // one session) stay CORRECT but the earlier one silently loses its
+  // cache and recomputes the signature pipeline. Callers needing
+  // concurrent runs should manage persistence explicitly.
   private val lastSigCaches =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def persistLatest(slot: String, df: DataFrame): DataFrame = {

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
 
 /** Number of set bits in a binary column. */
 case class Popcount(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] = Seq(BinaryType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any =
     graft.core.BitOps.popcount(v.asInstanceOf[Array[Byte]])
@@ -36,7 +37,8 @@ case class Popcount(child: Expression)
   * (reference keeps scores >= threshold, `tasks/comparing.py:340-343`).
   */
 case class DiceSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.core.BitOps.dice(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
@@ -51,7 +53,9 @@ case class DiceSimilarity(left: Expression, right: Expression)
 /** Dot product of two array&lt;double&gt; columns over the common prefix —
   * codegen'd, allocation-free (see graft.core.VecOps). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.core.VecOps.dot(
@@ -66,7 +70,9 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** L2 norm of an array&lt;double&gt; column. */
-case class VectorNorm(child: Expression) extends UnaryExpression {
+case class VectorNorm(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any =
     graft.core.VecOps.norm2(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
@@ -83,7 +89,13 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   * UTF8String comparisons. The confirm kernel for every hashed-gram
   * Jaccard path (word tokens, char n-grams, MinHash shingles). */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // PRECONDITION (documented at the SQL registration): both arrays must
+  // be ascending-sorted and duplicate-free, as produced by
+  // hashed_char_ngrams / the hashed-token signatures; the merge scan
+  // undercounts on unsorted input.
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.core.SetOps.intersectCountSortedLong(
@@ -104,7 +116,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * sequence+transform+substr plan that allocated one UTF8String per
   * character position. Feeds [[SortedIntersectCount]]. */
 case class HashedCharNgrams(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(t: Any, n: Any): Any =
     graft.core.SetOps.hashedCharNgrams(
@@ -121,7 +134,9 @@ case class HashedCharNgrams(left: Expression, right: Expression)
   * popcounts, mirroring the reference's popcount cache
   * `cache/encodings.py:42-45`) — saves two popcount passes per pair. */
 case class DiceSimilarityPre(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] =
+    Seq(BinaryType, BinaryType, IntegerType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any, s: Any): Any =
     graft.core.BitOps.dicePre(

@@ -33,7 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VectorNorm(es.head)))
     e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
-        "sorted_intersect_count(a, b) - merge-scan intersection size of two sorted long arrays"),
+        "sorted_intersect_count(a, b) - merge-scan intersection size of two " +
+          "array<bigint> SET signatures; PRECONDITION: both arrays " +
+          "ascending-sorted and duplicate-free (as produced by " +
+          "hashed_char_ngrams) - undercounts otherwise"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("hashed_char_ngrams"),
       info("hashed_char_ngrams",

@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]` in
+    * its Scala signature (public bytecode); re-exposed so custom
+    * expressions can declare `ExpectsInputTypes.inputTypes` and get
+    * analysis-time type errors instead of executor ClassCastExceptions. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

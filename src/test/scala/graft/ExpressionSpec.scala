@@ -95,6 +95,33 @@ class ExpressionSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("wrong SQL argument types fail at analysis, not on executors") {
+    import spark.implicits._
+    graft.expr.registerAll(spark)
+    val df = Seq(("abc", 7L)).toDF("s", "n")
+    df.createOrReplaceTempView("t_exprtypes")
+    // each call used to reach the executor and die with
+    // ClassCastException; ExpectsInputTypes turns them into analysis
+    // errors before any job is launched
+    for (bad <- Seq(
+        "SELECT sorted_intersect_count(s, s) FROM t_exprtypes",
+        "SELECT hashed_char_ngrams(n, s) FROM t_exprtypes",
+        "SELECT popcount(n) FROM t_exprtypes",
+        "SELECT dice(s, s) FROM t_exprtypes",
+        "SELECT dot_product(s, s) FROM t_exprtypes",
+        "SELECT vector_norm(n) FROM t_exprtypes",
+        "SELECT dice_pre(s, s, s) FROM t_exprtypes")) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(bad).collect()
+      }
+    }
+    // well-typed calls still pass analysis + execute
+    val ok = spark.sql(
+      "SELECT sorted_intersect_count(hashed_char_ngrams(s, 2), hashed_char_ngrams(s, 2)) FROM t_exprtypes")
+      .collect()(0).getInt(0)
+    assert(ok == 2) // "abc" -> {ab, bc}
+  }
+
   test("dice stays inside whole-stage codegen (no fallback)") {
     // range source so constant folding can't collapse the expression
     val df = spark.range(100)
