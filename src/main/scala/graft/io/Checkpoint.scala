@@ -28,10 +28,18 @@ import java.nio.charset.StandardCharsets
   * longer than that, the holder (a) HEARTBEATS the lock's mtime from a
   * daemon thread every `heartbeatMs` (<< staleLockMs, so a live holder is
   * never presumed crashed), and (b) carries a unique attempt id in the
-  * lock body and RE-VERIFIES ownership immediately before the manifest
-  * commit, aborting the commit if the lock changed hands — a stolen lock
-  * can waste this attempt's work but can never commit a manifest over a
-  * competing writer's in-progress output.
+  * lock body and RE-VERIFIES ownership immediately before publishing,
+  * aborting if the lock changed hands. Each attempt also computes into an
+  * ATTEMPT-PRIVATE directory (`<root>/_attempts/<stage>-<attemptId>`) and
+  * publishes via a single directory rename, so files enter the stage
+  * directory only as one attempt's complete tree — even a stolen lock
+  * whose victim's write tasks are still running cannot mix two attempts'
+  * files under one manifest (the victim writes into its own _attempts
+  * dir, which is discarded). The narrow residue: a steal landing in the
+  * instants between the ownership check and the rename can delete the
+  * victim's just-renamed tree before its manifest write, leaving a
+  * manifest-only directory the thief then fails against — both writers
+  * error, nothing mixed is blessed.
   *
   * Lineage: one row per output partition (stage, partition_id, rows_out)
   * plus stage-level counters (e.g. pairs_generated / pairs_scored /
@@ -120,21 +128,26 @@ object Checkpoint {
     hb.setDaemon(true)
     hb.start()
 
+    // attempt-private staging dir: this attempt's write tasks can NEVER
+    // land files in the published stage directory — publication is one
+    // directory rename below, after the ownership re-verify
+    val tmpDir = s"$root/_attempts/$name-$attemptId"
+    val tmpPath = new Path(tmpDir)
+
     val t0 = System.nanoTime()
     try {
-      // aborted prior attempt -> clobber
-      if (filesystem.exists(dataPath)) filesystem.delete(dataPath, true)
-      compute.write.mode("overwrite").parquet(dir)
-      val written = spark.read.parquet(dir)
+      compute.write.mode("overwrite").parquet(tmpDir)
+      val written = spark.read.parquet(tmpDir)
 
-      // per-partition lineage of the committed table (one row per read
-      // partition ~= parquet file split); per-stage dir is overwritten, so
-      // a recompute replaces (never duplicates) the stage's lineage
-      val lineage = written
+      // per-partition lineage (one row per read partition ~= parquet file
+      // split) — materialized from the staged tree BEFORE the rename (the
+      // lazy plan is bound to tmpDir's files); per-stage lineage dir is
+      // overwritten, so a recompute replaces (never duplicates) rows
+      val lineageRows = written
         .groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("rows_out"))
         .select("partition_id", "rows_out")
-      lineage.write.mode("overwrite").parquet(s"$root/_lineage/stage=$name")
+        .collect()
 
       val rows = written.count()
       val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -143,20 +156,37 @@ object Checkpoint {
       val manifest =
         s"""{"stage":"$name","rows":$rows,"wall_ms":$wallMs,"metrics":{$metricsJson}}"""
 
-      // ownership re-verify IMMEDIATELY before the commit: if the lock was
-      // stolen (holder paused past StaleLockMs despite the heartbeat — GC
-      // pause, FS hiccup), a competing writer may be mid-recompute over
-      // this directory; committing a manifest now could bless mixed
-      // partial output. Abort instead — the thief commits its own attempt.
+      // ownership re-verify IMMEDIATELY before publication: if the lock
+      // was stolen (holder paused past StaleLockMs despite the heartbeat —
+      // GC pause, FS hiccup), a competing writer owns the stage now; our
+      // staged tree is simply discarded. The rename is the only way files
+      // enter the stage directory, so a manifest can only ever cover one
+      // attempt's complete tree.
       if (!holdsLock(filesystem, lp, attemptId))
         throw new IllegalStateException(
           s"stage $name: writer lock lost during compute (attempt " +
             s"$attemptId); aborting commit — a competing writer owns the stage")
+      if (filesystem.exists(dataPath)) filesystem.delete(dataPath, true)
+      if (!filesystem.rename(tmpPath, dataPath))
+        throw new IllegalStateException(
+          s"stage $name: publish rename failed (attempt $attemptId) — " +
+            "a competing writer repopulated the stage directory")
+      val lineageSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("partition_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_out",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(java.util.Arrays.asList(lineageRows: _*), lineageSchema)
+        .write.mode("overwrite").parquet(s"$root/_lineage/stage=$name")
       val out = filesystem.create(mfPath, true)
       out.write(manifest.getBytes(StandardCharsets.UTF_8))
       out.close()
       StageResult(spark.read.parquet(dir), rows, resumed = false)
-    } finally hb.interrupt()
+    } finally {
+      hb.interrupt()
+      try filesystem.delete(tmpPath, true)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** True iff the lock file exists and carries this attempt's id. */

@@ -108,6 +108,27 @@ class CheckpointSpec extends SparkSpec {
       "a writer that lost its lock must never commit a manifest")
     // the thief's lock must survive our release (ownership-checked delete)
     assert(Files.readString(lockFile).contains("thief"))
+    // the victim's staged files never reached the stage dir (publication
+    // is rename-only) and its attempt dir was cleaned up on abort
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/theft")),
+      "aborted attempt leaked files into the stage directory")
+    val attempts = new java.io.File(s"$root/_attempts")
+    assert(!attempts.exists() || attempts.listFiles().isEmpty,
+      "aborted attempt left staged garbage in _attempts")
+  }
+
+  test("publish is rename-only: stage dir appears complete with manifest; staging cleaned") {
+    val root = Files.createTempDirectory("graft-ckpt7").toString
+    val r = Checkpoint.stage(spark, root, "st_pub") { spark.range(5).toDF("v") }
+    assert(!r.resumed && r.rows == 5)
+    val names = new java.io.File(s"$root/st_pub").listFiles().map(_.getName).toSet
+    assert(names.contains("_MANIFEST.json"), names.toString)
+    assert(names.exists(_.endsWith(".parquet")), names.toString)
+    val attempts = new java.io.File(s"$root/_attempts")
+    assert(!attempts.exists() || attempts.listFiles().isEmpty,
+      "successful publish left its attempt dir behind")
+    // lineage written post-publish
+    assert(spark.read.parquet(s"$root/_lineage/stage=st_pub").count() > 0)
   }
 
   test("heartbeat keeps a slow compute's lock mtime fresh") {
