@@ -41,14 +41,27 @@ object Multimodal {
     (meta, feat)
   }
 
+  /** Cheap magic-byte sniff for the formats the JDK ships readers for
+    * (PNG / JPEG / GIF / BMP / WBMP-less TIFF is absent in 17). At corpus
+    * scale most payloads are NOT images; skipping ImageIO's reader-probe
+    * machinery for them keeps the batch transform at memcmp cost on the
+    * common path. */
+  private[graft] def looksLikeImage(p: Array[Byte]): Boolean =
+    (p.length >= 8 &&
+      p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+    (p.length >= 3 &&
+      p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+    (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+    (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+
   /** Real image decode via the JDK's ImageIO; None when no registered
     * reader accepts the payload (caller falls back to the stub).
     * Features: deterministic luminance samples on a fixed pseudo-random
     * pixel grid — a stand-in for a real embedding model with the same
     * shape (fixed-width float vector per image). */
-  private[multimodal] def decodeImage(payload: Array[Byte],
+  private[graft] def decodeImage(payload: Array[Byte],
       featDim: Int): Option[(MediaMeta, Array[Float])] = {
-    if (payload.isEmpty) return None
+    if (payload.isEmpty || !looksLikeImage(payload)) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -113,7 +126,8 @@ object Multimodal {
         it.map { case (id, bytes) =>
           val payload = if (bytes == null) Array.emptyByteArray else bytes
           val decoded =
-            try Option(javax.imageio.ImageIO.read(
+            if (!looksLikeImage(payload)) None
+            else try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload)))
             catch { case _: Throwable => None }
           decoded match {

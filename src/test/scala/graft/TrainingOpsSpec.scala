@@ -313,6 +313,31 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).feature.toSeq == decoded.feature.toSeq)
   }
 
+  test("magic-byte sniff admits JDK-decodable formats, rejects the rest cheaply") {
+    def png = { // real encoder output for each format
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def enc(fmt: String) = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    assert(Multimodal.looksLikeImage(png))
+    assert(Multimodal.looksLikeImage(enc("jpg")))
+    assert(Multimodal.looksLikeImage(enc("gif")))
+    assert(Multimodal.looksLikeImage(enc("bmp")))
+    assert(!Multimodal.looksLikeImage("<html>x</html>".getBytes("UTF-8")))
+    assert(!Multimodal.looksLikeImage(Array.emptyByteArray))
+    assert(!Multimodal.looksLikeImage(Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)))
+    // sniff must never change decode results: a sniff-pass that ImageIO
+    // then rejects (truncated PNG header) still falls back to the stub
+    assert(Multimodal.decodeImage(png.take(10), 4).isEmpty)
+  }
+
   test("resizeImages: real bilinear resize, PNG re-encode, pass-through for non-images") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(20, 10,
