@@ -178,6 +178,16 @@ object SparkEntry {
         .extractFeatures(pages.toDF(), "entity_id", "html")
         .toDF().drop("feature").orderBy(col("doc"), col("width"))
     }),
+    // frame sampling over a binary payload (every 2nd 64-byte frame); the
+    // documents are ASCII so the byte frames round-trip to strings and
+    // DuckDB replays the slicing with substr arithmetic
+    "q_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+          docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload", frameBytes = 64, stride = 2)
+        .select(col("doc_id").as("doc"), col("frame_idx"),
+          col("frame").cast("string").as("frame_text"))
+        .orderBy(col("doc"), col("frame_idx"))),
 
     // ---- SQL-replayable operator analogues over the sf tables ----
     // B3 block metadata agg
@@ -433,6 +443,17 @@ object SparkEntry {
                 ELSE -((-q) // 961) END) * 961) AS INT) AS height,
            3 AS channels
          FROM d""",
+    // frame slicing replayed with substr arithmetic (ASCII corpus: byte
+    // offsets == character offsets; empty-frame docs excluded both sides
+    // by the same nFrames floor)
+    "q_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id AS doc, text,
+                  unnest(range(0, length(text) // 64, 2)) AS frame_idx
+           FROM documents)
+         SELECT doc, CAST(frame_idx AS INT) AS frame_idx,
+                substr(text, CAST(frame_idx AS INT) * 64 + 1, 64) AS frame_text
+         FROM f""",
     // B1/B3 over the pages corpus, replayed from the block-key dump
     "er_pages_block_stats" ->
       s"""WITH m AS (SELECT dp, entity_id, unnest(bks) AS block_key
