@@ -178,6 +178,13 @@ object SparkEntry {
         .extractFeatures(pages.toDF(), "entity_id", "html")
         .toDF().drop("feature").orderBy(col("doc"), col("width"))
     }),
+    // P5 popcount driven end-to-end through the clk DataSourceV2: the
+    // oracle recomputes every popcount with DuckDB bit_count over the
+    // committed word-array fixture (same words the binary file packs)
+    "q_popcount" -> ((s, _) =>
+      ClkIO.readBinary(s, s"$FixturesDir/febrl4_a.bin", 0, 128)
+        .select(col("entityId").as("entity_id"), col("popcount"))
+        .orderBy(col("entity_id"))),
     // frame sampling over a binary payload (every 2nd 64-byte frame); the
     // documents are ASCII so the byte frames round-trip to strings and
     // DuckDB replays the slicing with substr arithmetic
@@ -443,6 +450,12 @@ object SparkEntry {
                 ELSE -((-q) // 961) END) * 961) AS INT) AS height,
            3 AS channels
          FROM d""",
+    // popcounts of the dp=0 binary upload recomputed word-by-word
+    "q_popcount" ->
+      """SELECT entity_id,
+           CAST(list_sum(list_transform(words, w -> bit_count(w))) AS INT)
+             AS popcount
+         FROM '/root/repo/fixtures/febrl4_clks.parquet' WHERE dp = 0""",
     // frame slicing replayed with substr arithmetic (ASCII corpus: byte
     // offsets == character offsets; empty-frame docs excluded both sides
     // by the same nFrames floor)
