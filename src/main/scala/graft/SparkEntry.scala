@@ -178,6 +178,18 @@ object SparkEntry {
         .extractFeatures(pages.toDF(), "entity_id", "html")
         .toDF().drop("feature").orderBy(col("doc"), col("width"))
     }),
+    // S1/P1 JSON CLK scan + base64 codec: the reference's own
+    // test_encoding.json fixture read through readJson (posexplode +
+    // unbase64), re-encoded to base64; the oracle reads the same JSON
+    // with DuckDB and replays positional ids + block slicing
+    "q_clk_json" -> ((s, _) =>
+      ClkIO.readJson(s, s"$FixturesDir/test_encoding.json", 0)
+        // Spark's base64 is MIME (RFC 2045: \r\n every 76 chars) — strip
+        // the wrapping to get the canonical unchunked form the JSON holds
+        .select(col("entity_id"),
+          translate(base64(col("clk")), "\r\n", "").as("b64"),
+          array_join(col("blocks"), ",").as("blocks_csv"))
+        .orderBy(col("entity_id"))),
     // P5 popcount driven end-to-end through the clk DataSourceV2: the
     // oracle recomputes every popcount with DuckDB bit_count over the
     // committed word-array fixture (same words the binary file packs)
@@ -450,6 +462,15 @@ object SparkEntry {
                 ELSE -((-q) // 961) END) * 961) AS INT) AS height,
            3 AS channels
          FROM d""",
+    // JSON upload replayed positionally: row i-1 = clknblocks[i]
+    "q_clk_json" ->
+      """WITH t AS (SELECT clknblocks AS l
+                    FROM read_json_auto('/root/repo/fixtures/test_encoding.json')),
+         i AS (SELECT unnest(range(1, len(l) + 1)) AS idx, l FROM t)
+         SELECT CAST(idx - 1 AS BIGINT) AS entity_id,
+                l[idx][1] AS b64,
+                array_to_string(l[idx][2:], ',') AS blocks_csv
+         FROM i""",
     // popcounts of the dp=0 binary upload recomputed word-by-word
     "q_popcount" ->
       """SELECT entity_id,
