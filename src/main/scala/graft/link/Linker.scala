@@ -162,19 +162,55 @@ object Linker {
     * block at the 3e8 aim that is ~16 GB for 10^12 comparisons, i.e. the
     * kernel, not the shuffle, is the bottleneck at cluster scale.
     */
+  /** Broadcast cap for the cross-block keep-list (keys + overhead; ~2M
+    * 50-byte LSH keys ≈ 100 MB — safe at default driver memory). */
+  private val MaxCrossBlockBroadcast = 2000000L
+
   def scoreCandidatesChunked(blocked: DataFrame, cfg: LinkConfig,
       chunkSizeAim: Long = ChunkSizeAim, maxK: Int = MaxSaltFanout): Dataset[Edge] = {
     val spark = blocked.sparkSession
     import spark.implicits._
 
+    // "spans >1 provider" == min(dp) != max(dp): cheap single-pass aggs,
+    // where a countDistinct would trigger Catalyst's Expand-based distinct
+    // rewrite and push 2x the rows through this (largest) shuffle
     val statsRaw = blocked.groupBy($"block_key")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        (min($"dp") =!= max($"dp")).as("cross_dp"))
       .persist()
-    // decimal agg + saturating cap: at 10^12-row blocks n^2 exceeds Long
-    val totalPairsUb = statsRaw
+
+    // A block confined to ONE provider can never emit a dp0<dp1 pair.
+    // With LSH banding most band values are unique to one document, so at
+    // the reference's 100Kx1M shape ~98% of the exploded rows are
+    // pair-less; dropping them BEFORE the packing shuffle turns a
+    // multi-GB groupByKey + chunk-pair join into megabytes (measured
+    // round 4: the kernel does 124k comparisons while the shuffles moved
+    // 7+ GB). The keep-list comes out of the SAME stats aggregate the
+    // fan-out already needs, so the filter is one broadcast hash join —
+    // no extra shuffle. When most blocks are cross-provider (or the list
+    // would be too big to broadcast) the filter buys nothing; skip it.
+    val (totalBlocks, crossBlocks) = {
+      val r = statsRaw.agg(count(lit(1)),
+        coalesce(sum(when($"cross_dp", 1L)), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val prefilter = crossBlocks <= MaxCrossBlockBroadcast &&
+      crossBlocks * 2 <= totalBlocks
+    val statsBase =
+      if (prefilter) statsRaw.where($"cross_dp") else statsRaw
+    val kept =
+      if (prefilter)
+        blocked.join(broadcast(statsBase.select($"block_key")), Seq("block_key"))
+      else blocked
+
+    // decimal agg + saturating cap: at 10^12-row blocks n^2 exceeds Long.
+    // Sized over the KEPT blocks so dropped single-provider volume can't
+    // inflate the aim (which would under-split what remains).
+    val totalPairsUb = statsBase
       .agg(coalesce(sum($"n".cast("decimal(38,0)") * $"n"), lit(0)))
       .head().getDecimal(0).toBigInteger.min(
         java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
     // effective tasks ~= totalPairs/(2*aim) (the dp0<dp1 filter halves the
     // k^2 chunk pairs) -> divisor 6 targets ~3 waves per core
@@ -186,7 +222,7 @@ object Linker {
     // tasks. Only skewed blocks (k > 1) ride the broadcast; k=1 defaults
     // via the left join (block-key cardinality can be O(rows) at scale).
     val (k1c, k2c) = Salting.fanout($"n", aim, maxK)
-    val stats = statsRaw
+    val stats = statsBase
       .select($"block_key", k1c.as("k1"), k2c.as("k2"))
       .where($"k1" > 1 || $"k2" > 1)
 
@@ -196,7 +232,7 @@ object Linker {
     // measured to generate enough garbage to send later rounds into GC
     // collapse; primitive arrays deserialize with zero boxing and the
     // popcount sort is paid once per chunk instead of once per chunk pair.
-    val chunks = blocked.join(broadcast(stats), Seq("block_key"), "left")
+    val chunks = kept.join(broadcast(stats), Seq("block_key"), "left")
       .withColumn("k1", coalesce($"k1", lit(1)))
       .withColumn("k2", coalesce($"k2", lit(1)))
       .withColumn("salt",
