@@ -190,6 +190,17 @@ object SparkEntry {
           translate(base64(col("clk")), "\r\n", "").as("b64"),
           array_join(col("blocks"), ",").as("blocks_csv"))
         .orderBy(col("entity_id"))),
+    // S1 third upload format: "encodings" + external "blocks" map
+    // (views/util.py:18-33). The committed fixture's map covers only ids
+    // 0..9 of 12 encodings, so this also gates the reference's
+    // drop-uncovered-ids semantics; the oracle replays the map join with
+    // DuckDB map_entries over the same JSON
+    "q_clk_json_blocks" -> ((s, _) =>
+      ClkIO.readJson(s, s"$FixturesDir/test_encodings_blocks.json", 0)
+        .select(col("entity_id"),
+          translate(base64(col("clk")), "\r\n", "").as("b64"),
+          array_join(col("blocks"), ",").as("blocks_csv"))
+        .orderBy(col("entity_id"))),
     // P5 popcount driven end-to-end through the clk DataSourceV2: the
     // oracle recomputes every popcount with DuckDB bit_count over the
     // committed word-array fixture (same words the binary file packs)
@@ -471,6 +482,18 @@ object SparkEntry {
                 l[idx][1] AS b64,
                 array_to_string(l[idx][2:], ',') AS blocks_csv
          FROM i""",
+    // encodings+blocks map join replayed via map_entries; DuckDB lists
+    // are 1-based so encoding id k reads encodings[k+1]
+    "q_clk_json_blocks" ->
+      """WITH t AS (SELECT encodings, blocks
+                    FROM read_json('/root/repo/fixtures/test_encodings_blocks.json',
+                      columns = {encodings: 'VARCHAR[]',
+                                 blocks: 'MAP(VARCHAR, VARCHAR[])'})),
+         e AS (SELECT unnest(map_entries(blocks)) AS ent, encodings FROM t)
+         SELECT CAST(ent.key AS BIGINT) AS entity_id,
+                encodings[CAST(ent.key AS INT) + 1] AS b64,
+                array_to_string(ent.value, ',') AS blocks_csv
+         FROM e""",
     // popcounts of the dp=0 binary upload recomputed word-by-word
     "q_popcount" ->
       """SELECT entity_id,

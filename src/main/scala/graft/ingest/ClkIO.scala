@@ -63,10 +63,18 @@ object ClkIO {
         val typed = spark.read.option("multiLine", true).schema(schema).json(path)
         val enc = typed.select(posexplode(col("encodings")).as(Seq("entity_id", "b64")))
           .select(col("entity_id").cast("long"), unbase64(col("b64")).as("clk"))
-        val blocks = typed.select(explode(col("blocks")).as(Seq("k", "v")))
-          .select(col("k").cast("long").as("entity_id"), col("v").as("blocks"))
-        enc.join(blocks, Seq("entity_id"), "left")
-          .withColumn("blocks", coalesce(col("blocks"), array(lit("1"))))
+        if (cols.contains("blocks")) {
+          // the reference iterates the BLOCKS map's keys, so an encoding
+          // absent from the map is dropped, not defaulted
+          // (views/util.py:29-33) — hence inner join
+          val blocks = typed.select(explode(col("blocks")).as(Seq("k", "v")))
+            .select(col("k").cast("long").as("entity_id"), col("v").as("blocks"))
+          enc.join(blocks, Seq("entity_id"))
+        } else {
+          // encodings only: every record lands in the default block "1"
+          // (views/util.py:34-38)
+          enc.withColumn("blocks", array(lit("1")))
+        }
       } else {
         throw new IllegalArgumentException(
           s"unrecognized CLK upload format; columns: ${cols.mkString(",")}")

@@ -32,6 +32,30 @@ object MakeOracleFixtures {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // fixtures/test_encodings_blocks.json — the third upload wire format
+    // ("encodings" + external "blocks" map, views/util.py:18-33). Twelve
+    // CLKs from the febrl4 dp=0 dump; the map deliberately covers only ids
+    // 0..9 (the reference DROPS uncovered encodings) and mixes 1- and
+    // 2-block memberships. Deterministic: same .bin in -> same json out.
+    // Regenerate alone with `runMain graft.tools.MakeOracleFixtures json`.
+    {
+      val first12 = ClkIO.readBinary(spark, "/root/repo/fixtures/febrl4_a.bin", 0, 128)
+        .filter(_.entityId < 12).collect().sortBy(_.entityId)
+      val encJson = first12.map(r =>
+          "    \"" + java.util.Base64.getEncoder.encodeToString(r.clk) + "\"")
+        .mkString(",\n")
+      val blockJson = (0 until 10).map { i =>
+        val bs = if (i % 3 == 0) Seq(s"b${i % 4}", "shared") else Seq(s"b${i % 4}")
+        s"""    "$i": [${bs.map("\"" + _ + "\"").mkString(", ")}]"""
+      }.mkString(",\n")
+      val dest = java.nio.file.Paths.get("/root/repo/fixtures/test_encodings_blocks.json")
+      java.nio.file.Files.write(dest,
+        s"{\n  \"encodings\": [\n$encJson\n  ],\n  \"blocks\": {\n$blockJson\n  }\n}\n"
+          .getBytes("UTF-8"))
+      println(s"wrote $dest (${java.nio.file.Files.size(dest)} bytes)")
+      if (args.headOption.contains("json")) { spark.stop(); return }
+    }
+
     val a = ClkIO.readBinary(spark, "/root/repo/fixtures/febrl4_a.bin", 0, 128)
     val b = ClkIO.readBinary(spark, "/root/repo/fixtures/febrl4_b.bin", 1, 128)
     val tmp = "/tmp/graft_make_fixture"

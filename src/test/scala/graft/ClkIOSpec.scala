@@ -46,6 +46,30 @@ class ClkIOSpec extends SparkSpec {
     assert(df(1).getSeq[String](df(1).fieldIndex("blocks")).toSeq == Seq("z"))
   }
 
+  test("encodings+blocks: an encoding absent from the map is dropped (views/util.py:29-33)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clkio3").toString
+    val b64 = java.util.Base64.getEncoder.encodeToString(Array.fill[Byte](8)(1))
+    // three encodings, map covers only ids 0 and 2 — the reference builds
+    // clknblocks by iterating the MAP's keys, so id 1 never appears
+    Files.writeString(java.nio.file.Paths.get(s"$dir/u.json"),
+      s"""{"encodings": ["$b64", "$b64", "$b64"], "blocks": {"0": ["x"], "2": ["y"]}}""")
+    val df = ClkIO.readJson(spark, s"$dir/u.json", dp = 0).orderBy("entity_id").collect()
+    assert(df.map(_.getAs[Long]("entity_id")).toSeq == Seq(0L, 2L))
+    assert(df(1).getSeq[String](df(1).fieldIndex("blocks")).toSeq == Seq("y"))
+  }
+
+  test("encodings without blocks key defaults every record to block '1'") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clkio4").toString
+    val b64 = java.util.Base64.getEncoder.encodeToString(Array.fill[Byte](8)(1))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/u.json"),
+      s"""{"encodings": ["$b64", "$b64"]}""")
+    val df = ClkIO.readJson(spark, s"$dir/u.json", dp = 0).orderBy("entity_id").collect()
+    assert(df.length == 2)
+    assert(df.forall(r => r.getSeq[String](r.fieldIndex("blocks")).toSeq == Seq("1")))
+  }
+
   test("binary scan: single record file + 1k file") {
     val one = ClkIO.readBinary(spark, s"$fixturesDir/single_clk.bin", 0, 128)
     assert(one.count() == 1)
