@@ -75,6 +75,10 @@ object SparkEntry {
       pages.toDF().select(col("entity_id").cast("long").as("doc"),
         col("html").cast("string").as("payload"))
     }),
+    // input payloads of q_resize_meta (real PNGs + junk rows); the oracle
+    // replays the decode dispatch from the PNG magic in the blob's hex
+    "resize_inputs" -> ((s, _) =>
+      graft.multimodal.Multimodal.synthPngs(s, 40)),
   )
 
   // IVF centroid training sums floats in partition order — consistent
@@ -201,6 +205,28 @@ object SparkEntry {
           translate(base64(col("clk")), "\r\n", "").as("b64"),
           array_join(col("blocks"), ",").as("blocks_csv"))
         .orderBy(col("entity_id"))),
+    // REAL image resize end-to-end: synthetic PNGs (+ junk rows) through
+    // ImageIO decode -> bilinear scale -> PNG re-encode; the emitted dims
+    // are parsed from the RE-ENCODED payload's IHDR bytes with pure
+    // column functions (substring/hex/conv), never from what the resize
+    // code claims, so a wrong output raster header fails the gate. The
+    // oracle replays decode dispatch from the INPUT blob's PNG magic and
+    // pins the expected header fields; the resampled pixels themselves
+    // stay spec-gated (MultimodalSpec round-trip)
+    "q_resize_meta" -> ((s, _) => {
+      val in = graft.multimodal.Multimodal.synthPngs(s, 40)
+      val rz = graft.multimodal.Multimodal
+        .resizeImages(in, "doc", "payload", outW = 24, outH = 20).toDF()
+      // PNG layout: bytes 1-8 signature, IHDR width at 17-20, height at
+      // 21-24 (big-endian u32), color type at byte 26 (2 = truecolor RGB)
+      def hdrInt(from: Int, len: Int) =
+        conv(hex(substring(col("resized"), from, len)), 16, 10).cast("int")
+      rz.select(col("doc"), col("ok"),
+          when(col("ok"), hdrInt(17, 4)).as("hdr_w"),
+          when(col("ok"), hdrInt(21, 4)).as("hdr_h"),
+          when(col("ok"), hdrInt(26, 1)).as("hdr_color_type"))
+        .orderBy(col("doc"))
+    }),
     // P5 popcount driven end-to-end through the clk DataSourceV2: the
     // oracle recomputes every popcount with DuckDB bit_count over the
     // committed word-array fixture (same words the binary file packs)
@@ -494,6 +520,22 @@ object SparkEntry {
                 encodings[CAST(ent.key AS INT) + 1] AS b64,
                 array_to_string(ent.value, ',') AS blocks_csv
          FROM e""",
+    // resize gate: ok-dispatch replayed from the INPUT payload's PNG
+    // magic (hex compare; this DuckDB build has no blob slicing) and the
+    // re-encoded IHDR header fields pinned to the requested geometry /
+    // RGB color model. The Spark side reads those fields from the actual
+    // output bytes, so both sides are independent of the resize code.
+    "q_resize_meta" ->
+      s"""WITH p AS (SELECT doc, hex(payload) AS hx
+                     FROM '$OracleAuxDir/resize_inputs/*.parquet'),
+         o AS (SELECT doc,
+                 substring(hx, 1, 16) = '89504E470D0A1A0A' AS ok
+               FROM p)
+         SELECT doc, ok,
+                CASE WHEN ok THEN 24 END AS hdr_w,
+                CASE WHEN ok THEN 20 END AS hdr_h,
+                CASE WHEN ok THEN 2 END AS hdr_color_type
+         FROM o""",
     // popcounts of the dp=0 binary upload recomputed word-by-word
     "q_popcount" ->
       """SELECT entity_id,

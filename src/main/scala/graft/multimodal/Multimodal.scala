@@ -41,6 +41,41 @@ object Multimodal {
     (meta, feat)
   }
 
+  /** Deterministic synthetic media corpus: real PNG payloads with
+    * varying dims and a deterministic raster, plus every 7th payload as
+    * junk bytes (exercises the best-effort `ok = false` path). Generated
+    * distributed via mapPartitions — same doc id => same bytes on any
+    * partitioning, so oracle dumps and queries can regenerate it
+    * independently. */
+  def synthPngs(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          if (i % 7 == 3) (i, s"not-an-image-$i".getBytes("UTF-8"))
+          else {
+            val w = 16 + ((i * 7) % 48).toInt
+            val h = 12 + ((i * 5) % 36).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((x * 31 + y * 17 + i * 101) & 0xFFFFFF).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (i, bos.toByteArray)
+          }
+        }
+      }
+      .toDF("doc", "payload")
+  }
+
   /** Cheap magic-byte sniff for the formats the JDK ships readers for
     * (PNG / JPEG / GIF / BMP / WBMP-less TIFF is absent in 17). At corpus
     * scale most payloads are NOT images; skipping ImageIO's reader-probe

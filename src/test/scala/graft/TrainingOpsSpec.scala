@@ -368,6 +368,31 @@ class MultimodalSpec extends SparkSpec {
     assert(again.resized.toSeq == ok.resized.toSeq)
   }
 
+  test("synthPngs: deterministic real PNGs, partition-invariant, junk rows flagged by resize") {
+    import spark.implicits._
+    val a = Multimodal.synthPngs(spark, 20).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+    assert(a.length == 20)
+    // same bytes regardless of partitioning (mapPartitions is per-row pure)
+    val b = Multimodal.synthPngs(spark, 20).repartition(7).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // PNG rows decode to the programmed dims; junk rows (i % 7 == 3) don't
+    a.foreach { case (i, bytes) =>
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes.toArray)) catch { case _: Throwable => null }
+      if (i % 7 == 3) assert(img == null)
+      else {
+        assert(img != null)
+        assert(img.getWidth == 16 + (i * 7) % 48 && img.getHeight == 12 + (i * 5) % 36)
+      }
+    }
+    val rz = Multimodal.resizeImages(
+      Multimodal.synthPngs(spark, 20), "doc", "payload", 9, 5).collect()
+    assert(rz.filter(!_.ok).map(_.doc).sorted.toSeq == Seq(3L, 10L, 17L))
+    assert(rz.filter(_.ok).forall(r => r.outWidth == 9 && r.outHeight == 5))
+  }
+
   test("frame sampling slices fixed-size frames with stride") {
     import spark.implicits._
     val df = Seq((1L, Array.tabulate[Byte](100)(_.toByte))).toDF("id", "payload")
