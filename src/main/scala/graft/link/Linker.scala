@@ -162,19 +162,27 @@ object Linker {
     * block at the 3e8 aim that is ~16 GB for 10^12 comparisons, i.e. the
     * kernel, not the shuffle, is the bottleneck at cluster scale.
     */
-  /** Broadcast cap for the cross-block keep-list (keys + overhead; ~2M
-    * 50-byte LSH keys ≈ 100 MB — safe at default driver memory). */
-  private val MaxCrossBlockBroadcast = 2000000L
+  /** Broadcast cap for the cross-block keep-list (8-byte hashed keys +
+    * overhead; 8M longs ≈ 64 MB — safe at default driver memory). */
+  private val MaxCrossBlockBroadcast = 8000000L
 
   def scoreCandidatesChunked(blocked: DataFrame, cfg: LinkConfig,
       chunkSizeAim: Long = ChunkSizeAim, maxK: Int = MaxSaltFanout): Dataset[Edge] = {
     val spark = blocked.sparkSession
     import spark.implicits._
 
-    // "spans >1 provider" == min(dp) != max(dp): cheap single-pass aggs,
-    // where a countDistinct would trigger Catalyst's Expand-based distinct
-    // rewrite and push 2x the rows through this (largest) shuffle
-    val statsRaw = blocked.groupBy($"block_key")
+    // Stats ride a 64-bit hash of the block key: the string key (an LSH
+    // band value, often ~50 bytes) would dominate this — the widest —
+    // shuffle's bytes, and every consumer of stats is a heuristic
+    // (keep-list, salt fan-out, chunk aim) where a hash collision merely
+    // keeps or over-salts one extra block. Chunk packing and the
+    // chunk-pair join below stay on the TRUE key, so a collision can
+    // never cause a cross-block comparison. "spans >1 provider" ==
+    // min(dp) != max(dp): cheap single-pass aggs, where a countDistinct
+    // would trigger Catalyst's Expand-based distinct rewrite and push 2x
+    // the rows through the shuffle.
+    val withH = blocked.withColumn("bkh", xxhash64($"block_key"))
+    val statsRaw = withH.groupBy($"bkh")
       .agg(count(lit(1)).as("n"),
         (min($"dp") =!= max($"dp")).as("cross_dp"))
       .persist()
@@ -200,8 +208,8 @@ object Linker {
       if (prefilter) statsRaw.where($"cross_dp") else statsRaw
     val kept =
       if (prefilter)
-        blocked.join(broadcast(statsBase.select($"block_key")), Seq("block_key"))
-      else blocked
+        withH.join(broadcast(statsBase.select($"bkh")), Seq("bkh"))
+      else withH
 
     // decimal agg + saturating cap: at 10^12-row blocks n^2 exceeds Long.
     // Sized over the KEPT blocks so dropped single-provider volume can't
@@ -223,7 +231,7 @@ object Linker {
     // via the left join (block-key cardinality can be O(rows) at scale).
     val (k1c, k2c) = Salting.fanout($"n", aim, maxK)
     val stats = statsBase
-      .select($"block_key", k1c.as("k1"), k2c.as("k2"))
+      .select($"bkh", k1c.as("k1"), k2c.as("k2"))
       .where($"k1" > 1 || $"k2" > 1)
 
     // Chunks are packed ONCE at aggregation time into primitive arrays
@@ -232,7 +240,7 @@ object Linker {
     // measured to generate enough garbage to send later rounds into GC
     // collapse; primitive arrays deserialize with zero boxing and the
     // popcount sort is paid once per chunk instead of once per chunk pair.
-    val chunks = kept.join(broadcast(stats), Seq("block_key"), "left")
+    val chunks = kept.join(broadcast(stats), Seq("bkh"), "left")
       .withColumn("k1", coalesce($"k1", lit(1)))
       .withColumn("k2", coalesce($"k2", lit(1)))
       .withColumn("salt",
