@@ -340,6 +340,23 @@ object SparkEntry {
       Ann.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // int8 symmetric quantization of the embedding column (the 4x
+    // memory/shuffle cut for a 100-TB ANN corpus); scale + quantized
+    // values are deterministic double arithmetic DuckDB replays exactly
+    // (qvec projected as CSV — pandas can't sort list columns)
+    "q_quantize_int8" -> ((s, dir) =>
+      Ann.quantizeInt8(embs(s, dir).where(col("vec_id") < 200), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 9).as("scale_r"),
+          array_join(col("qvec"), ",").as("qvec_csv"))
+        .orderBy(col("vec_id"))),
+    // top-k over the quantized corpus: integer dot, scales cancel in
+    // cosine — the oracle re-derives the quantization AND the ranking
+    // from the raw parquet, fully independent of the Spark code
+    "q_ann_int8_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.int8TopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // embedding-cosine near-dup pairs
     "q_cosine_pairs" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
@@ -785,6 +802,48 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cos,
                   CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""",
+    // int8 quantization replayed in double arithmetic: same max/127
+    // scale, same round-half-away-from-zero, same zero-vector guard
+    "q_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id < 200),
+         s0 AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc0
+                FROM v),
+         s1 AS (SELECT vec_id, e,
+                  CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END AS sc
+                FROM s0)
+         SELECT vec_id, round(sc, 9) AS scale_r,
+                array_to_string(list_transform(e,
+                  x -> CAST(round(x / sc) AS INT)), ',') AS qvec_csv
+         FROM s1""",
+    // quantize + integer-dot cosine + rank, all re-derived from the raw
+    // parquet (list_sum over BIGINT products is exact; norms/division in
+    // double match the Spark formula term for term)
+    "q_ann_int8_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         s0 AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc0
+                FROM v),
+         q AS (SELECT vec_id,
+                 list_transform(e, x -> CAST(round(
+                   x / (CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END)) AS INT)) AS qv
+               FROM s0),
+         n AS (SELECT vec_id, qv,
+                 sqrt(CAST(list_sum(list_transform(qv,
+                   x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS nrm
+               FROM q),
+         s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                      ELSE round(CAST(list_sum(list_transform(
+                             range(1, len(a.qv) + 1),
+                             i -> CAST(a.qv[i] AS BIGINT) * b.qv[i])) AS DOUBLE)
+                           / (a.nrm * b.nrm), 6) END AS cos
+               FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM s)
          SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""",
     "q_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup.cosine
@@ -33,6 +33,58 @@ object Ann {
     val q = queries.select(col(id).as("query_id"), col(vec).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127 (1.0
+    * for the zero vector), q_i = round(x_i/scale) clamped to [-127,127].
+    * 4x less memory/shuffle than float32 for an ANN corpus — at 100 TB
+    * that is the difference between an index that fits executor memory
+    * and one that spills — and cosine over quantized vectors is pure
+    * integer arithmetic (the per-vector scales cancel), so the query
+    * path needs no float payload at all. Pure codegen column exprs; the
+    * clamp is a no-op mathematically (|x/scale| <= 127 by construction)
+    * and guards FP edge cases only.
+    * Output: (id, scale double, qvec array<int> in [-127,127]). */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    val v = col(vec).cast("array<double>")
+    df.select(col(id), v.as("__v"))
+      .withColumn("scale", {
+        val s0 = array_max(transform(col("__v"), x => abs(x))) / lit(127.0)
+        when(s0 === 0.0, lit(1.0)).otherwise(s0)
+      })
+      .select(col(id), col("scale"),
+        transform(col("__v"), x =>
+          greatest(least(round(x / col("scale")), lit(127.0)), lit(-127.0))
+            .cast("int")).as("qvec"))
+  }
+
+  /** Exact-within-quantization top-k by cosine over int8-quantized
+    * vectors: same shape as [[bruteForceTopK]] (broadcast queries,
+    * per-query window) but the pair arithmetic is an integer dot over
+    * array<int> — long accumulator, so ANSI mode cannot overflow-throw
+    * (127^2 * dim stays far below 2^63). */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    def qnorm(c: Column) = sqrt(aggregate(
+      transform(c, x => (x * x).cast("long")), lit(0L), (a, b) => a + b)
+      .cast("double"))
+    val c = quantizeInt8(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("qvec").as("cv"))
+      .withColumn("cn", qnorm(col("cv")))
+    val q = quantizeInt8(queries, id, vec)
+      .select(col(id).as("query_id"), col("qvec").as("qv"))
+      .withColumn("qn", qnorm(col("qv")))
+    val dot = aggregate(
+      zip_with(col("qv"), col("cv"), (x, y) => (x * y).cast("long")),
+      lit(0L), (a, b) => a + b).cast("double")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(round(dot / (col("qn") * col("cn")), 6)))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -269,6 +269,44 @@ class AnnSpec extends SparkSpec {
     // worst case for sign-LSH; clustered real embeddings recall far higher
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("int8 quantization: values honest to the formula, cosine within quantization error") {
+    import spark.implicits._
+    val q = Ann.quantizeInt8(embeddings, "vec_id", "embedding")
+      .select($"vec_id".as[Long], $"scale".as[Double], $"qvec".as[Seq[Int]])
+      .collect()
+    val raw = embeddings.select($"vec_id".as[Long], $"embedding".as[Seq[Float]])
+      .collect().toMap
+    q.foreach { case (id, scale, qv) =>
+      val v = raw(id).map(_.toDouble)
+      assert(qv.forall(x => x >= -127 && x <= 127))
+      assert(math.abs(scale - v.map(math.abs).max / 127.0) < 1e-12)
+      // reconstruction error bounded by scale/2 per coordinate
+      qv.zip(v).foreach { case (qx, x) =>
+        assert(math.abs(qx * scale - x) <= scale / 2 + 1e-9)
+      }
+    }
+    // quantized cosine tracks exact cosine closely (int8 on ~unit vectors)
+    val exact = Ann.bruteForceTopK(embeddings,
+      embeddings.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select($"query_id".as[Long], $"neighbor_id".as[Long], $"cos".as[Double])
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val qk = Ann.int8TopK(embeddings,
+      embeddings.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select($"query_id".as[Long], $"neighbor_id".as[Long], $"cos".as[Double])
+      .collect()
+    assert(qk.nonEmpty)
+    qk.foreach { case (qid, nid, c) =>
+      exact.get((qid, nid)).foreach(e => assert(math.abs(c - e) < 0.02, s"($qid,$nid) $c vs $e"))
+    }
+    // top-1 neighbor agrees with exact for nearly all queries
+    val t1e = exact.keys.groupBy(_._1) // exact already top-5; derive top-1 via cos
+    val exTop1 = exact.toSeq.groupBy(_._1._1).map { case (q2, xs) => q2 -> xs.maxBy(_._2)._1._2 }
+    val qTop1 = qk.groupBy(_._1).map { case (q2, xs) => q2 -> xs.maxBy(_._3)._2 }
+    val agree = exTop1.count { case (q2, n) => qTop1.get(q2).contains(n) }
+    info(s"top-1 agreement = $agree/${exTop1.size}")
+    assert(agree >= exTop1.size - 2)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
