@@ -412,6 +412,13 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy(col("id0"), col("id1"))),
+    // near-dup group resolution: LSH pairs -> connected components ->
+    // canonical representative; the oracle replays the pairing from the
+    // minhash_sig dump (same params as q_minhash_pairs) and the
+    // transitive closure with a recursive CTE
+    "q_neardup_groups" -> ((s, dir) =>
+      Dedup.nearDupGroups(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id"))),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
@@ -636,6 +643,27 @@ object SparkEntry {
            FROM m a JOIN m b ON a.doc < b.doc
              AND len(list_intersect(a.bks, b.bks)) > 0)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // group resolution: same pairing replay as q_minhash_pairs, then the
+    // transitive closure as a recursive CTE (min reachable id per node ==
+    // the CC solver's component label, which is also min member id)
+    "q_neardup_groups" ->
+      s"""WITH RECURSIVE
+         m AS (SELECT doc, sh, bks FROM '$OracleAuxDir/minhash_sig/*.parquet'),
+         p AS (
+           SELECT a.doc AS id0, b.doc AS id1
+           FROM m a JOIN m b ON a.doc < b.doc
+             AND len(list_intersect(a.bks, b.bks)) > 0
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             >= 0.5),
+         e AS (SELECT id0 AS u, id1 AS v FROM p
+               UNION SELECT id1, id0 FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id),
+         g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+         SELECT id, group_id, (id = group_id) AS is_canonical FROM g""",
     // SimHash pairing replayed from the simhash_sig dump (4-band
     // pigeonhole is exact for maxDist<=3, so banded == brute force)
     "q_simhash_pairs" ->

@@ -290,6 +290,30 @@ object Dedup {
     out
   }
 
+  /** Near-duplicate GROUP resolution — the standard last stage of a
+    * corpus dedup pipeline: MinHash-LSH near-dup pairs -> connected
+    * components -> one deterministic canonical representative per group
+    * (the min id; a training pipeline keeps `is_canonical` rows).
+    * Documents with no near-duplicate form singleton groups. Reuses the
+    * distributed CC solver (small-star rounds, driver union-find under
+    * 2M edges), so the shuffle story is the linkage pipeline's.
+    * Output: (id long, group_id long, is_canonical boolean). */
+  def nearDupGroups(df: DataFrame, id: String, text: String,
+      threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
+      seed: Int = 0xd5ed): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = minhashLshPairs(df, id, text, threshold, bands, rowsPerBand, seed)
+      .select(col("id0").cast("long"), col("id1").cast("long"))
+      .as[(Long, Long)]
+    val comp = graft.cluster.ConnectedComponents.run(pairs)
+      .withColumnRenamed("node", "id")
+    df.select(col(id).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("group_id"))
+      .withColumn("is_canonical", col("id") === col("group_id"))
+  }
+
   val simhashUdf = udf((t: String) => simhash64(if (t == null) "" else t))
 
   /** Per-document 64-bit SimHash signature (doc, sh). */

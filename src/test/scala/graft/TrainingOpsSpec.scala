@@ -104,6 +104,32 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall")
   }
 
+  test("nearDupGroups: matches local union-find over the emitted pairs; canonical = min id") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLshPairs(documents, "doc_id", "text", 0.5)
+      .select($"id0".as[Long], $"id1".as[Long]).collect()
+    val got = Dedup.nearDupGroups(documents, "doc_id", "text", 0.5)
+      .select($"id".as[Long], $"group_id".as[Long], $"is_canonical".as[Boolean])
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val ids = documents.select($"doc_id".as[Long]).collect()
+    // local union-find oracle
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(got.size == ids.length)
+    ids.foreach { i =>
+      val root = find(i)
+      val minMember = ids.filter(find(_) == root).min
+      assert(got(i)._1 == minMember, s"doc $i group ${got(i)._1} vs $minMember")
+      assert(got(i)._2 == (i == minMember))
+    }
+    // at least one non-trivial group exists in the corpus (it has dups)
+    assert(got.values.exists(!_._2), "expected at least one non-canonical member")
+  }
+
   test("simhash pairs: exact vs brute-force hamming") {
     import spark.implicits._
     val got = Dedup.simhashPairs(documents, "doc_id", "text", maxDist = 3)
