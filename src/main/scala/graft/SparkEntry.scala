@@ -419,6 +419,15 @@ object SparkEntry {
     "q_neardup_groups" -> ((s, dir) =>
       Dedup.nearDupGroups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id"))),
+    // benchmark decontamination: docs sharing any word 8-gram with the
+    // deterministic "benchmark" subset (doc_id % 97 == 0); the oracle
+    // replays gram construction + intersection entirely in SQL
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.contamination(d, "doc_id", "text",
+          d.where(col("doc_id") % 97 === 0), "text", n = 8)
+        .orderBy(col("id"))
+    }),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
@@ -478,6 +487,21 @@ object SparkEntry {
     // FNV-1a 64-bit replayed byte-for-byte in HUGEINT arithmetic
     // (documents are ASCII, so ord(substr) == the UTF-8 byte; the
     // multibyte case is covered by TextOpsSpec's reference vectors)
+    // decontamination replayed in SQL: same space tokenization, same
+    // 8-gram windows (1-based inclusive slice of length 8), same
+    // distinct-gram intersection against the doc_id % 97 benchmark set
+    "q_contamination" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(range(0, greatest(len(t) - 8 + 1, 0)),
+                   i -> array_to_string(t[i + 1:i + 8], ' '))) AS gram
+               FROM d),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         h AS (SELECT doc_id, count(DISTINCT gram) AS n_hits
+               FROM g JOIN bg USING (gram) GROUP BY 1)
+         SELECT d.doc_id AS id, COALESCE(h.n_hits, 0) AS n_hits,
+                COALESCE(h.n_hits, 0) > 0 AS contaminated
+         FROM d LEFT JOIN h USING (doc_id)""",
     "q_fingerprint" ->
       """SELECT doc_id,
            CAST(CASE WHEN h >= 9223372036854775808::HUGEINT

@@ -114,6 +114,36 @@ object TextOps {
       .select(col("__id").as(id), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Benchmark decontamination (training-data hygiene): flag documents
+    * sharing any word n-gram with a benchmark/eval set. The benchmark
+    * gram set is tiny next to the corpus, so it broadcasts; the corpus
+    * side explodes its n-grams and the broadcast hash join FILTERS them
+    * map-side before any shuffle — at 100 TB the only shuffled rows are
+    * the (rare) actual hits, then one small per-doc count. No UDFs: the
+    * gram construction is transform/sequence/slice column exprs.
+    * Output: one row per corpus doc (id, n_hits = distinct shared
+    * n-grams, contaminated boolean). */
+  def contamination(docs: DataFrame, id: String, text: String,
+      bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram order must be positive: $n")
+    def grams(c: Column) = {
+      val toks = split(c, " ")
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val bg = bench.select(explode(grams(col(benchText))).as("gram")).distinct()
+    val hits = docs.select(col(id).as("id"), explode(grams(col(text))).as("gram"))
+      .join(broadcast(bg), "gram") // map-side filter: only hits survive
+      .select("id", "gram").distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(id).cast("long").as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** 64-bit FNV-1a document fingerprint over UTF-8 bytes (pure,
     * deterministic; pinned by test vectors — not SQL-replayable). */
   def fingerprint64(text: String): Long = {

@@ -26,6 +26,30 @@ class TextOpsSpec extends SparkSpec {
     assert(survivors < docs.count())
   }
 
+  test("contamination: matches a local brute-force n-gram intersection") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val bench = docs.where($"doc_id" % 97 === 0)
+    val got = TextOps.contamination(docs, "doc_id", "text", bench, "text", n = 8)
+      .select($"id".as[Long], $"n_hits".as[Long], $"contaminated".as[Boolean])
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val txts = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 8) Set.empty
+      else (0 to toks.length - 8).map(i => toks.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val bg = txts.filter(_._1 % 97 == 0).flatMap(t => grams(t._2)).toSet
+    assert(got.size == txts.length)
+    txts.foreach { case (id2, t) =>
+      val hits = (grams(t) intersect bg).size.toLong
+      assert(got(id2) == (hits, hits > 0), s"doc $id2: ${got(id2)} vs $hits")
+    }
+    // benchmark docs self-hit; most of the corpus is clean
+    assert(got.values.count(_._2) > 0)
+    assert(got.values.count(!_._2) > txts.length / 2)
+  }
+
   test("bpeTokenCount: GPT-2-style pre-token counts on contraction/mixed cases") {
     import spark.implicits._
     // expected values computed by hand against the documented pattern
