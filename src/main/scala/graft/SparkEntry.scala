@@ -396,6 +396,28 @@ object SparkEntry {
       try q.awaitTermination() finally if (q.isActive) q.stop()
       s.table(qn).orderBy(col("dup_key"))
     }),
+    // STREAMING linkage through the real engine: the dp=1 provider is
+    // staged as a 4-file parquet dir and streamed (maxFilesPerTrigger=1,
+    // so 4 micro-batches) against the static dp=0 side; stream-static
+    // join + codegen dice + stateful exact-once edge dedup. The oracle
+    // is the SAME bit-for-bit DuckDB kernel replay as er_febrl4_edges —
+    // the driver itself proves stream == batch == oracle.
+    "q_stream_linkage" -> ((s, _) => {
+      val qn = s"stream_link_q${streamQueryIds.incrementAndGet()}"
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_link").toString
+      Pipeline.defaultBlock(
+          ClkIO.readBinary(s, s"$FixturesDir/febrl4_b.bin", 1, 128))
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      val statics = Pipeline.defaultBlock(
+        ClkIO.readBinary(s, s"$FixturesDir/febrl4_a.bin", 0, 128))
+      val q = graft.streaming.EventStream.streamingLinkage(
+          graft.streaming.EventStream.parquetStream(s, dir), statics, 0.8)
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      s.table(qn).orderBy(desc("sim"), col("rec0"), col("rec1"))
+    }),
     // tumbling-window aggregation over the event stream table
     "q_events_windows" -> ((s, dir) =>
       events(s, dir)
@@ -464,6 +486,16 @@ object SparkEntry {
     // thresholded at 0.8 — both engines do one exact int multiply and one
     // IEEE division, so the doubles hash identically unrounded.
     "er_febrl4_edges" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp)
+         SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // the streaming run must produce the exact batch edge set
+    "q_stream_linkage" ->
       """WITH c AS (SELECT dp, entity_id, pc, words
                     FROM '/root/repo/fixtures/febrl4_clks.parquet'),
          p AS (

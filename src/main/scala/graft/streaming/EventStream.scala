@@ -28,6 +28,38 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming linkage: match an unbounded stream of encoded+blocked
+    * records against a STATIC blocked reference set — the streaming form
+    * of the C1 scoring stage (new uploads matched as they arrive instead
+    * of per-run batch jobs). The stream-static equi-join on block key is
+    * stateless: every micro-batch compiles to the same hash join +
+    * codegen dice a batch run plans, so throughput is the batch join's.
+    * The trailing streaming dropDuplicates holds one (dp0,rec0,dp1,rec1)
+    * key per emitted edge, so a pair that reappears (shared block, late
+    * file) is emitted exactly once across the whole stream — the same
+    * keyed-state discipline as [[firstSeenKeys]] (unbounded state; bound
+    * with dropDuplicatesWithinWatermark when the stream carries event
+    * time). Both inputs: (dp, entity_id, clk, popcount, block_key);
+    * output = Linker's Edge schema (sim, dp0, rec0, dp1, rec1). */
+  def streamingLinkage(stream: DataFrame, staticBlocked: DataFrame,
+      threshold: Double): DataFrame = {
+    val st = staticBlocked.select(col("dp").as("dp_s"),
+      col("entity_id").as("rec_s"), col("clk").as("clk_s"),
+      col("popcount").as("pc_s"), col("block_key"))
+    val flip = col("dp_s") < col("dp")
+    stream.join(st, Seq("block_key"))
+      .where(col("dp") =!= col("dp_s"))
+      .withColumn("sim", graft.expr.dicePre(col("clk"), col("clk_s"),
+        col("popcount") + col("pc_s")))
+      .where(col("sim") >= threshold)
+      .select(col("sim"),
+        when(flip, col("dp_s")).otherwise(col("dp")).as("dp0"),
+        when(flip, col("rec_s")).otherwise(col("entity_id")).as("rec0"),
+        when(flip, col("dp")).otherwise(col("dp_s")).as("dp1"),
+        when(flip, col("entity_id")).otherwise(col("rec_s")).as("rec1"))
+      .dropDuplicates("dp0", "rec0", "dp1", "rec1")
+  }
+
   /** Stateful streaming first-seen dedup: emits each key exactly once
     * across the whole stream (the streaming analogue of
     * Dedup.exactGroups' keeper selection) via flatMapGroupsWithState —

@@ -90,6 +90,33 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot.sorted == List("a", "b", "c", "d"))
   }
 
+  test("streaming linkage over incremental batches == batch kernel edges") {
+    import spark.implicits._
+    val a = graft.ingest.ClkIO.readBinary(spark, s"$fixturesDir/febrl4_a.bin", 0, 128)
+    val b = graft.ingest.ClkIO.readBinary(spark, s"$fixturesDir/febrl4_b.bin", 1, 128)
+    val statics = graft.link.Pipeline.defaultBlock(a)
+    // stage dp=1 as a 3-file dir -> 3 micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("slink").toString
+    graft.link.Pipeline.defaultBlock(b).repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStream.streamingLinkage(
+        EventStream.parquetStream(spark, dir), statics, threshold = 0.8)
+      .writeStream.outputMode("append").format("memory").queryName("slink_edges")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slink_edges")
+      .select($"sim".as[Double], $"dp0".as[Int], $"rec0".as[Long],
+        $"dp1".as[Int], $"rec1".as[Long]).collect().toSet
+    val batch = graft.link.Pipeline.edges(
+        graft.link.Pipeline.defaultBlock(a.union(b)),
+        graft.core.LinkConfig(threshold = 0.8))
+      .collect().map(e => (e.sim, e.dp0, e.rec0, e.dp1, e.rec1)).toSet
+    assert(got == batch, s"stream ${got.size} vs batch ${batch.size}")
+    assert(got.size == 946)
+  }
+
   test("TTL first-seen dedup: watermark-expired keys re-emit; batch parity") {
     import spark.implicits._
     // Event-time TTL = 1 day, watermark delay 0. Timeline (one query run,
