@@ -441,6 +441,11 @@ object SparkEntry {
     "q_neardup_groups" -> ((s, dir) =>
       Dedup.nearDupGroups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id"))),
+    // Gopher-style repetition quality filters (dup-2gram + top-token
+    // fractions); the oracle replays both from str_split in SQL
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionScores(docs(s, dir), "doc_id", "text")
+        .orderBy(col("id"))),
     // benchmark decontamination: docs sharing any word 8-gram with the
     // deterministic "benchmark" subset (doc_id % 97 == 0); the oracle
     // replays gram construction + intersection entirely in SQL
@@ -519,6 +524,28 @@ object SparkEntry {
     // FNV-1a 64-bit replayed byte-for-byte in HUGEINT arithmetic
     // (documents are ASCII, so ord(substr) == the UTF-8 byte; the
     // multibyte case is covered by TextOpsSpec's reference vectors)
+    // repetition filters replayed from str_split: same 2-gram windows,
+    // same distinct/total and max-token-count/total fractions
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, len(t) AS n,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(0, len(t) - 1),
+                             i -> array_to_string(t[i + 1:i + 2], ' '))
+                      ELSE [] END AS g2
+               FROM d),
+         tok AS (SELECT doc_id, unnest(t) AS tok FROM d),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         mx AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY 1)
+         SELECT g.doc_id AS id, CAST(g.n AS BIGINT) AS n_tokens,
+                CASE WHEN len(g2) > 0
+                     THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                                / len(g2), 4)
+                     ELSE 0.0 END AS dup_2gram_frac,
+                CASE WHEN g.n > 0
+                     THEN round(CAST(COALESCE(mx.maxc, 0) AS DOUBLE) / g.n, 4)
+                     ELSE 0.0 END AS top_token_frac
+         FROM g LEFT JOIN mx USING (doc_id)""",
     // decontamination replayed in SQL: same space tokenization, same
     // 8-gram windows (1-based inclusive slice of length 8), same
     // distinct-gram intersection against the doc_id % 97 benchmark set

@@ -114,6 +114,36 @@ object TextOps {
       .select(col("__id").as(id), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Gopher/MassiveText-style repetition filters: documents dominated
+    * by repeated fragments are low-quality training data. Per doc:
+    *  - `dup_2gram_frac` = 1 - distinct/total word 2-grams (pure array
+    *    exprs, no shuffle);
+    *  - `top_token_frac` = occurrences of the most frequent token over
+    *    n_tokens — computed via explode + two partial-aggregated
+    *    groupBys (map-side combine), NOT an O(n_tokens^2) per-row
+    *    expression, so 5000-token docs cost n, not n^2.
+    * Output: (id, n_tokens, dup_2gram_frac, top_token_frac). */
+  def repetitionScores(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = split(col(text), " ")
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => array_join(slice(toks, i + lit(1), lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val dupFrac = when(size(grams) > 0,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 4))
+      .otherwise(lit(0.0))
+    val base = df.select(col(id).cast("long").as("id"),
+      size(toks).cast("long").as("n_tokens"), dupFrac.as("dup_2gram_frac"))
+    val top = df.select(col(id).cast("long").as("id"), explode(toks).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("maxc"))
+    base.join(top, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("dup_2gram_frac"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("maxc"), lit(0L)).cast("double") / col("n_tokens"), 4))
+          .otherwise(lit(0.0)).as("top_token_frac"))
+  }
+
   /** Benchmark decontamination (training-data hygiene): flag documents
     * sharing any word n-gram with a benchmark/eval set. The benchmark
     * gram set is tiny next to the corpus, so it broadcasts; the corpus

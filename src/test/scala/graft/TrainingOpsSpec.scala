@@ -26,6 +26,32 @@ class TextOpsSpec extends SparkSpec {
     assert(survivors < docs.count())
   }
 
+  test("repetitionScores: matches local computation; repeated text scores high") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val got = TextOps.repetitionScores(docs, "doc_id", "text")
+      .select($"id".as[Long], $"n_tokens".as[Long],
+        $"dup_2gram_frac".as[Double], $"top_token_frac".as[Double])
+      .collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val txts = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+    // Spark round() is decimal HALF_UP, not double half-even
+    def r4(x: Double) =
+      BigDecimal(x.toString).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    txts.foreach { case (id2, t) =>
+      val toks = t.split(" ")
+      val g2 = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val dup = if (g2.isEmpty) 0.0
+        else r4(1.0 - g2.distinct.size.toDouble / g2.size)
+      val top = if (toks.isEmpty) 0.0
+        else r4(toks.groupBy(identity).values.map(_.size).max.toDouble / toks.length)
+      assert(got(id2) == ((toks.length.toLong, dup, top)), s"doc $id2")
+    }
+    // a pathological doc scores near 1 on both
+    val bad = Seq((1L, ("spam " * 50).trim)).toDF("doc_id", "text")
+    val b = TextOps.repetitionScores(bad, "doc_id", "text").collect().head
+    assert(b.getDouble(2) > 0.9 && b.getDouble(3) == 1.0)
+  }
+
   test("contamination: matches a local brute-force n-gram intersection") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
