@@ -246,7 +246,14 @@ object Bench {
     // driver's window is tight
     val blockedFull = !skipBlocked &&
       sys.env.getOrElse("SPARK_GRAFT_BLOCKED_FULL", "1") == "1"
-    val full = if (blockedFull) Some(blockedShape(cpus, 100000, 1000000)) else None
+    // env override (e.g. "200000x2000000") for past-reference-scale runs;
+    // the default stays the reference's own full benchmark size
+    val (fullA, fullB) = sys.env.get("SPARK_GRAFT_BLOCKED_SHAPE") match {
+      case Some(s) if s.matches("\\d+x\\d+") =>
+        val Array(a, b) = s.split("x"); (a.toInt, b.toInt)
+      case _ => (100000, 1000000)
+    }
+    val full = if (blockedFull) Some(blockedShape(cpus, fullA, fullB)) else None
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -289,7 +296,7 @@ object Bench {
       s"""{"shape":"10000x100000 LSH-blocked dice t=0.8","sec":${r3(bWall)},""" +
       s""""edges":$bEdges,"comparisons_after_blocking":$bCmp}"""
     val blockedFullJson = full.map { case (w, e, c) =>
-      s""","blocked_full":{"shape":"100000x1000000 LSH-blocked dice t=0.8 (reference benchmarking/default-experiments.json full size)","sec":${r3(w)},"edges":$e,"comparisons_after_blocking":$c}"""
+      s""","blocked_full":{"shape":"${fullA}x$fullB LSH-blocked dice t=0.8 (reference benchmarking/default-experiments.json full size is 100000x1000000)","sec":${r3(w)},"edges":$e,"comparisons_after_blocking":$c}"""
     }.getOrElse("")
     // Same-window host evidence for the query section (round-3 driver
     // window was 9x inflated by co-tenant load with nothing in the
