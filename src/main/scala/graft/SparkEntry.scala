@@ -441,6 +441,22 @@ object SparkEntry {
     "q_neardup_groups" -> ((s, dir) =>
       Dedup.nearDupGroups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id"))),
+    // PII redaction over the corpus with deterministic injected
+    // emails/phones (the synthetic corpus has none); counts + md5 of the
+    // redacted text are replayed in SQL with the same patterns
+    "q_redact_pii" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" call 555-867-5309 ok")).otherwise(lit(""))).as("text"))
+      TextOps.redactPii(injected, "doc_id", "text")
+        .select(col("id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"))
+        .orderBy(col("id"))
+    }),
     // Gopher-style repetition quality filters (dup-2gram + top-token
     // fractions); the oracle replays both from str_split in SQL
     "q_repetition" -> ((s, dir) =>
@@ -524,6 +540,27 @@ object SparkEntry {
     // FNV-1a 64-bit replayed byte-for-byte in HUGEINT arithmetic
     // (documents are ASCII, so ord(substr) == the UTF-8 byte; the
     // multibyte case is covered by TextOpsSpec's reference vectors)
+    // same injection, same regexes (alternation-free greedy patterns
+    // agree between Java regex and RE2), same email-then-phone order
+    "q_redact_pii" ->
+      """WITH inj AS (
+           SELECT doc_id, text ||
+             (CASE WHEN doc_id % 7 = 0
+                   THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   ELSE '' END) ||
+             (CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 ok'
+                   ELSE '' END) AS t
+           FROM documents)
+         SELECT doc_id AS id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\d{3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM inj""",
     // repetition filters replayed from str_split: same 2-gram windows,
     // same distinct/total and max-token-count/total fractions
     "q_repetition" ->

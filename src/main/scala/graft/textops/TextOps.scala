@@ -114,6 +114,26 @@ object TextOps {
       .select(col("__id").as(id), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Email pattern shared by the redactor and its oracle. Both patterns
+    * are alternation-free with greedy quantifiers, so Java's
+    * leftmost-first and RE2's leftmost-longest agree — the same
+    * cross-engine constraint bpeTokenCount documents. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** US-style phone pattern (3-3-4 groups with -, . or space). */
+  val PhoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+  /** PII redaction (training-data hygiene): replace emails and phone
+    * numbers with placeholder tokens, counting each kind. Counts are
+    * taken on the ORIGINAL text (so the two are independent), then the
+    * replacements apply email-first. Pure codegen regexp exprs — no
+    * UDF, no shuffle. Output: (id, n_emails, n_phones, redacted). */
+  def redactPii(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).cast("long").as("id"),
+      regexp_count(col(text), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(text), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(text), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
   /** Gopher/MassiveText-style repetition filters: documents dominated
     * by repeated fragments are low-quality training data. Per doc:
     *  - `dup_2gram_frac` = 1 - distinct/total word 2-grams (pure array

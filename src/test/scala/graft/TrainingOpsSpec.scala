@@ -26,6 +26,22 @@ class TextOpsSpec extends SparkSpec {
     assert(survivors < docs.count())
   }
 
+  test("redactPii: emails and phones replaced, counted on the original text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.co or bob.smith+x@ex-1.co.uk now"),
+      (2L, "call 555-867-5309 or 555 123 4567"),
+      (3L, "email a@b.co then call 555-867-5309"),
+      (4L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val got = TextOps.redactPii(df, "doc_id", "text")
+      .select($"id".as[Long], $"n_emails".as[Long], $"n_phones".as[Long],
+        $"redacted".as[String]).collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 0L, "mail <EMAIL> or <EMAIL> now")))
+    assert(got(1) == ((2L, 0L, 2L, "call <PHONE> or <PHONE>")))
+    assert(got(2) == ((3L, 1L, 1L, "email <EMAIL> then call <PHONE>")))
+    assert(got(3) == ((4L, 0L, 0L, "clean text with no pii at all")))
+  }
+
   test("repetitionScores: matches local computation; repeated text scores high") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
