@@ -471,6 +471,83 @@ object SparkEntry {
           d.where(col("doc_id") % 97 === 0), "text", n = 8)
         .orderBy(col("id"))
     }),
+    // CCNet-style line-level dedup over a deterministically synthesized
+    // multi-line corpus (the flat corpus has no newlines): every doc gets
+    // a shared boilerplate line, its 40-char prefix as a line, and every
+    // third doc a second banner. The oracle replays frequency counting +
+    // reassembly entirely in SQL (Spark keys the count by xxhash64 of the
+    // trimmed line — fixed-width shuffle payload; same decision absent a
+    // 64-bit collision).
+    "q_line_dedup" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nsubscribe to our newsletter\n"),
+          substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, lit("\ncookie policy accepted"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.lineDedup(corpus, "doc_id", "text", maxFreq = 1)
+        .select(col("id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy(col("id"))
+    }),
+    // URL canonicalization + URL-level dup grouping over deterministic
+    // messy variants (case, default port, www., tracking params, param
+    // order, trailing slashes, fragments, plus a non-URL passthrough);
+    // the oracle replays the whole canonical algebra in SQL
+    "q_url_canon" -> ((s, dir) => {
+      val v = col("doc_id") % 5
+      val g = (col("doc_id") - v).cast("string")
+      val raw = docs(s, dir).select(col("doc_id"),
+        when(v === 0, concat(lit("HTTPS://WWW.Example.COM:443/docs/"), g,
+            lit("/?utm_source=feed&b=2&a=1#top")))
+          .when(v === 1, concat(lit("https://example.com/docs/"), g,
+            lit("//?a=1&b=2")))
+          .when(v === 2, concat(lit("https://example.com:8080/docs/"), g,
+            lit("?b=2&a=1&fbclid=zz")))
+          .when(v === 3, concat(lit("https://example.com/docs/"), g))
+          .otherwise(concat(lit("URN:isbn:"), col("doc_id").cast("string")))
+          .as("url_raw"))
+      raw.select(col("doc_id").as("id"), col("url_raw"),
+          graft.textops.UrlOps.canonicalUrl(col("url_raw")).as("url_canon"))
+        .withColumn("n_dups",
+          count(lit(1)).over(Window.partitionBy(col("url_canon"))))
+        .withColumn("domain", graft.textops.UrlOps.domainOf(col("url_canon")))
+        .orderBy(col("id"))
+    }),
+    // Pairwise precision/recall/F1 of the LIVE pipeline vs the febrl4
+    // ground truth at the flagship threshold and at t=0.75 (the
+    // BASELINE.json F1>=0.99 gate threshold — LinkageFixtureSpec's
+    // semantic gate). The oracle replays the metric from the FROZEN
+    // golden cluster fixtures, so the driver independently checks that
+    // the live solver still produces the F1-grade pairs.
+    "q_febrl4_eval" -> ((s, _) => {
+      import s.implicits._
+      val truth = s.read.option("header", "true")
+        .csv(s"$FixturesDir/febrl4_truth.csv")
+        .select(col("row_a").cast("long").as("rec0"),
+          col("row_b").cast("long").as("rec1"), lit(1L).as("t"))
+      def evalAt(t: Double): DataFrame = {
+        val clusters =
+          if (t == 0.8) febrl4Clusters(s).as[graft.core.ClusterMember]
+          else Pipeline.clusters(febrl4Blocked(s), LinkConfig(threshold = t))
+        val pred = Solver.pairsFromClusters(clusters)
+          .where($"dp0" === 0 && $"dp1" === 1)
+          .select($"rec0", $"rec1", lit(1L).as("p"))
+        pred.join(truth, Seq("rec0", "rec1"), "full_outer")
+          .agg(
+            sum(coalesce($"p", lit(0L)) * coalesce($"t", lit(0L))).as("tp"),
+            sum(coalesce($"p", lit(0L))).as("n_pred"),
+            sum(coalesce($"t", lit(0L))).as("n_true"))
+          .withColumn("threshold", lit(t))
+      }
+      evalAt(0.75).unionByName(evalAt(0.8))
+        .withColumn("precision", $"tp" / $"n_pred")
+        .withColumn("recall", $"tp" / $"n_true")
+        .withColumn("f1",
+          lit(2) * $"precision" * $"recall" / ($"precision" + $"recall"))
+        .select("threshold", "n_pred", "n_true", "tp",
+          "precision", "recall", "f1")
+        .orderBy("threshold")
+    }),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
@@ -598,6 +675,128 @@ object SparkEntry {
          SELECT d.doc_id AS id, COALESCE(h.n_hits, 0) AS n_hits,
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM d LEFT JOIN h USING (doc_id)""",
+    // line-level dedup replayed from string_split: same injected
+    // boilerplate, same trimmed-line frequency counting (Spark keys by
+    // xxhash64 of the trimmed line; identical decisions absent a 64-bit
+    // collision), same in-order reassembly (string_agg ORDER BY pos ==
+    // array_sort(collect_list(struct(pos, line)))). string_agg of an
+    // all-dropped doc is NULL in DuckDB vs '' in Spark -> COALESCE.
+    "q_line_dedup" ->
+      """WITH c AS (SELECT doc_id,
+                 text || chr(10) || 'subscribe to our newsletter' || chr(10)
+                      || substring(text, 1, 40)
+                      || (CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || 'cookie policy accepted'
+                               ELSE '' END) AS t
+               FROM documents),
+         l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                 generate_subscripts(string_split(t, chr(10)), 1) AS pos
+               FROM c),
+         f AS (SELECT trim(line) AS k, count(*) AS cnt FROM l GROUP BY 1)
+         SELECT doc_id AS id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                md5(COALESCE(string_agg(CASE WHEN cnt <= 1 THEN line END,
+                      chr(10) ORDER BY pos), '')) AS clean_md5
+         FROM l JOIN f ON trim(l.line) = f.k
+         GROUP BY doc_id""",
+    // URL canonicalization replayed step-for-step: same variant
+    // injection, same alternation-free regexes (Java regex == RE2 here),
+    // starts_with for tracking-param drops (LIKE 'utm_%' would wildcard
+    // the underscore), binary-order param sort in both engines
+    "q_url_canon" ->
+      """WITH r AS (SELECT doc_id,
+                 CAST(doc_id - doc_id % 5 AS VARCHAR) AS g, doc_id % 5 AS v
+               FROM documents),
+         raw AS (SELECT doc_id,
+                 CASE v
+                   WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/' || g
+                               || '/?utm_source=feed&b=2&a=1#top'
+                   WHEN 1 THEN 'https://example.com/docs/' || g || '//?a=1&b=2'
+                   WHEN 2 THEN 'https://example.com:8080/docs/' || g
+                               || '?b=2&a=1&fbclid=zz'
+                   WHEN 3 THEN 'https://example.com/docs/' || g
+                   ELSE 'URN:isbn:' || CAST(doc_id AS VARCHAR)
+                 END AS url_raw
+               FROM r),
+         p1 AS (SELECT doc_id, url_raw, trim(url_raw) AS u,
+                 lower(regexp_extract(trim(url_raw),
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(trim(url_raw),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+               FROM raw),
+         p2 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+                 regexp_replace(rest, '^[^/?#]*', '') AS pathqf
+               FROM p1),
+         p3 AS (SELECT *,
+                 regexp_replace(regexp_replace(lower(hostport),
+                   ':[0-9]+$', ''), '^www\.', '') AS host,
+                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                 regexp_extract(pathqf, '^([^?#]*)', 1) AS rawpath,
+                 regexp_extract(pathqf, '\?([^#]*)', 1) AS query
+               FROM p2),
+         p4 AS (SELECT *,
+                 CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                      ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+                 list_sort(list_filter(string_split(query, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_')
+                     AND NOT starts_with(p, 'gclid=')
+                     AND NOT starts_with(p, 'fbclid=')
+                     AND NOT starts_with(p, 'ref='))) AS params,
+                 (port <> '' AND NOT (scheme = 'http' AND port = '80')
+                   AND NOT (scheme = 'https' AND port = '443')) AS keepport
+               FROM p3),
+         c AS (SELECT doc_id, url_raw,
+                 CASE WHEN scheme = '' THEN lower(u)
+                      ELSE scheme || '://' || host
+                        || (CASE WHEN keepport THEN ':' || port ELSE '' END)
+                        || path
+                        || (CASE WHEN len(params) > 0
+                                 THEN '?' || list_aggregate(params,
+                                   'string_agg', '&')
+                                 ELSE '' END)
+                 END AS url_canon
+               FROM p4)
+         SELECT doc_id AS id, url_raw, url_canon,
+                count(*) OVER (PARTITION BY url_canon) AS n_dups,
+                regexp_extract(regexp_extract(url_canon,
+                  '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1),
+                  '([^.]+\.[^.]+)$', 1) AS domain
+         FROM c""",
+    // pairwise P/R/F1 replayed from the FROZEN golden cluster fixtures
+    // (t=0.8 flagship + t=0.75, the BASELINE F1>=0.99 gate threshold)
+    // against the committed ground-truth pair list; the Spark side
+    // computes the same metrics from the LIVE pipeline. Identical double
+    // arithmetic (BIGINT/BIGINT division then 2*p*r/(p+r)) on both sides.
+    "q_febrl4_eval" ->
+      """WITH truth AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                 CAST(row_b AS BIGINT) AS rec1
+               FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                 header = true)),
+         pred AS (
+           SELECT CAST(0.75 AS DOUBLE) AS threshold,
+                  a."entityId" AS rec0, b."entityId" AS rec1
+           FROM '/root/repo/fixtures/febrl4_golden_clusters_t075.parquet' a
+           JOIN '/root/repo/fixtures/febrl4_golden_clusters_t075.parquet' b
+             ON a."clusterId" = b."clusterId" AND a.dp = 0 AND b.dp = 1
+           UNION ALL
+           SELECT CAST(0.8 AS DOUBLE), a."entityId", b."entityId"
+           FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet' a
+           JOIN '/root/repo/fixtures/febrl4_golden_clusters.parquet' b
+             ON a."clusterId" = b."clusterId" AND a.dp = 0 AND b.dp = 1),
+         m AS (SELECT p.threshold,
+                 CAST(count(*) AS BIGINT) AS n_pred,
+                 CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+                 CAST(sum(CASE WHEN t.rec0 IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tp
+               FROM pred p
+               LEFT JOIN truth t ON p.rec0 = t.rec0 AND p.rec1 = t.rec1
+               GROUP BY 1)
+         SELECT threshold, n_pred, n_true, tp,
+                tp / n_pred AS precision, tp / n_true AS recall,
+                2 * (tp / n_pred) * (tp / n_true)
+                  / ((tp / n_pred) + (tp / n_true)) AS f1
+         FROM m""",
     "q_fingerprint" ->
       """SELECT doc_id,
            CAST(CASE WHEN h >= 9223372036854775808::HUGEINT

@@ -194,6 +194,36 @@ object TextOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** CCNet-style line-level (paragraph) dedup: drop lines whose corpus-wide
+    * frequency exceeds `maxFreq` — boilerplate ("subscribe to our
+    * newsletter", cookie banners) repeats across pages while content lines
+    * don't (Wenzek et al., CCNet, arXiv:1911.00359 §3.1 dedups paragraphs
+    * by a 64-bit hash the same way). Shape at 100 TB: one explode, one
+    * hash-aggregate on the 8-byte line key (map-side partial), one
+    * big-big shuffle join back on that key, one per-doc agg — no
+    * collects, no windows over the whole corpus. Keying by xxhash64 of
+    * the trimmed line (not the string) keeps the shuffle payload fixed
+    * width; a 64-bit collision can only spuriously DROP a unique line
+    * (CCNet accepts the same tradeoff).
+    * Output: (id, n_lines, n_kept, clean_text = surviving lines joined by
+    * '\n' in original order). */
+  def lineDedup(docs: DataFrame, id: String, text: String,
+      maxFreq: Long = 1): DataFrame = {
+    require(maxFreq >= 1, s"maxFreq must be positive: $maxFreq")
+    val lines = docs.select(col(id).cast("long").as("id"),
+        posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", xxhash64(trim(col("line"))))
+    val freq = lines.groupBy("key").agg(count(lit(1)).as("cnt"))
+    lines.join(freq, "key")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("cnt") <= maxFreq, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("cnt") <= maxFreq,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** 64-bit FNV-1a document fingerprint over UTF-8 bytes (pure,
     * deterministic; pinned by test vectors — not SQL-replayable). */
   def fingerprint64(text: String): Long = {

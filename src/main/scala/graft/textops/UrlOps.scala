@@ -1,0 +1,69 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus dedup — the standard first pass of
+  * a Common-Crawl-style pipeline: two fetches of the same page differ only
+  * in scheme case, default ports, `www.`, tracking query params, param
+  * order, trailing slashes, and fragments, so URL-level dedup without
+  * canonicalization undercounts duplicates badly.
+  *
+  * Everything here is codegen'd `functions._` column algebra (regexps +
+  * array ops, no UDFs), chosen so the exact same semantics are
+  * expressible in the DuckDB oracle: the regexes are alternation-free and
+  * agree between Java regex and RE2, prefix tests use
+  * startswith/starts_with (NOT `LIKE 'utm_%'` — `_` is a LIKE
+  * wildcard), and param sort order is binary/ASCII in both engines.
+  */
+object UrlOps {
+
+  /** Query params that never affect page identity (tracking). */
+  val TrackingPrefixes: Seq[String] = Seq("utm_", "gclid=", "fbclid=", "ref=")
+
+  /** Canonical form of a URL column:
+    *   1. scheme and host lowercased; path/query case preserved
+    *   2. leading `www.` stripped from the host
+    *   3. default ports dropped (`:80` for http, `:443` for https)
+    *   4. fragment dropped
+    *   5. tracking params dropped ([[TrackingPrefixes]])
+    *   6. surviving query params sorted (binary order)
+    *   7. trailing slashes collapsed off the path; empty path -> `/`
+    * Inputs without a `scheme://` prefix are returned trimmed-lowercase
+    * as-is (opaque ids — never silently rewritten). */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?#]*)", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(hostPort), ":[0-9]+$", ""), "^www\\.", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = (port =!= "") &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val pathQF = regexp_replace(rest, "^[^/?#]*", "")
+    val rawPath = regexp_extract(pathQF, "^([^?#]*)", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val query = regexp_extract(pathQF, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !TrackingPrefixes.map(pre => p.startsWith(pre))
+        .reduce[Column](_ || _))
+    val sortedQuery = array_join(array_sort(params), "&")
+    val canon = concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(size(params) > 0, concat(lit("?"), sortedQuery)).otherwise(lit("")))
+    when(scheme === "", lower(u)).otherwise(canon)
+  }
+
+  /** Registered domain-ish suffix of a canonical URL's host: the last two
+    * dot-labels (heuristic — no public-suffix list ships here; good for
+    * per-site stats on .com/.org-style hosts). */
+  def domainOf(canonUrl: Column): Column = {
+    val host = regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+}

@@ -58,6 +58,32 @@ object MakeOracleFixtures {
 
     val a = ClkIO.readBinary(spark, "/root/repo/fixtures/febrl4_a.bin", 0, 128)
     val b = ClkIO.readBinary(spark, "/root/repo/fixtures/febrl4_b.bin", 1, 128)
+
+    // Frozen greedy-solver output as parquet (see the uses below for the
+    // circularity caveat). clusterId = min packed member NodeId, so the
+    // output is partitioning-invariant.
+    def freezeClusters(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmpDir = s"/tmp/graft_make_fixture_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val p = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val d = java.nio.file.Paths.get(s"/root/repo/fixtures/$name.parquet")
+      java.nio.file.Files.copy(p.toPath, d,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"wrote $d (${java.nio.file.Files.size(d)} bytes)")
+    }
+
+    // Golden clusters at t=0.75 — the threshold where the pipeline clears
+    // the BASELINE pairwise-F1 >= 0.99 gate (LinkageFixtureSpec); feeds
+    // q_febrl4_eval's DuckDB replay. Regenerate alone with
+    // `runMain graft.tools.MakeOracleFixtures t075`.
+    freezeClusters(
+      graft.link.Pipeline.clusters(
+        graft.link.Pipeline.defaultBlock(a.union(b)),
+        graft.core.LinkConfig(threshold = 0.75)).toDF(),
+      "febrl4_golden_clusters_t075")
+    if (args.headOption.contains("t075")) { spark.stop(); return }
+
     val tmp = "/tmp/graft_make_fixture"
     a.union(b)
       .map(r => (r.dp, r.entityId, r.popcount, words(r.clk)))
@@ -101,16 +127,6 @@ object MakeOracleFixtures {
     // the semantic gates remain LinkageFixtureSpec's exact brute-force
     // oracle and the frozen multiparty golden above. clusterId = min
     // packed member NodeId, so the output is partitioning-invariant.
-    def freezeClusters(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmpDir = s"/tmp/graft_make_fixture_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-      val p = new java.io.File(tmpDir).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val d = java.nio.file.Paths.get(s"/root/repo/fixtures/$name.parquet")
-      java.nio.file.Files.copy(p.toPath, d,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      println(s"wrote $d (${java.nio.file.Files.size(d)} bytes)")
-    }
     freezeClusters(
       graft.link.Pipeline.clusters(
         graft.link.Pipeline.defaultBlock(a.union(b)),

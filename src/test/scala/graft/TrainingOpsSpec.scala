@@ -42,6 +42,50 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 0L, "clean text with no pii at all")))
   }
 
+  test("lineDedup: corpus-frequency line filter, order-preserving reassembly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha\nboiler\ngamma"),
+      (2L, "delta\nboiler"),
+      (3L, "boiler \nepsilon"), // trimmed key groups with bare 'boiler'
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(df, "doc_id", "text")
+      .select($"id".as[Long], $"n_lines".as[Long], $"n_kept".as[Long],
+        $"clean_text".as[String]).collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 2L, "alpha\ngamma")))
+    assert(got(1) == ((2L, 2L, 1L, "delta")))
+    assert(got(2) == ((3L, 2L, 1L, "epsilon"))) // original line dropped via trim key
+    assert(got(3) == ((4L, 1L, 1L, ""))) // lone empty line is unique -> kept
+    // raising maxFreq past the boilerplate's frequency restores doc 1 verbatim
+    val loose = TextOps.lineDedup(df, "doc_id", "text", maxFreq = 3)
+      .where($"id" === 1L).select($"clean_text".as[String]).head()
+    assert(loose == "alpha\nboiler\ngamma")
+  }
+
+  test("canonicalUrl: case/port/www/tracking/order/slash/fragment invariances") {
+    import spark.implicits._
+    import graft.textops.UrlOps
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/docs/10/?utm_source=feed&b=2&a=1#top",
+      "https://example.com/docs/10//?a=1&b=2",
+      " https://example.com/docs/10?b=2&a=1 ",
+      "http://example.com:80/",
+      "http://example.com",
+      "https://example.com:8080/x?fbclid=z&q=1",
+      "URN:isbn:42")
+    val got = urls.toDF("u").select(UrlOps.canonicalUrl($"u").as[String]).collect()
+    assert(got(0) == "https://example.com/docs/10?a=1&b=2")
+    assert(got(1) == got(0)) // duplicate slashes + param order
+    assert(got(2) == got(0)) // whitespace + param order
+    assert(got(3) == "http://example.com/") // default port dropped
+    assert(got(4) == got(3)) // empty path == root
+    assert(got(5) == "https://example.com:8080/x?q=1") // non-default port kept
+    assert(got(6) == "urn:isbn:42") // no scheme://: opaque passthrough
+    val doms = Seq("https://a.b.example.co/x", "urn:isbn:42").toDF("u")
+      .select(UrlOps.domainOf($"u").as[String]).collect()
+    assert(doms(0) == "example.co" && doms(1) == "")
+  }
+
   test("repetitionScores: matches local computation; repeated text scores high") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
