@@ -548,6 +548,21 @@ object SparkEntry {
           "precision", "recall", "f1")
         .orderBy("threshold")
     }),
+    // tf-idf top terms (ratio idf — monotone with log idf, SQL-exact)
+    "q_tfidf_topterms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("id"), col("rank"))),
+    // similarity-score histogram for threshold tuning — the reference's
+    // similarity_scores run type reduced to its diagnostic use; bins are
+    // replayed from the same bit-for-bit DuckDB Dice kernel as
+    // er_febrl4_edges
+    "q_sim_histogram" -> ((s, _) =>
+      Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.5))
+        .toDF()
+        .groupBy(floor(col("sim") * 20).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+        .orderBy(col("bin"))),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
@@ -797,6 +812,37 @@ object SparkEntry {
                 2 * (tp / n_pred) * (tp / n_true)
                   / ((tp / n_pred) + (tp / n_true)) AS f1
          FROM m""",
+    // tf-idf replayed exactly: same space tokenization, same (doc,term)
+    // and term aggs, idf as the n_docs/df ratio (no log — libm differs
+    // across engines; the ratio ranks identically), same window rank with
+    // lexicographic tiebreak
+    "q_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(str_split(text, ' ')) AS term
+               FROM documents),
+         tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         s AS (SELECT id, term, tf.tf, d.df, tf.tf * (n.n_docs / d.df) AS score
+               FROM tf JOIN d USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+               FROM s)
+         SELECT id, term, tf, df, score, rank FROM r WHERE rank <= 3""",
+    // similarity histogram from the same bit-for-bit kernel replay as
+    // er_febrl4_edges; floor needs the BIGINT cast (DuckDB floor keeps
+    // DOUBLE, Spark floor is already LONG)
+    "q_sim_histogram" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim
+           FROM c a JOIN c b ON a.dp < b.dp)
+         SELECT CAST(floor(sim * 20) AS BIGINT) AS bin,
+                count(*) AS n_pairs, min(sim) AS min_sim, max(sim) AS max_sim
+         FROM p WHERE sim >= 0.5
+         GROUP BY 1""",
     "q_fingerprint" ->
       """SELECT doc_id,
            CAST(CASE WHEN h >= 9223372036854775808::HUGEINT

@@ -224,6 +224,33 @@ object TextOps {
           x => x.getField("line")), "\n").as("clean_text"))
   }
 
+  /** Top-k characteristic terms per document by tf-idf, with idf as the
+    * raw rarity ratio n_docs/df instead of log(n_docs/df) — the ranking
+    * is identical (log is monotone) and the ratio form keeps the score
+    * exactly replayable in SQL (libm log implementations differ across
+    * engines; integer division to double doesn't). Shape at 100 TB: one
+    * explode, one (doc,term) agg, one term agg (both map-side partial),
+    * a broadcast of the single global-count row, and a per-doc window —
+    * partitioned by doc id, so no global sort.
+    * Ties break lexicographically; output (id, term, tf, df, score, rank). */
+  def tfidfTopTerms(docs: DataFrame, id: String, text: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val tf = docs.select(col(id).cast("long").as("id"),
+        explode(split(col(text), " ")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("n_docs") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("score"), asc("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("id", "term", "tf", "df", "score", "rank")
+  }
+
   /** 64-bit FNV-1a document fingerprint over UTF-8 bytes (pure,
     * deterministic; pinned by test vectors — not SQL-replayable). */
   def fingerprint64(text: String): Long = {

@@ -86,6 +86,22 @@ class TextOpsSpec extends SparkSpec {
     assert(doms(0) == "example.co" && doms(1) == "")
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones; exact small oracle") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple banana apple zebra"),
+      (2L, "apple banana banana"),
+      (3L, "apple cherry")).toDF("doc_id", "text")
+    // df: apple 3, banana 2, zebra 1, cherry 1; n_docs = 3
+    val got = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .select($"id".as[Long], $"term".as[String], $"rank".as[Long])
+      .collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.sortBy(_._3).map(_._2).toList }
+    assert(got(1L) == List("zebra", "apple")) // zebra 1*3=3 > apple 2*1=2
+    assert(got(2L) == List("banana", "apple")) // banana 2*1.5=3 > apple 1
+    assert(got(3L) == List("cherry", "apple")) // cherry 1*3=3 > apple 1
+  }
+
   test("repetitionScores: matches local computation; repeated text scores high") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
