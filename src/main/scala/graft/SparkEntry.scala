@@ -434,6 +434,31 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy(col("id0"), col("id1"))),
+    // LSH quality evaluation: recall/precision of the MinHash-LSH path
+    // vs the EXACT Jaccard ground truth over the same 2-shingle sets
+    // (banding is the only approximation, so precision is 1.0 by
+    // construction and recall is the banding coverage — the number a
+    // 100-TB dedup run tunes bands/rows against). Restricted to even
+    // doc ids so the oracle's O(n^2) exact replay stays cheap at sf0.01.
+    "q_neardup_eval" -> ((s, dir) => {
+      val sub = docs(s, dir).where(col("doc_id") % 2 === 0)
+      val sig = Dedup.minhashSignatures(sub, "doc_id", "text")
+      val exact = Dedup.jaccardPairsBy(sig.toDF(), "doc", col("sh"),
+          lit("1"), threshold = 0.5)
+        .select(col("id0"), col("id1"), lit(1L).as("e"))
+      val lsh = Dedup.minhashLshPairs(sub, "doc_id", "text", threshold = 0.5)
+        .select(col("id0"), col("id1"), lit(1L).as("l"))
+      exact.join(lsh, Seq("id0", "id1"), "full_outer")
+        .agg(
+          sum(coalesce(col("e"), lit(0L)) * coalesce(col("l"), lit(0L))).as("tp"),
+          sum(coalesce(col("e"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("l"), lit(0L))).as("n_lsh"))
+        .select(col("n_exact"), col("n_lsh"), col("tp"),
+          when(col("n_lsh") > 0, col("tp") / col("n_lsh"))
+            .otherwise(lit(0.0)).as("precision"),
+          when(col("n_exact") > 0, col("tp") / col("n_exact"))
+            .otherwise(lit(0.0)).as("recall"))
+    }),
     // near-dup group resolution: LSH pairs -> connected components ->
     // canonical representative; the oracle replays the pairing from the
     // minhash_sig dump (same params as q_minhash_pairs) and the
@@ -1008,6 +1033,30 @@ object SparkEntry {
            FROM m a JOIN m b ON a.doc < b.doc
              AND len(list_intersect(a.bks, b.bks)) > 0)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // LSH-eval replay: one all-pairs table over the even-doc signatures
+    // yields both sides — exact = jaccard >= t, LSH = exact AND >=1
+    // shared band key — so tp/precision/recall are filtered counts. The
+    // LSH set is a subset of exact by construction (same confirm
+    // threshold), which is exactly what the Spark full-outer-join
+    // computes, so tp == n_lsh is the faithful replay, not a shortcut.
+    "q_neardup_eval" ->
+      s"""WITH m AS (SELECT doc, sh, bks FROM '$OracleAuxDir/minhash_sig/*.parquet'
+                     WHERE doc % 2 = 0),
+         jp AS (
+           SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS j,
+                  len(list_intersect(a.bks, b.bks)) > 0 AS cand
+           FROM m a JOIN m b ON a.doc < b.doc),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                       CAST(count(*) FILTER (WHERE cand) AS BIGINT) AS n_lsh,
+                       CAST(count(*) FILTER (WHERE cand) AS BIGINT) AS tp
+                FROM jp WHERE j >= 0.5)
+         SELECT n_exact, n_lsh, tp,
+                CASE WHEN n_lsh > 0 THEN CAST(tp AS DOUBLE) / n_lsh
+                     ELSE 0.0 END AS "precision",
+                CASE WHEN n_exact > 0 THEN CAST(tp AS DOUBLE) / n_exact
+                     ELSE 0.0 END AS recall
+         FROM ag""",
     // group resolution: same pairing replay as q_minhash_pairs, then the
     // transitive closure as a recursive CTE (min reachable id per node ==
     // the CC solver's component label, which is also min member id)
