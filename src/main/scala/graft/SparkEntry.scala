@@ -79,6 +79,13 @@ object SparkEntry {
     // replays the decode dispatch from the PNG magic in the blob's hex
     "resize_inputs" -> ((s, _) =>
       graft.multimodal.Multimodal.synthPngs(s, 40)),
+    // per-doc sampling hashes (q_sample_stratified's oracle replays the
+    // per-stratum quota + hash ordering from these; hash determinism
+    // itself is gated by TextOpsSpec)
+    "sample_hash" -> ((s, dir) =>
+      docs(s, dir).select(col("lang").as("stratum"),
+        col("doc_id").as("id"),
+        xxhash64(lit(42L), col("doc_id")).as("h"))),
   )
 
   // IVF centroid training sums floats in partition order — consistent
@@ -174,6 +181,20 @@ object SparkEntry {
       val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000))
       val blocked = graft.ingest.Ingest.encodeAndBlock(pages)
       graft.ingest.Blocking.blockStats(blocked).orderBy(col("dp"), col("block_key"))
+    }),
+    // blocking-quality metrics over the LSH-blocked pages corpus:
+    // reduction ratio vs the 1000x1000 cross product + pairs
+    // completeness/quality against the synthesizer's truth_entity ground
+    // truth; the oracle replays candidates from the pages_sig band-key
+    // dump and the truth from the generator's shared-prefix contract
+    // (dp-1 shared rows are exactly entity_id < floor(1000 * 0.75))
+    "q_blocking_metrics" -> ((s, _) => {
+      val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000))
+      val blocked = graft.ingest.Ingest.encodeAndBlock(pages)
+      val truth = pages.toDF()
+        .where(col("dp") === 1 && col("truth_entity") === col("entity_id"))
+        .select(col("entity_id").as("rec0"), col("entity_id").as("rec1"))
+      graft.ingest.Blocking.blockingMetrics(blocked, truth)
     }),
     // multimodal plumbing over the synthetic html binary column (stub decode)
     "er_pages_media_features" -> ((s, _) => {
@@ -298,6 +319,17 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // deterministic stratified sample: the 30 smallest-hash docs per
+    // language (hash-order sampling — reproducible at any parallelism);
+    // the oracle replays quota + ordering from the dumped hashes
+    "q_sample_stratified" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), "doc_id", col("lang"), k = 30)
+        .orderBy(col("stratum"), col("sample_rank"))),
+    // inverted index with bounded posting samples (window-capped BEFORE
+    // the collect — no hot-token OOM)
+    "q_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(docs(s, dir), "doc_id", "text", minDf = 5L)
+        .orderBy(col("token"))),
     // heuristic language ID
     "q_lang_id" -> ((s, dir) => {
       val cols = TextOps.langIdColumns(col("text")).map { case (n, c) => c.as(n) }
@@ -362,6 +394,11 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id0"), col("id1"))),
     // A6 comparison-rate analogue: per-type event aggregates
+    // gap-based sessionization of the event log (lag-flag-cumsum, one
+    // shuffle keyed by user); oracle replays the identical windows
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionize(events(s, dir), gapSeconds = 1800L)
+        .orderBy(col("user_id"), col("session_seq"))),
     "q_events_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
@@ -466,6 +503,13 @@ object SparkEntry {
     "q_neardup_groups" -> ((s, dir) =>
       Dedup.nearDupGroups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id"))),
+    // dedup keep rule: one representative per near-dup group — the
+    // longest document (token count), ties to the smallest id; the
+    // oracle replays the group closure (recursive CTE) + a window argmax
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestPerGroup(docs(s, dir), "doc_id", "text",
+          graft.textops.TextOps.tokenCount(col("text")), threshold = 0.5)
+        .orderBy(col("group_id"))),
     // PII redaction over the corpus with deterministic injected
     // emails/phones (the synthetic corpus has none); counts + md5 of the
     // redacted text are replayed in SQL with the same patterns
@@ -967,6 +1011,30 @@ object SparkEntry {
          SELECT doc, CAST(frame_idx AS INT) AS frame_idx,
                 substr(text, CAST(frame_idx AS INT) * 64 + 1, 64) AS frame_text
          FROM f""",
+    // blocking metrics replayed from the pages_sig band-key dump; the
+    // truth set replays the generator's shared-prefix contract
+    // (dp-1 shared rows are exactly entity_id < floor(1000 * 0.75))
+    "q_blocking_metrics" ->
+      s"""WITH m AS (SELECT dp, entity_id, bks FROM '$OracleAuxDir/pages_sig/*.parquet'),
+         cand AS (SELECT DISTINCT a.entity_id AS rec0, b.entity_id AS rec1
+                  FROM m a JOIN m b
+                  ON a.dp = 0 AND b.dp = 1
+                    AND len(list_intersect(a.bks, b.bks)) > 0),
+         n AS (SELECT CAST(count(*) FILTER (WHERE dp = 0) AS BIGINT) AS n0,
+                      CAST(count(*) FILTER (WHERE dp = 1) AS BIGINT) AS n1
+               FROM m),
+         t AS (SELECT entity_id AS rec0, entity_id AS rec1 FROM m
+               WHERE dp = 1 AND entity_id < 750),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+                       CAST(count(*) FILTER (WHERE t.rec0 IS NOT NULL) AS BIGINT) AS tp
+                FROM cand LEFT JOIN t
+                ON cand.rec0 = t.rec0 AND cand.rec1 = t.rec1),
+         ta AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM t)
+         SELECT n_cand, n_true, tp,
+                CAST(1 AS DOUBLE) - CAST(n_cand AS DOUBLE) / (n0 * n1) AS reduction_ratio,
+                CAST(tp AS DOUBLE) / n_true AS pairs_completeness,
+                CAST(tp AS DOUBLE) / n_cand AS pairs_quality
+         FROM n, ca, ta""",
     // B1/B3 over the pages corpus, replayed from the block-key dump
     "er_pages_block_stats" ->
       s"""WITH m AS (SELECT dp, entity_id, unnest(bks) AS block_key
@@ -1078,6 +1146,36 @@ object SparkEntry {
            SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id),
          g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
          SELECT id, group_id, (id = group_id) AS is_canonical FROM g""",
+    // keep-best replay: same group closure, then a per-group argmax by
+    // token count (ties to the smallest id) via a window
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         m AS (SELECT doc, sh, bks FROM '$OracleAuxDir/minhash_sig/*.parquet'),
+         p AS (
+           SELECT a.doc AS id0, b.doc AS id1
+           FROM m a JOIN m b ON a.doc < b.doc
+             AND len(list_intersect(a.bks, b.bks)) > 0
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             >= 0.5),
+         e AS (SELECT id0 AS u, id1 AS v FROM p
+               UNION SELECT id1, id0 FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id),
+         g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+         sc AS (SELECT doc_id AS id,
+                       CAST(len(str_split(text, ' ')) AS BIGINT) AS score
+                FROM documents),
+         r AS (SELECT g.group_id, sc.id, sc.score,
+                      row_number() OVER (PARTITION BY g.group_id
+                        ORDER BY sc.score DESC, sc.id ASC) AS rn,
+                      count(*) OVER (PARTITION BY g.group_id) AS gs
+               FROM g JOIN sc ON g.id = sc.id)
+         SELECT group_id, id AS keeper_id, CAST(gs AS BIGINT) AS group_size,
+                score AS keeper_score
+         FROM r WHERE rn = 1""",
     // SimHash pairing replayed from the simhash_sig dump (4-band
     // pigeonhole is exact for maxDist<=3, so banded == brute force)
     "q_simhash_pairs" ->
@@ -1293,6 +1391,47 @@ object SparkEntry {
                 round(list_cosine_similarity(a.e, b.e), 6) AS cos
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4""",
+    // hash-order stratified sample replayed from the dumped hashes
+    "q_sample_stratified" ->
+      s"""WITH s AS (SELECT stratum, id, h FROM '$OracleAuxDir/sample_hash/*.parquet'),
+         r AS (SELECT stratum, id, h,
+                 CAST(row_number() OVER (PARTITION BY stratum
+                   ORDER BY h, id) AS INT) AS sample_rank
+               FROM s)
+         SELECT stratum, id, h, sample_rank FROM r WHERE sample_rank <= 30""",
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS token
+                    FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+                      CAST(count(DISTINCT doc) AS BIGINT) AS df
+               FROM t GROUP BY 1 HAVING count(DISTINCT doc) >= 5),
+         td AS (SELECT DISTINCT token, doc FROM t),
+         r AS (SELECT token, doc,
+                      row_number() OVER (PARTITION BY token ORDER BY doc) AS rn
+               FROM td),
+         sm AS (SELECT token,
+                       string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS sample_docs
+                FROM r WHERE rn <= 10 GROUP BY token)
+         SELECT c.token, c.df, c.tf, sm.sample_docs
+         FROM c JOIN sm ON c.token = sm.token""",
+    // identical lag-flag-cumsum windows in DuckDB
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+                           -- floor, not round: Spark's unix_timestamp
+                           -- truncates sub-second parts
+                           CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+         f AS (SELECT *, CASE WHEN es - lag(es) OVER
+                   (PARTITION BY user_id ORDER BY es, event_id) > 1800
+                 THEN 1 ELSE 0 END AS new_sess FROM e),
+         sq AS (SELECT *, sum(new_sess) OVER
+                  (PARTITION BY user_id ORDER BY es, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(es) AS start_s, max(es) AS end_s,
+                max(es) - min(es) AS duration_s,
+                round(sum(value), 4) AS sum_value
+         FROM sq GROUP BY user_id, session_seq""",
     "q_events_rate" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
                 round(avg(value), 4) AS avg_value

@@ -314,6 +314,29 @@ object Dedup {
       .withColumn("is_canonical", col("id") === col("group_id"))
   }
 
+  /** Near-dup-aware dedup keep rule: resolve LSH near-dup groups, then
+    * keep ONE representative per group by a per-document score (the
+    * document a curation pipeline retains — e.g. longest, highest
+    * quality). Ties break to the smallest id so the choice is
+    * deterministic. One row per group:
+    * (group_id, keeper_id, group_size, keeper_score).
+    *
+    * Scale shape: groups come from [[nearDupGroups]] (bounded CC); the
+    * argmax is a max-of-struct hash aggregation — one shuffle keyed by
+    * group_id, partial map-side combine, never a global window/sort. */
+  def keepBestPerGroup(df: DataFrame, id: String, text: String,
+      score: Column, threshold: Double): DataFrame = {
+    val g = nearDupGroups(df, id, text, threshold)
+    val scored = df.select(col(id).cast("long").as("id"),
+      score.cast("long").as("score"))
+    g.join(scored, "id")
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("group_size"),
+        max(struct(col("score").as("s"), (-col("id")).as("nid"))).as("best"))
+      .select(col("group_id"), (-col("best.nid")).as("keeper_id"),
+        col("group_size"), col("best.s").as("keeper_score"))
+  }
+
   val simhashUdf = udf((t: String) => simhash64(if (t == null) "" else t))
 
   /** Per-document 64-bit SimHash signature (doc, sh). */

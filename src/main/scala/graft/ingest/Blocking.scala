@@ -65,6 +65,41 @@ object Blocking {
   def blockStats(blocked: DataFrame): DataFrame =
     blocked.groupBy(col("dp"), col("block_key")).agg(count(lit(1)).as("n"))
 
+  /** Blocking-quality metrics for the provider pair (0, 1): reduction
+    * ratio vs the full n0*n1 cross product, pairs completeness (recall
+    * of true matches surviving blocking) and pairs quality (candidate
+    * precision) — the standard blocking evaluation the LSH band/row
+    * parameters are tuned against, sitting next to the reference's own
+    * comparison-count metrics (A5/A6, `tasks/comparing.py:44-99`).
+    * `truth` = (rec0, rec1) true-match entity-id pairs.
+    *
+    * Scale shape: candidates ride as bare ids (block-equi-join →
+    * distinct), the truth join is id-equi (broadcast-able), and the
+    * output is one row — no collect, no cross product is materialized. */
+  def blockingMetrics(blocked: DataFrame, truth: DataFrame): DataFrame = {
+    val ids = blocked.select(col("dp"), col("entity_id"), col("block_key"))
+    val cand = ids.where(col("dp") === 0)
+        .select(col("block_key"), col("entity_id").as("rec0"))
+      .join(ids.where(col("dp") === 1)
+        .select(col("block_key"), col("entity_id").as("rec1")), "block_key")
+      .select("rec0", "rec1").distinct()
+    val t = truth.select(col("rec0").cast("long").as("rec0"),
+        col("rec1").cast("long").as("rec1"))
+      .withColumn("istrue", lit(1L))
+    val recs = blocked.select("dp", "entity_id").distinct()
+      .agg(sum(when(col("dp") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("dp") === 1, 1L).otherwise(0L)).as("n1"))
+    val candAgg = cand.join(t, Seq("rec0", "rec1"), "left")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("istrue"), lit(0L))).as("tp"))
+    val trueAgg = t.agg(count(lit(1)).as("n_true"))
+    recs.crossJoin(candAgg).crossJoin(trueAgg).select(
+      col("n_cand"), col("n_true"), col("tp"),
+      (lit(1.0) - col("n_cand") / (col("n0") * col("n1"))).as("reduction_ratio"),
+      (col("tp") / col("n_true")).as("pairs_completeness"),
+      (col("tp") / col("n_cand")).as("pairs_quality"))
+  }
+
   /** B2: blocks common to a provider pair (dp0 < dp1)
     * (`tasks/comparing.py:173-187`). */
   def commonBlocks(blocked: DataFrame): DataFrame = {

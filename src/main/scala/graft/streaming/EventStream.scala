@@ -12,6 +12,41 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object EventStream {
 
+  /** Gap-based sessionization of the event stream (batch form): events of
+    * one user separated by more than `gapSeconds` start a new session.
+    * Classic lag-flag-cumsum: flag rows whose predecessor (per user, by
+    * ts then event_id for total order under ts ties) is further than the
+    * gap, running-sum the flags into a per-user session sequence, then
+    * aggregate per session. Output: (user_id, session_seq, n_events,
+    * start_s, end_s, duration_s, sum_value).
+    *
+    * Scale shape: both windows and the final agg are keyed by user_id —
+    * ONE hash shuffle total (the two windows share the exact
+    * partitioning+ordering, the agg reuses the partitioning); per-task
+    * sort is bounded by a user's history, never a global sort. The
+    * streaming analogue is `window(session_window(...))`/
+    * mapGroupsWithState; this is the backfill form a pipeline runs over
+    * historical data. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withFlag = events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_timestamp(col("ts").cast("timestamp")).as("es"))
+      .withColumn("new_sess",
+        when(col("es") - lag(col("es"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id")))
+          > gapSeconds, 1L).otherwise(lit(0L)))
+    val seq = withFlag.withColumn("session_seq",
+      sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    seq.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("es")).as("start_s"), max(col("es")).as("end_s"),
+        (max(col("es")) - min(col("es"))).as("duration_s"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
   /** Tumbling-window per-type counts + value sums with a watermark for
     * late data. Works over any source df (batch or streaming) — same plan
     * both ways, which is how the equivalence test pins semantics. */

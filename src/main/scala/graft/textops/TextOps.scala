@@ -251,6 +251,61 @@ object TextOps {
       .select("id", "term", "tf", "df", "score", "rank")
   }
 
+  /** Deterministic stratified sampling: the k rows with the smallest
+    * seeded hash per stratum — a uniform without-replacement sample
+    * that is reproducible at any parallelism and needs no RNG state
+    * (hash-order sampling; the per-language/per-source quota draw of a
+    * corpus-curation pipeline). Ties break on id. Output:
+    * (stratum, id, h, sample_rank).
+    *
+    * Scale shape: one shuffle keyed by stratum (the window partition);
+    * with very few strata at extreme row counts, swap the window for a
+    * per-partition bottom-k + merge (the aggregated form) — at normal
+    * stratum cardinality the hash-partitioned window never sorts more
+    * than one stratum per task. The hash is codegen xxhash64 (not a
+    * UDF); its determinism is gated by TextOpsSpec, the quota/ordering
+    * semantics by the driver oracle replaying the dumped hashes. */
+  def stratifiedSample(df: DataFrame, id: String, stratum: Column, k: Int,
+      seed: Long = 42L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("h"), col("id"))
+    df.select(stratum.as("stratum"), col(id).cast("long").as("id"))
+      .withColumn("h", xxhash64(lit(seed), col("id")))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
+  /** Inverted index over whitespace tokens: per token, document
+    * frequency, total term frequency, and the first `sampleDocs` doc ids
+    * as a CSV posting sample. `minDf` prunes the hapax tail.
+    *
+    * Scale shape: the posting sample is bounded BEFORE aggregation — a
+    * row_number window over the distinct (token, doc) pairs keeps ≤
+    * `sampleDocs` rows per token, so no unbounded collect_list ever
+    * materializes a hot token's full posting list (the classic OOM of
+    * naive index builds). Three hash-shuffles total (distinct, window,
+    * agg), all keyed by token. */
+  def invertedIndex(df: DataFrame, id: String, text: String,
+      minDf: Long = 2L, sampleDocs: Int = 10): DataFrame = {
+    val toks = df.select(col(id).cast("long").as("doc"),
+      explode(split(col(text), " ")).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc")).as("df"))
+      .where(col("df") >= minDf)
+    val td = toks.select("token", "doc").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc"))
+    val sample = td.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= sampleDocs)
+      .groupBy("token")
+      // sort the ≤sampleDocs collected ids, then render — deterministic
+      // whatever order the agg receives rows in
+      .agg(array_join(transform(sort_array(collect_list(col("doc"))),
+        _.cast("string")), ",").as("sample_docs"))
+    counts.join(sample, "token")
+      .select(col("token"), col("df"), col("tf"), col("sample_docs"))
+  }
+
   /** 64-bit FNV-1a document fingerprint over UTF-8 bytes (pure,
     * deterministic; pinned by test vectors — not SQL-replayable). */
   def fingerprint64(text: String): Long = {

@@ -591,3 +591,89 @@ class MultimodalSpec extends SparkSpec {
     assert(got.sameElements(Array(0, 2, 4, 6, 8)))
   }
 }
+
+class CurationOpsSpec extends SparkSpec {
+  test("blockingMetrics: reduction ratio + completeness/quality on a toy block set") {
+    import spark.implicits._
+    // records: dp0 = {1:{a,b}, 2:{b}}, dp1 = {10:{a}, 11:{c}}
+    val blocked = Seq((0, 1L, "a"), (0, 1L, "b"), (0, 2L, "b"),
+      (1, 10L, "a"), (1, 11L, "c")).toDF("dp", "entity_id", "block_key")
+    val truth = Seq((1L, 10L), (2L, 11L)).toDF("rec0", "rec1")
+    val m = graft.ingest.Blocking.blockingMetrics(blocked, truth).head()
+    assert(m.getLong(m.fieldIndex("n_cand")) == 1)   // only (1,10) share a block
+    assert(m.getLong(m.fieldIndex("n_true")) == 2)
+    assert(m.getLong(m.fieldIndex("tp")) == 1)
+    assert(m.getDouble(m.fieldIndex("reduction_ratio")) == 0.75) // 1 - 1/(2*2)
+    assert(m.getDouble(m.fieldIndex("pairs_completeness")) == 0.5)
+    assert(m.getDouble(m.fieldIndex("pairs_quality")) == 1.0)
+  }
+
+  test("keepBestPerGroup: argmax per near-dup group, ties to smallest id") {
+    import spark.implicits._
+    val t1 = "x y z w v u t s"
+    val t2 = "aa bb cc dd ee ff"
+    val df = Seq((1L, t1, 5L), (2L, t1, 9L), (3L, t2, 7L),
+      (4L, t1, 9L)).toDF("doc_id", "text", "score")
+    val got = Dedup.keepBestPerGroup(df, "doc_id", "text",
+        col("score"), threshold = 0.5)
+      .select($"group_id".as[Long], $"keeper_id".as[Long],
+        $"group_size".as[Long], $"keeper_score".as[Long])
+      .collect().sortBy(_._1)
+    // identical texts {1,2,4} form one group; 2 and 4 tie on score -> 2
+    assert(got.toSeq == Seq((1L, 2L, 3L, 9L), (3L, 3L, 1L, 7L)))
+  }
+
+  test("stratifiedSample: per-stratum quota, deterministic at any parallelism") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val a = TextOps.stratifiedSample(docs.repartition(13), "doc_id",
+      col("lang"), k = 7)
+    val b = TextOps.stratifiedSample(docs.coalesce(1), "doc_id",
+      col("lang"), k = 7)
+    val ka = a.groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, n) => assert(ka(lang) == math.min(7L, n)) }
+    val sa = a.select($"stratum", $"id", $"sample_rank").as[(String, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3))
+    val sb = b.select($"stratum", $"id", $"sample_rank").as[(String, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3))
+    assert(sa.sameElements(sb))
+  }
+
+  test("invertedIndex: df/tf counts and bounded sorted posting samples") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b")).toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(df, "doc_id", "text", minDf = 2L)
+      .select($"token".as[String], $"df".as[Long], $"tf".as[Long],
+        $"sample_docs".as[String]).collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 2L, 3L, "1,2"), ("b", 2L, 3L, "1,3")))
+    // the posting sample is capped
+    val many = (1L to 30L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val capped = TextOps.invertedIndex(many, "doc_id", "text", minDf = 2L)
+      .select($"sample_docs".as[String]).head()
+    assert(capped.split(",").length == 10)
+    assert(capped == (1L to 10L).mkString(","))
+  }
+
+  test("sessionize: gap splits, per-session aggregates") {
+    import spark.implicits._
+    val base = 1700000000L
+    val ev = Seq(
+      (1L, 1L, base, 1.0), (2L, 1L, base + 100, 2.0),
+      (3L, 1L, base + 2000, 4.0), // 1900s gap > 1800 -> new session
+      (4L, 2L, base + 50, 8.0))
+      .toDF("event_id", "user_id", "es", "value")
+      .select($"event_id", $"user_id",
+        to_timestamp(from_unixtime($"es")).as("ts"), $"value")
+    val got = graft.streaming.EventStream.sessionize(ev, gapSeconds = 1800L)
+      .select($"user_id", $"session_seq", $"n_events", $"start_s",
+        $"end_s", $"duration_s", $"sum_value")
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))(
+        Ordering.Tuple2(Ordering.Long, Ordering.Long))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2L, base, base + 100, 100L, 3.0),
+      (1L, 1L, 1L, base + 2000, base + 2000, 0L, 4.0),
+      (2L, 0L, 1L, base + 50, base + 50, 0L, 8.0)))
+  }
+}
