@@ -399,6 +399,43 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionize(events(s, dir), gapSeconds = 1800L)
         .orderBy(col("user_id"), col("session_seq"))),
+    // as-of join (purchase → latest prior click by the same user; the
+    // classic attribution lookup): single-shuffle union-merge plan, no
+    // join blow-up — oracle is DuckDB's native ASOF JOIN, a fully
+    // independent implementation of the same semantics
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_event_id"))
+      graft.rel.Relational.asofJoin(purchases, "user_id", "ts",
+          clicks, "cu", "click_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("click_event_id"),
+          unix_micros(col("click_ts").cast("timestamp")).as("click_ts_us"))
+        .withColumn("micros_since_click", col("ts_us") - col("click_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+    // banded interval join (clicks in the 48 h before each purchase):
+    // each left interval explodes to ≤2 span-wide buckets, each right row
+    // to exactly 1, so the equi-join emits each qualifying pair once
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"),
+          col("value").as("cvalue"))
+      graft.rel.Relational.rangeJoin(purchases, "user_id", "ts",
+          clicks, "cu", "cts", lowerSec = -172800L, upperSec = 0L)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("cvalue")), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
     "q_events_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
@@ -1436,6 +1473,31 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
                 round(avg(value), 4) AS avg_value
          FROM events GROUP BY 1""",
+    // DuckDB's native ASOF JOIN — an independent engine's implementation
+    // of the latest-at-or-before semantics the union-merge plan computes
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cu, ts AS click_ts,
+                      max(event_id) AS click_event_id
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id,
+                epoch_us(p.ts) AS ts_us,
+                c.click_event_id,
+                epoch_us(c.click_ts) AS click_ts_us,
+                epoch_us(p.ts) - epoch_us(c.click_ts) AS micros_since_click
+         FROM p ASOF JOIN c ON p.user_id = c.cu AND p.ts >= c.click_ts""",
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cu, ts AS cts, value AS cvalue
+               FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, count(*) AS n_clicks,
+                round(sum(c.cvalue), 4) AS click_value
+         FROM p JOIN c ON p.user_id = c.cu
+           AND epoch_us(c.cts) >= epoch_us(p.ts) - 172800000000
+           AND epoch_us(c.cts) < epoch_us(p.ts)
+         GROUP BY 1, 2""",
     "q_events_windows" ->
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
                 event_type, count(*) AS n, round(sum(value), 4) AS sum_value

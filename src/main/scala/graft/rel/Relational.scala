@@ -1,0 +1,169 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal relational operators Spark lacks as built-ins, expressed as
+  * declarative DataFrame plans (Catalyst keeps pushdown / pruning /
+  * whole-stage codegen on every stage).
+  *
+  * The reference's analytics layer leans on Postgres for time-ordered
+  * lookups over run/metrics tables (e.g. latest-state-before-timestamp
+  * queries in `backend/entityservice/database/selections.py`); these are
+  * the distributed equivalents a web-scale event log needs.
+  *
+  * Scale shapes:
+  *  - [[asofJoin]]: ONE shuffle on the key for both inputs, then a single
+  *    per-key merge sort — no join blow-up, no per-row probe. Cost is
+  *    O((|L|+|R|) log) per key; a key's whole timeline lands in one task.
+  *  - [[asofJoinBucketed]]: the skew-proof variant — partitions by
+  *    (key, time-bucket) so one hot key's multi-year timeline spreads
+  *    across tasks; a tiny per-bucket summary carries state between
+  *    buckets (two narrow shuffles + one small window).
+  *  - [[rangeJoin]]: banded interval join — each left interval explodes
+  *    to the O(1) time buckets it covers (bucket width = interval span,
+  *    so ≤ 2), each right row to exactly one bucket, equi-join on
+  *    (key, bucket) + exact residual filter. Each qualifying pair joins
+  *    exactly once (right rows live in one bucket), so no dedup pass.
+  */
+object Relational {
+
+  private def payloadCols(right: DataFrame, rightKey: String): Seq[String] =
+    right.columns.filterNot(_ == rightKey).toSeq
+
+  /** As-of join: attach to every left row the payload (all right columns
+    * except the key) of the LATEST right row with the same key and
+    * `rightTime <= leftTime`. With `inner = true` (default) unmatched left
+    * rows are dropped, matching SQL `ASOF JOIN`; `false` keeps them with
+    * null payload (`ASOF LEFT JOIN`).
+    *
+    * Right side should be unique per (key, time); equal-time right ties
+    * break deterministically on xxhash64 of the payload struct. Left and
+    * right column names (minus the right key) must be disjoint.
+    */
+  def asofJoin(left: DataFrame, leftKey: String, leftTime: String,
+               right: DataFrame, rightKey: String, rightTime: String,
+               inner: Boolean = true): DataFrame = {
+    val payload = payloadCols(right, rightKey)
+    val r2 = right.select(
+      col(rightKey).as("_ao_k"), col(rightTime).as("_ao_t"),
+      lit(0).as("_ao_side"),
+      struct(payload.map(col): _*).as("_ao_v"))
+    val l2 = left
+      .withColumn("_ao_k", col(leftKey))
+      .withColumn("_ao_t", col(leftTime))
+      .withColumn("_ao_side", lit(1))
+    // one shuffle on the key; right rows sort before left rows at equal
+    // time so a right row AT the left timestamp is visible (<= semantics)
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy("_ao_k")
+      .orderBy(col("_ao_t"), col("_ao_side"), xxhash64(col("_ao_v")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u
+      .withColumn("_ao_m", last(col("_ao_v"), ignoreNulls = true).over(w))
+      .where(col("_ao_side") === 1)
+    val kept = if (inner) matched.where(col("_ao_m").isNotNull) else matched
+    val out = left.columns.map(col).toSeq ++
+      payload.map(p => col("_ao_m").getField(p).as(p))
+    kept.select(out: _*)
+  }
+
+  /** Skew-proof as-of join: same result as [[asofJoin]] (spec-gated
+    * equivalence), but partitioned by (key, time-bucket) so a single hot
+    * key's timeline splits across `bucketSeconds`-wide tasks. A per-bucket
+    * summary (one row per (key, bucket) that HAS right rows) is computed
+    * first; a small window over it derives each left bucket's carry-in
+    * (the latest right payload from STRICTLY earlier buckets), and the
+    * final window only sorts within one (key, bucket).
+    */
+  def asofJoinBucketed(left: DataFrame, leftKey: String, leftTime: String,
+                       right: DataFrame, rightKey: String, rightTime: String,
+                       bucketSeconds: Long, inner: Boolean = true): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val bUs = bucketSeconds * 1000000L
+    def bkt(t: Column): Column =
+      floor(unix_micros(t.cast("timestamp")) / bUs).cast("long")
+    val payload = payloadCols(right, rightKey)
+    val r2 = right.select(
+      col(rightKey).as("_ao_k"), col(rightTime).as("_ao_t"),
+      bkt(col(rightTime)).as("_ao_b"),
+      struct(payload.map(col): _*).as("_ao_v"))
+    // last right payload per (key, bucket) — same (time, hash) tiebreak
+    // as the unbucketed plan so both variants pick identical winners
+    val perBucket = r2.groupBy("_ao_k", "_ao_b")
+      .agg(max_by(col("_ao_v"),
+        struct(col("_ao_t"), xxhash64(col("_ao_v")))).as("_ao_v"))
+      .withColumn("_ao_side", lit(1))
+    val leftBuckets = left
+      .select(col(leftKey).as("_ao_k"), bkt(col(leftTime)).as("_ao_b"))
+      .distinct()
+      .withColumn("_ao_side", lit(0))
+      .withColumn("_ao_v", lit(null).cast(perBucket.schema("_ao_v").dataType))
+    // carry-in: at a left-bucket row (side 0, sorted before the same
+    // bucket's right summary) the running last covers buckets < b only
+    val wc = Window.partitionBy("_ao_k")
+      .orderBy(col("_ao_b"), col("_ao_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = perBucket.unionByName(leftBuckets)
+      .withColumn("_ao_seed", last(col("_ao_v"), ignoreNulls = true).over(wc))
+      .where(col("_ao_side") === 0)
+      .select(col("_ao_k"), col("_ao_b"), col("_ao_seed"))
+    // local resolve within each (key, bucket): right rows of the bucket
+    // (side 0, before left at equal time) beat the seed iff one exists
+    val l2 = left
+      .withColumn("_ao_k", col(leftKey))
+      .withColumn("_ao_t", col(leftTime))
+      .withColumn("_ao_b", bkt(col(leftTime)))
+      .withColumn("_ao_side", lit(1))
+      .join(carry, Seq("_ao_k", "_ao_b"), "left")
+    val u = l2.unionByName(r2.withColumn("_ao_side", lit(0)),
+      allowMissingColumns = true)
+    val wl = Window.partitionBy("_ao_k", "_ao_b")
+      .orderBy(col("_ao_t"), col("_ao_side"), xxhash64(col("_ao_v")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u
+      .withColumn("_ao_m",
+        coalesce(last(col("_ao_v"), ignoreNulls = true).over(wl), col("_ao_seed")))
+      .where(col("_ao_side") === 1)
+    val kept = if (inner) matched.where(col("_ao_m").isNotNull) else matched
+    val out = left.columns.map(col).toSeq ++
+      payload.map(p => col("_ao_m").getField(p).as(p))
+    kept.select(out: _*)
+  }
+
+  /** Banded interval join: every pair (l, r) with `l.key == r.key` and
+    * `r.time ∈ [l.time + lowerSec, l.time + upperSec)`. Bucket width =
+    * the interval span, so each left row explodes to at most 2 buckets
+    * and each right row lives in exactly 1 — a qualifying pair meets in
+    * exactly one (key, bucket) cell, so the equi-join emits it once.
+    * Left and right column names (minus the right key) must be disjoint.
+    */
+  def rangeJoin(left: DataFrame, leftKey: String, leftTime: String,
+                right: DataFrame, rightKey: String, rightTime: String,
+                lowerSec: Long, upperSec: Long): DataFrame = {
+    require(upperSec > lowerSec, "empty interval")
+    val w = (upperSec - lowerSec) * 1000000L
+    val lo = lowerSec * 1000000L
+    val hi = upperSec * 1000000L
+    val payload = payloadCols(right, rightKey)
+    val r2 = right.select(
+      col(rightKey).as("_rj_k"),
+      floor(unix_micros(col(rightTime).cast("timestamp")) / w)
+        .cast("long").as("_rj_b"),
+      unix_micros(col(rightTime).cast("timestamp")).as("_rj_t"),
+      struct(payload.map(col): _*).as("_rj_v"))
+    val l2 = left
+      .withColumn("_rj_k", col(leftKey))
+      .withColumn("_rj_lo", unix_micros(col(leftTime).cast("timestamp")) + lo)
+      .withColumn("_rj_hi", unix_micros(col(leftTime).cast("timestamp")) + hi)
+      .withColumn("_rj_b",
+        explode(sequence(floor(col("_rj_lo") / w).cast("long"),
+          floor((col("_rj_hi") - 1) / w).cast("long"))))
+    val joined = l2.join(r2, Seq("_rj_k", "_rj_b"))
+      .where(col("_rj_t") >= col("_rj_lo") && col("_rj_t") < col("_rj_hi"))
+    val out = left.columns.map(col).toSeq ++
+      payload.map(p => col("_rj_v").getField(p).as(p))
+    joined.select(out: _*)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rel.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  // deterministic corpus with equal-time collisions: times land on a
+  // coarse grid so left rows frequently share a timestamp with a right
+  // row (the <= boundary is exercised, not just the strict case)
+  private lazy val rng = new scala.util.Random(7)
+  private lazy val leftRows: Seq[(Long, Long, java.sql.Timestamp)] =
+    (0L until 300L).map(i => (i, rng.nextInt(5).toLong, ts(rng.nextInt(100).toLong * 10)))
+  private lazy val rightRows: Seq[(Long, Long, java.sql.Timestamp)] = {
+    val raw = (0L until 200L).map(j =>
+      (1000L + j, rng.nextInt(5).toLong, ts(rng.nextInt(100).toLong * 10)))
+    // unique per (key, time): keep the max id (the asofJoin contract)
+    raw.groupBy(r => (r._2, r._3)).values.map(_.maxBy(_._1)).toSeq
+  }
+
+  private def bruteAsof(): Set[(Long, Option[Long])] =
+    leftRows.map { case (lid, k, lt) =>
+      val cands = rightRows.filter(r => r._2 == k && !r._3.after(lt))
+      (lid, if (cands.isEmpty) None
+            else Some(cands.maxBy(r => r._3.getTime)._1))
+    }.toSet
+
+  private def leftDf = {
+    import spark.implicits._
+    leftRows.toDF("lid", "k", "lt")
+  }
+  private def rightDf = {
+    import spark.implicits._
+    rightRows.toDF("rid", "rk", "rt")
+  }
+
+  test("asofJoin matches the brute-force latest-at-or-before oracle") {
+    import spark.implicits._
+    val got = Relational.asofJoin(leftDf, "k", "lt", rightDf, "rk", "rt")
+      .select($"lid".as[Long], $"rid".as[Long]).collect()
+      .map { case (l, r) => (l, Option(r)) }.toSet
+    val want = bruteAsof().filter(_._2.isDefined)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // some left rows must be unmatched for the inner filter to matter
+    assert(want.size < leftRows.size)
+  }
+
+  test("asofJoin inner=false keeps unmatched left rows with null payload") {
+    import spark.implicits._
+    val got = Relational.asofJoin(leftDf, "k", "lt", rightDf, "rk", "rt",
+        inner = false)
+      .select($"lid".as[Long], $"rid".as[Option[Long]]).collect().toSet
+    assert(got == bruteAsof())
+  }
+
+  test("asofJoinBucketed == asofJoin at several bucket widths") {
+    import spark.implicits._
+    val base = Relational.asofJoin(leftDf, "k", "lt", rightDf, "rk", "rt")
+      .select($"lid".as[Long], $"rid".as[Long]).collect().toSet
+    for (b <- Seq(1L, 7L, 86400L)) {
+      val got = Relational
+        .asofJoinBucketed(leftDf, "k", "lt", rightDf, "rk", "rt", b)
+        .select($"lid".as[Long], $"rid".as[Long]).collect().toSet
+      assert(got == base, s"bucketSeconds=$b")
+    }
+  }
+
+  test("rangeJoin emits each qualifying pair exactly once, boundaries [lo, hi)") {
+    import spark.implicits._
+    val lower = -120L
+    val upper = 40L
+    val got = Relational.rangeJoin(leftDf, "k", "lt", rightDf, "rk", "rt",
+        lower, upper)
+      .select($"lid".as[Long], $"rid".as[Long]).collect().toSeq
+    val want = for {
+      (lid, k, lt) <- leftRows
+      (rid, rk, rt) <- rightRows
+      if rk == k
+      d = (rt.getTime - lt.getTime) / 1000L
+      if d >= lower && d < upper
+    } yield (lid, rid)
+    assert(got.sorted == want.sorted) // exact multiset: no dup pairs
+    assert(got.nonEmpty)
+    // the grid guarantees boundary hits on both edges; prove they behave
+    assert(want.exists { case (lid, rid) =>
+      val lt = leftRows.find(_._1 == lid).get._3
+      val rt = rightRows.find(_._1 == rid).get._3
+      (rt.getTime - lt.getTime) / 1000L == lower
+    }, "inclusive lower boundary not exercised")
+    assert(!got.exists { case (lid, rid) =>
+      val lt = leftRows.find(_._1 == lid).get._3
+      val rt = rightRows.find(_._1 == rid).get._3
+      (rt.getTime - lt.getTime) / 1000L == upper
+    }, "upper boundary must be exclusive")
+  }
+}
