@@ -419,6 +419,24 @@ object SparkEntry {
         .withColumn("micros_since_click", col("ts_us") - col("click_ts_us"))
         .orderBy(col("event_id"))
     }),
+    // blocked fuzzy string match: deterministic middle-char-deletion
+    // typos of the distinct part names, matched back against the corpus
+    // via dual-affix (prefix+suffix) blocking and confirmed with Spark's
+    // threshold Levenshtein — the un-encoded analogue of the CLK
+    // block→candidate→confirm pipeline, fully SQL-replayable
+    "q_fuzzy_match" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_name")).distinct()
+      val mid = floor(length(col("p_name")) / 2).cast("int")
+      val queries = names.select(col("p_name").as("orig"),
+        concat(col("p_name").substr(lit(1), mid),
+          col("p_name").substr(mid + lit(2), length(col("p_name"))))
+          .as("qname"))
+      val corpus = names.select(col("p_name").as("cand"))
+      graft.link.Fuzzy.fuzzyJoin(queries, "qname", corpus, "cand", maxDist = 2)
+        .select(col("orig"), col("qname"), col("cand"), col("dist"))
+        .orderBy(col("orig"), col("cand"))
+    }),
     // banded interval join (clicks in the 48 h before each purchase):
     // each left interval explodes to ≤2 span-wide buckets, each right row
     // to exactly 1, so the equi-join emits each qualifying pair once
@@ -584,6 +602,13 @@ object SparkEntry {
     // reassembly entirely in SQL (Spark keys the count by xxhash64 of the
     // trimmed line — fixed-width shuffle payload; same decision absent a
     // 64-bit collision).
+    // exact substring-duplication detector (Lee et al. 2022 reduced to
+    // its diagnostic core): 40-char windows every 20 chars, a window is
+    // duplicated iff its hash appears in >= 2 distinct docs; per-doc
+    // duplicated-window fraction
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc"))),
     "q_line_dedup" -> ((s, dir) => {
       val corpus = docs(s, dir).select(col("doc_id"),
         concat(col("text"), lit("\nsubscribe to our newsletter\n"),
@@ -796,6 +821,22 @@ object SparkEntry {
          SELECT d.doc_id AS id, COALESCE(h.n_hits, 0) AS n_hits,
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM d LEFT JOIN h USING (doc_id)""",
+    // windowed-hash substring duplication replayed from generate_series +
+    // substring + md5 (both engines hash the same UTF-8 bytes to the same
+    // lowercase hex)
+    "q_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+                    WHERE length(text) >= 40),
+         w AS (SELECT doc_id, md5(substring(text, CAST(p AS INT), 40)) AS h
+               FROM d, unnest(generate_series(1, len - 40 + 1, 20)) AS t(p)),
+         dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         per AS (SELECT doc_id, count(*) AS n_dup FROM w
+                 WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_win FROM w GROUP BY doc_id)
+         SELECT t.doc_id AS doc, t.n_win, COALESCE(p.n_dup, 0) AS n_dup,
+                round(COALESCE(p.n_dup, 0) / CAST(t.n_win AS DOUBLE), 6)
+                  AS dup_frac
+         FROM tot t LEFT JOIN per p USING (doc_id)""",
     // line-level dedup replayed from string_split: same injected
     // boilerplate, same trimmed-line frequency counting (Spark keys by
     // xxhash64 of the trimmed line; identical decisions absent a 64-bit
@@ -1473,6 +1514,23 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
                 round(avg(value), 4) AS avg_value
          FROM events GROUP BY 1""",
+    // DuckDB replays the typo synthesis, both blocking passes, and the
+    // edit-distance confirm with its own levenshtein
+    "q_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+         q AS (SELECT p_name AS orig,
+                      substring(p_name, 1, CAST(floor(length(p_name)/2) AS INT)) ||
+                      substring(p_name, CAST(floor(length(p_name)/2) AS INT) + 2)
+                        AS qname
+               FROM names),
+         cand AS (
+           SELECT q.orig, q.qname, n.p_name AS cand
+           FROM q JOIN names n ON substring(q.qname, 1, 2) = substring(n.p_name, 1, 2)
+           UNION
+           SELECT q.orig, q.qname, n.p_name
+           FROM q JOIN names n ON right(q.qname, 2) = right(n.p_name, 2))
+         SELECT orig, qname, cand, CAST(levenshtein(qname, cand) AS INT) AS dist
+         FROM cand WHERE levenshtein(qname, cand) <= 2""",
     // DuckDB's native ASOF JOIN — an independent engine's implementation
     // of the latest-at-or-before semantics the union-merge plan computes
     "q_asof_join" ->

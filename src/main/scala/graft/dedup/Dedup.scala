@@ -408,4 +408,42 @@ object Dedup {
       round(graft.expr.dotProduct(col("v0"), col("v1")) / (col("nrm0") * col("nrm1")), 6),
       threshold, "id0", "id1", "cos")
   }
+
+  /** EXACT substring-duplication detector (the span-level complement of
+    * document near-dedup, after Lee et al. 2022's "Deduplicating Training
+    * Data Makes Language Models Better"): every document is cut into
+    * `window`-char windows every `stride` chars, a window is duplicated
+    * iff its hash occurs in >= `minDocs` distinct documents, and each
+    * document reports its duplicated-window fraction — the
+    * boilerplate/copy-paste signal a corpus cleaner thresholds on.
+    *
+    * Scale shape: windows are generated map-side as a single
+    * transform+explode (no join), counted with one hash-aggregate on the
+    * window hash (partial map-side combine), and only DUPLICATED hashes
+    * flow into the membership join back to windows. Window hashing uses
+    * md5 here so DuckDB can replay it; swap [[org.apache.spark.sql.functions.xxhash64]]
+    * in for 8-byte keys at the 100-TB scale — the plan is unchanged.
+    */
+  def duplicatedSpans(df: DataFrame, id: String, text: String,
+      window: Int = 40, stride: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(window > 0 && stride > 0 && minDocs >= 2)
+    val windows = df
+      .where(length(col(text)) >= window)
+      .select(col(id).as("doc"),
+        explode(transform(
+          sequence(lit(1), length(col(text)) - window + 1, lit(stride)),
+          p => md5(col(text).substr(p, lit(window)).cast("binary")))).as("h"))
+    val dupHashes = windows.groupBy("h")
+      .agg(count_distinct(col("doc")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("h")
+    val perDoc = windows.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n_dup"))
+    windows.groupBy("doc").agg(count(lit(1)).as("n_win"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc"), col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)) / col("n_win").cast("double"), 6)
+          .as("dup_frac"))
+  }
 }

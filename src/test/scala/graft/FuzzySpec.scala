@@ -1,0 +1,51 @@
+package graft
+
+import graft.link.Fuzzy
+
+class FuzzySpec extends SparkSpec {
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def typo(s: String): String = {
+    val m = s.length / 2
+    s.substring(0, m) + s.substring(m + 1)
+  }
+
+  test("fuzzyJoin == brute force over shared-affix blocks; distances exact") {
+    import spark.implicits._
+    val names = spark.read.parquet(s"$sfTiny/part.parquet")
+      .select($"p_name").distinct().as[String].collect().toSeq
+    assert(names.size > 30)
+    val queries = names.map(n => (n, typo(n))).toDF("orig", "qname")
+    val corpus = names.toDF("cand")
+    val got = Fuzzy.fuzzyJoin(queries, "qname", corpus, "cand", maxDist = 2)
+      .select($"qname".as[String], $"cand".as[String], $"dist".as[Int])
+      .collect().toSet
+    val brute = (for {
+      n <- names
+      q = typo(n)
+      c <- names
+      if lev(q, c) <= 2
+    } yield (q, c, lev(q, c))).toSet
+    val blockedBrute = brute.filter { case (q, c, _) =>
+      q.take(2) == c.take(2) || q.takeRight(2) == c.takeRight(2)
+    }
+    assert(got == blockedBrute)
+    // the middle-char deletion keeps both affixes intact, so every
+    // (typo(n), n) self-pair must be recovered at distance 1
+    names.foreach { n =>
+      assert(got.contains((typo(n), n, 1)), s"missed self-match for '$n'")
+    }
+    // and the blocking must actually be lossless on this corpus's
+    // <=2-distance pairs would be too strong in general — measure recall
+    val recall = blockedBrute.size.toDouble / brute.size
+    assert(recall >= 0.95, s"affix-blocking recall $recall")
+  }
+}

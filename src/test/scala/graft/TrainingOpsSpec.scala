@@ -280,6 +280,27 @@ class DedupSpec extends SparkSpec {
     assert(g.agg(sum($"group_size")).head().getLong(0) == documents.count())
   }
 
+  test("duplicatedSpans: per-doc dup-window fractions == local sliding-window oracle") {
+    import spark.implicits._
+    val w = 40; val s = 20
+    val rows = documents.select($"doc_id".as[Long], $"text".as[String])
+      .collect().toSeq
+    // local oracle: same window grid, duplicate = substring seen in >=2 docs
+    val wins = for {
+      (id, t) <- rows if t.length >= w
+      p <- 1 to (t.length - w + 1) by s
+    } yield (id, t.substring(p - 1, p - 1 + w))
+    val dupSet = wins.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = wins.groupBy(_._1).map { case (id, ws) =>
+      (id, ws.size.toLong, ws.count(x => dupSet(x._2)).toLong)
+    }.toSet
+    val got = Dedup.duplicatedSpans(documents, "doc_id", "text", w, s)
+      .select($"doc".as[Long], $"n_win".as[Long], $"n_dup".as[Long])
+      .collect().toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 0), "fixture has no duplicated spans")
+  }
+
   test("jaccard pairs: pathological single-block corpus, forced salting == brute force") {
     import spark.implicits._
     // every doc shares one block key; a tiny aim forces fan-out k > 1 so
