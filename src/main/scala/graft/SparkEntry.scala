@@ -437,6 +437,25 @@ object SparkEntry {
         .select(col("orig"), col("qname"), col("cand"), col("dist"))
         .orderBy(col("orig"), col("cand"))
     }),
+    // the same blocked typo-match confirmed by the codegen'd Jaro-Winkler
+    // expression instead of edit distance — oracle is DuckDB's own
+    // jaro_winkler_similarity (independent implementation, value-exact
+    // at 6 decimals)
+    "q_jw_match" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_name")).distinct()
+      val mid = floor(length(col("p_name")) / 2).cast("int")
+      val queries = names.select(col("p_name").as("orig"),
+        concat(col("p_name").substr(lit(1), mid),
+          col("p_name").substr(mid + lit(2), length(col("p_name"))))
+          .as("qname"))
+      val corpus = names.select(col("p_name").as("cand"))
+      graft.link.Fuzzy.affixCandidates(queries, "qname", corpus, "cand")
+        .withColumn("jw", round(graft.expr.jaroWinkler(col("qname"), col("cand")), 6))
+        .where(col("jw") >= 0.88)
+        .select(col("orig"), col("qname"), col("cand"), col("jw"))
+        .orderBy(col("orig"), col("cand"))
+    }),
     // banded interval join (clicks in the 48 h before each purchase):
     // each left interval explodes to ≤2 span-wide buckets, each right row
     // to exactly 1, so the equi-join emits each qualifying pair once
@@ -1531,6 +1550,22 @@ object SparkEntry {
            FROM q JOIN names n ON right(q.qname, 2) = right(n.p_name, 2))
          SELECT orig, qname, cand, CAST(levenshtein(qname, cand) AS INT) AS dist
          FROM cand WHERE levenshtein(qname, cand) <= 2""",
+    "q_jw_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+         q AS (SELECT p_name AS orig,
+                      substring(p_name, 1, CAST(floor(length(p_name)/2) AS INT)) ||
+                      substring(p_name, CAST(floor(length(p_name)/2) AS INT) + 2)
+                        AS qname
+               FROM names),
+         cand AS (
+           SELECT q.orig, q.qname, n.p_name AS cand
+           FROM q JOIN names n ON substring(q.qname, 1, 2) = substring(n.p_name, 1, 2)
+           UNION
+           SELECT q.orig, q.qname, n.p_name
+           FROM q JOIN names n ON right(q.qname, 2) = right(n.p_name, 2))
+         SELECT orig, qname, cand,
+                round(jaro_winkler_similarity(qname, cand), 6) AS jw
+         FROM cand WHERE round(jaro_winkler_similarity(qname, cand), 6) >= 0.88""",
     // DuckDB's native ASOF JOIN — an independent engine's implementation
     // of the latest-at-or-before semantics the union-merge plan computes
     "q_asof_join" ->

@@ -130,6 +130,29 @@ case class HashedCharNgrams(left: Expression, right: Expression)
   override def prettyName: String = "hashed_char_ngrams"
 }
 
+/** Jaro-Winkler similarity of two string columns — the soft name
+  * comparator classical record linkage scores candidate pairs with
+  * (graft.core.StringSim; DuckDB-compatible semantics: 0.0 on empty,
+  * boost only above jaro 0.7, prefix cap 4, scale 0.1). Codegen'd so the
+  * `sim >= t` confirm stays in the same whole-stage-generated loop as
+  * the blocking join. */
+case class JaroWinklerSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.StringSim.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.StringSim.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaro_winkler"
+}
+
 /** Dice with precomputed popcount sum (the join carries per-record
   * popcounts, mirroring the reference's popcount cache
   * `cache/encodings.py:42-45`) — saves two popcount passes per pair. */

@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hashed_char_ngrams",
         "hashed_char_ngrams(text, n) - sorted distinct xxhash64 of character n-grams"),
       (es: Seq[Expression]) => HashedCharNgrams(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings " +
+          "(0.0 on empty input, boost above jaro 0.7, prefix cap 4)"),
+      (es: Seq[Expression]) => JaroWinklerSimilarity(es(0), es(1))))
   }
 }

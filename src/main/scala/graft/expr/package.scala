@@ -35,6 +35,10 @@ package object expr {
   /** L2 norm of an array<double> column. */
   def vectorNorm(a: Column): Column = col(VectorNorm(ex(a)))
 
+  /** Jaro-Winkler similarity of two string columns. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    col(JaroWinklerSimilarity(ex(a), ex(b)))
+
   /** Register all SQL names on a live session (same surface as
     * [[GraftExtensions]] gives a session built `.withExtensions`). */
   def registerAll(spark: SparkSession): Unit = {
@@ -48,5 +52,7 @@ package object expr {
       es => SortedIntersectCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hashed_char_ngrams",
       es => HashedCharNgrams(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      es => JaroWinklerSimilarity(es(0), es(1)), "scala_udf")
   }
 }

@@ -29,7 +29,20 @@ object Fuzzy {
   def fuzzyJoin(queries: DataFrame, qCol: String,
                 corpus: DataFrame, cCol: String,
                 maxDist: Int, affixLen: Int = 2): DataFrame = {
-    require(maxDist >= 0 && affixLen > 0)
+    require(maxDist >= 0)
+    affixCandidates(queries, qCol, corpus, cCol, affixLen)
+      .withColumn("dist", levenshtein(col(qCol), col(cCol), maxDist))
+      .where(col("dist") >= 0)
+  }
+
+  /** The candidate stage alone: distinct (query row × corpus row) pairs
+    * sharing a prefix or suffix block — plug any confirm kernel on top
+    * (threshold Levenshtein in [[fuzzyJoin]], Jaro-Winkler in the
+    * q_jw_match driver query). */
+  def affixCandidates(queries: DataFrame, qCol: String,
+                      corpus: DataFrame, cCol: String,
+                      affixLen: Int = 2): DataFrame = {
+    require(affixLen > 0)
     def blocked(key: Column => Column): DataFrame = {
       val q = queries.withColumn("_fz_b", key(col(qCol)))
       val c = corpus.withColumn("_fz_b", key(col(cCol)))
@@ -38,7 +51,5 @@ object Fuzzy {
     val prefix = (s: Column) => substring(s, 1, affixLen)
     val suffix = (s: Column) => substring(s, -affixLen, affixLen)
     blocked(prefix).unionByName(blocked(suffix)).distinct()
-      .withColumn("dist", levenshtein(col(qCol), col(cCol), maxDist))
-      .where(col("dist") >= 0)
   }
 }

@@ -85,6 +85,42 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler matches DuckDB-derived vectors + invariants") {
+    import spark.implicits._
+    // expected values cross-checked against DuckDB v1.0
+    // jaro_winkler_similarity (the q_jw_match oracle engine)
+    val vectors = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964), // no common prefix
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("PENNSYLVANIA", "PENNCISYLVANIA", 0.9214285714285715),
+      ("cold widget", "cold widge", 0.9818181818181818),
+      ("ABCDEF", "ABZZZZZZZZZZ", 0.5), // jaro <= 0.7: no boost
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0), ("a", "b", 0.0))
+    val got = vectors.map(v => (v._1, v._2)).toDF("a", "b")
+      .withColumn("jw", graft.expr.jaroWinkler($"a", $"b"))
+      .select($"a", $"jw").as[(String, Double)].collect().toMap
+    vectors.foreach { case (a, b, want) =>
+      assert(got(a) == want, s"jw('$a','$b') = ${got(a)}, want $want")
+    }
+    // symmetry + bounds on random word pairs from the corpus
+    val names = spark.read.parquet(s"$sfTiny/part.parquet")
+      .select($"p_name").distinct().limit(30).as[String].collect()
+    val pairs = for (x <- names; y <- names) yield (x, y)
+    val sym = pairs.toSeq.toDF("a", "b")
+      .select(graft.expr.jaroWinkler($"a", $"b").as[Double],
+        graft.expr.jaroWinkler($"b", $"a").as[Double]).collect()
+    sym.foreach { case (x, y) =>
+      assert(x == y && x >= 0.0 && x <= 1.0)
+    }
+    // SQL registration
+    graft.expr.registerAll(spark)
+    assert(spark.sql("SELECT jaro_winkler('MARTHA','MARHTA')")
+      .head().getDouble(0) == 0.9611111111111111)
+  }
+
   test("expressions are null-safe and SQL-registered") {
     import spark.implicits._
     graft.expr.registerAll(spark)
