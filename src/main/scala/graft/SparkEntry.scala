@@ -437,6 +437,18 @@ object SparkEntry {
         .select(col("orig"), col("qname"), col("cand"), col("dist"))
         .orderBy(col("orig"), col("cand"))
     }),
+    // integer-arithmetic PageRank (3 iterations) over the part
+    // co-purchase graph — the iterative-join centrality companion to the
+    // CC solver; exact scaled-long arithmetic with floored division makes
+    // 3 full iterations DuckDB-replayable as chained CTEs
+    "q_pagerank" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      graft.cluster.PageRank.run(edges, iters = 3).orderBy(col("id"))
+    }),
     // the same blocked typo-match confirmed by the codegen'd Jaro-Winkler
     // expression instead of edit distance — oracle is DuckDB's own
     // jaro_winkler_similarity (independent implementation, value-exact
@@ -1550,6 +1562,37 @@ object SparkEntry {
            FROM q JOIN names n ON right(q.qname, 2) = right(n.p_name, 2))
          SELECT orig, qname, cand, CAST(levenshtein(qname, cand) AS INT) AS dist
          FROM cand WHERE levenshtein(qname, cand) <= 2""",
+    // three exact integer PageRank iterations as chained CTEs; DuckDB's
+    // BIGINT // == Spark's DIV, integer sums are order-free, so ranks
+    // hash-match bit-for-bit
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                     FROM lineitem a JOIN lineitem b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+         nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+         c1 AS (SELECT e0.dst AS id, CAST(sum(r0.rank // deg.deg) AS BIGINT) AS s
+                FROM e0 JOIN deg USING (src) JOIN r0 ON r0.id = e0.src
+                GROUP BY 1),
+         r1 AS (SELECT n.id,
+                       150000000000 + (COALESCE(c1.s, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN c1 USING (id)),
+         c2 AS (SELECT e0.dst AS id, CAST(sum(r1.rank // deg.deg) AS BIGINT) AS s
+                FROM e0 JOIN deg USING (src) JOIN r1 ON r1.id = e0.src
+                GROUP BY 1),
+         r2 AS (SELECT n.id,
+                       150000000000 + (COALESCE(c2.s, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN c2 USING (id)),
+         c3 AS (SELECT e0.dst AS id, CAST(sum(r2.rank // deg.deg) AS BIGINT) AS s
+                FROM e0 JOIN deg USING (src) JOIN r2 ON r2.id = e0.src
+                GROUP BY 1),
+         r3 AS (SELECT n.id,
+                       150000000000 + (COALESCE(c3.s, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN c3 USING (id))
+         SELECT CAST(id AS BIGINT) AS id, CAST(rank AS BIGINT) AS rank
+         FROM r3""",
     "q_jw_match" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
          q AS (SELECT p_name AS orig,

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cluster.PageRank
+
+class PageRankSpec extends SparkSpec {
+
+  test("hand-computed two-iteration oracle on a 3-node graph") {
+    import spark.implicits._
+    // 1 -> {2,3}, 2 -> 1, 3 -> 1; scale 1000, base = 150
+    // r0 = (1000, 1000, 1000)
+    // it1: c(1)=1000+1000=2000, c(2)=c(3)=1000 DIV 2=500
+    //      r1 = (150+1700, 150+425, 150+425) = (1850, 575, 575)
+    // it2: c(1)=575+575=1150, c(2)=c(3)=1850 DIV 2=925
+    //      r2 = (150+977, 150+786, 150+786) = (1127, 936, 936)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val got = PageRank.run(edges, iters = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1127L, 2L -> 936L, 3L -> 936L))
+  }
+
+  test("bit-identical across parallelism; hub outranks spokes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val star = (2L to 40L).flatMap(i => Seq((i, 1L), (1L, i)))
+    val noise = (1 to 120).map(_ =>
+      (rng.nextInt(40).toLong + 1, rng.nextInt(40).toLong + 1))
+    val edges = (star ++ noise).toDF("src", "dst")
+    val a = PageRank.run(edges.repartition(1), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = PageRank.run(edges.repartition(13), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "integer PageRank must not depend on partitioning")
+    val hub = a(1L)
+    assert((2L to 40L).forall(i => a(i) < hub), "hub must outrank spokes")
+  }
+}
