@@ -485,6 +485,21 @@ object SparkEntry {
           round(sum(col("cvalue")), 4).as("click_value"))
         .orderBy(col("event_id"))
     }),
+    // grouped exact quantiles (interpolated) — the threshold-tuning
+    // statistic for quality/similarity score distributions; DuckDB
+    // quantile_cont replays the same (n-1)*p linear interpolation.
+    // percentile_approx is the sketch-based 100-TB path for the same
+    // numbers (single-pass mergeable KLL-style sketch, no full sort);
+    // its error bound vs these exact values is spec-gated in
+    // RelationalSpec rather than oracled (sketch internals are
+    // engine-specific by nature)
+    "q_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .orderBy(col("event_type"))),
     "q_events_rate" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
@@ -1541,6 +1556,12 @@ object SparkEntry {
                 max(es) - min(es) AS duration_s,
                 round(sum(value), 4) AS sum_value
          FROM sq GROUP BY user_id, session_seq""",
+    "q_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90
+         FROM events GROUP BY 1""",
     "q_events_rate" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
                 round(avg(value), 4) AS avg_value

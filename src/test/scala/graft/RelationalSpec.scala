@@ -68,6 +68,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx (sketch path) tracks exact percentiles on events") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfTiny/events.parquet")
+    val vals = ev.select($"value".as[Double]).collect().sorted
+    val n = vals.length
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val approx = ev.agg(
+        expr(s"percentile_approx(value, $p, 10000)")).head().getDouble(0)
+      // the sketch returns an actual element whose RANK is within the
+      // sketch tolerance of n*p (value-distance bounds are data-dependent)
+      val rank = vals.count(_ <= approx).toDouble / n
+      assert(math.abs(rank - p) < 0.02,
+        s"approx p$p rank off: value $approx at rank $rank")
+    }
+  }
+
   test("rangeJoin emits each qualifying pair exactly once, boundaries [lo, hi)") {
     import spark.implicits._
     val lower = -120L
