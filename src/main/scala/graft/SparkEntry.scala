@@ -79,6 +79,23 @@ object SparkEntry {
     // replays the decode dispatch from the PNG magic in the blob's hex
     "resize_inputs" -> ((s, _) =>
       graft.multimodal.Multimodal.synthPngs(s, 40)),
+    // per-name soundex keys of q_soundex_block's query/corpus sides (no
+    // soundex in DuckDB — the oracle replays the PAIRING from this dump;
+    // the soundex computation itself is gated by known NARA vectors in
+    // FuzzySpec, same division of labor as the MinHash signatures)
+    "soundex_sig" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_name")).distinct()
+      val mid = floor(length(col("p_name")) / 2).cast("int")
+      names.select(col("p_name").as("orig"),
+          concat(col("p_name").substr(lit(1), mid),
+            col("p_name").substr(mid + lit(2), length(col("p_name"))))
+            .as("name"))
+        .withColumn("side", lit("q"))
+        .unionByName(names.select(col("p_name").as("orig"),
+          col("p_name").as("name")).withColumn("side", lit("c")))
+        .withColumn("sdx", soundex(col("name")))
+    }),
     // per-doc sampling hashes (q_sample_stratified's oracle replays the
     // per-stratum quota + hash ordering from these; hash determinism
     // itself is gated by TextOpsSpec)
@@ -435,6 +452,26 @@ object SparkEntry {
       val corpus = names.select(col("p_name").as("cand"))
       graft.link.Fuzzy.fuzzyJoin(queries, "qname", corpus, "cand", maxDist = 2)
         .select(col("orig"), col("qname"), col("cand"), col("dist"))
+        .orderBy(col("orig"), col("cand"))
+    }),
+    // phonetic blocking: soundex of the name as the block key (the
+    // classical pre-Bloom-filter linkage blocking), threshold-Levenshtein
+    // confirm; the oracle replays the pairing from the soundex_sig dump
+    "q_soundex_block" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_name")).distinct()
+      val mid = floor(length(col("p_name")) / 2).cast("int")
+      val queries = names.select(col("p_name").as("orig"),
+        concat(col("p_name").substr(lit(1), mid),
+          col("p_name").substr(mid + lit(2), length(col("p_name"))))
+          .as("qname"))
+        .withColumn("sdx", soundex(col("qname")))
+      val corpus = names.select(col("p_name").as("cand"))
+        .withColumn("sdx", soundex(col("cand")))
+      queries.join(corpus, "sdx")
+        .withColumn("dist", levenshtein(col("qname"), col("cand"), 3))
+        .where(col("dist") >= 0)
+        .select(col("orig"), col("qname"), col("cand"), col("sdx"), col("dist"))
         .orderBy(col("orig"), col("cand"))
     }),
     // integer-arithmetic PageRank (3 iterations) over the part
@@ -1583,6 +1620,18 @@ object SparkEntry {
            FROM q JOIN names n ON right(q.qname, 2) = right(n.p_name, 2))
          SELECT orig, qname, cand, CAST(levenshtein(qname, cand) AS INT) AS dist
          FROM cand WHERE levenshtein(qname, cand) <= 2""",
+    // pairing replay from the soundex_sig dump + DuckDB's own
+    // levenshtein confirm (key computation spec-gated — FuzzySpec NARA
+    // vectors)
+    "q_soundex_block" ->
+      s"""WITH m AS (SELECT side, orig, name, sdx
+                     FROM '$OracleAuxDir/soundex_sig/*.parquet'),
+         q AS (SELECT orig, name AS qname, sdx FROM m WHERE side = 'q'),
+         c AS (SELECT name AS cand, sdx FROM m WHERE side = 'c')
+         SELECT q.orig, q.qname, c.cand, q.sdx,
+                CAST(levenshtein(q.qname, c.cand) AS INT) AS dist
+         FROM q JOIN c USING (sdx)
+         WHERE levenshtein(q.qname, c.cand) <= 3""",
     // three exact integer PageRank iterations as chained CTEs; DuckDB's
     // BIGINT // == Spark's DIV, integer sums are order-free, so ranks
     // hash-match bit-for-bit

@@ -48,4 +48,22 @@ class FuzzySpec extends SparkSpec {
     val recall = blockedBrute.size.toDouble / brute.size
     assert(recall >= 0.95, s"affix-blocking recall $recall")
   }
+
+  test("soundex block keys match the NARA standard vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.soundex
+    // NARA "American Soundex" reference vectors (incl. the H/W-skip and
+    // double-letter rules) — these gate the q_soundex_block block keys,
+    // whose oracle replays only the pairing from the soundex_sig dump
+    val vecs = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261",
+      "Tymczak" -> "T522", "Pfister" -> "P236",
+      "Honeyman" -> "H555", "Washington" -> "W252")
+    val got = vecs.map(_._1).toDF("s")
+      .select($"s".as[String], soundex($"s").as[String]).collect().toMap
+    vecs.foreach { case (in, want) =>
+      assert(got(in) == want, s"soundex($in) = ${got(in)}, want $want")
+    }
+  }
 }
