@@ -522,6 +522,20 @@ object SparkEntry {
           round(sum(col("cvalue")), 4).as("click_value"))
         .orderBy(col("event_id"))
     }),
+    // ordered conversion funnel (signup → click → purchase): chained
+    // conditional minima, every stage keyed by user so the partitioning
+    // is reused; later stages null out where the chain breaks
+    "q_funnel" -> ((s, dir) =>
+      graft.streaming.EventStream.funnel(events(s, dir),
+          Seq("signup", "click", "purchase"))
+        .orderBy(col("user_id"))),
+    // deterministic weighted corpus mixing (downsample en to 25%, es to
+    // 75%): md5-hash-threshold keep rule, no rand(), map-side only
+    "q_mix_sample" -> ((s, dir) =>
+      TextOps.mixSample(docs(s, dir), "doc_id", col("lang"),
+          Map("en" -> 0.25, "es" -> 0.75))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     // grouped exact quantiles (interpolated) — the threshold-tuning
     // statistic for quality/similarity score distributions; DuckDB
     // quantile_cont replays the same (n-1)*p linear interpolation.
@@ -1593,6 +1607,30 @@ object SparkEntry {
                 max(es) - min(es) AS duration_s,
                 round(sum(value), 4) AS sum_value
          FROM sq GROUP BY user_id, session_seq""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS t
+                    FROM events),
+         s1 AS (SELECT user_id,
+                       min(CASE WHEN et = 'signup' THEN t END) AS t1
+                FROM e GROUP BY 1),
+         s1f AS (SELECT * FROM s1 WHERE t1 IS NOT NULL),
+         s2 AS (SELECT e.user_id, s1f.t1,
+                       min(CASE WHEN et = 'click' AND t >= t1 THEN t END) AS t2
+                FROM e JOIN s1f USING (user_id) GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, s2.t1, s2.t2,
+                       min(CASE WHEN et = 'purchase' AND t >= t2 THEN t END) AS t3
+                FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+         SELECT user_id, t1, t2, t3 FROM s3""",
+    // fixed-width lowercase hex compares numerically; thresholds are
+    // floor(weight * 2^32) in hex
+    "q_mix_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE lang
+           WHEN 'en' THEN
+             substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+           WHEN 'es' THEN
+             substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
+           ELSE TRUE END""",
     "q_quantiles" ->
       """SELECT event_type, count(*) AS n,
                 round(quantile_cont(value, 0.25), 6) AS p25,

@@ -47,6 +47,38 @@ object EventStream {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Ordered conversion funnel: for each user, the earliest time of
+    * stage 1, then the earliest stage-2 event AT OR AFTER it, then the
+    * earliest stage-3 event at or after that, etc. Later stages are null
+    * once the chain breaks — the per-user row is the standard funnel
+    * drop-off report.
+    *
+    * Scale shape: one conditional-min hash aggregation per stage, all
+    * keyed by the user — every groupBy and join reuses the same hash
+    * partitioning, so stages after the first shuffle only the per-user
+    * accumulator row (events themselves shuffle once). No windows, no
+    * per-user sort, no event-list collection. */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty)
+    val base = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("et"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t"))
+    var acc = base.groupBy("user_id")
+      .agg(min(when(col("et") === stages.head, col("t"))).as("t1"))
+      .where(col("t1").isNotNull)
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      val prev = s"t${i + 1}"
+      val keys = col("user_id") +: (1 to i + 1).map(j => col(s"t$j"))
+      acc = base.join(acc, "user_id")
+        .groupBy(keys: _*)
+        .agg(min(when(col("et") === st && col("t") >= col(prev), col("t")))
+          .as(s"t${i + 2}"))
+    }
+    acc
+  }
+
   /** Tumbling-window per-type counts + value sums with a watermark for
     * late data. Works over any source df (batch or streaming) — same plan
     * both ways, which is how the equivalence test pins semantics. */

@@ -275,6 +275,33 @@ object TextOps {
       .where(col("sample_rank") <= k)
   }
 
+  /** Deterministic weighted corpus mixing: keep each row with a
+    * per-stratum probability (the domain/language re-weighting step of a
+    * training-data pipeline — downsample over-represented strata to
+    * target proportions). The keep decision is
+    * `md5(seed:id) hex prefix < threshold(weight)` — a pure column
+    * predicate with NO rand(): reproducible at any parallelism, on
+    * re-runs, and in any engine with md5 (fixed-width lowercase hex
+    * compares lexicographically == numerically, so the driver oracle is
+    * a plain CASE WHEN string comparison). Weight 1.0 keeps everything;
+    * weight 0.0 drops the stratum. Map-side filter — no shuffle at all.
+    */
+  def mixSample(df: DataFrame, id: String, stratum: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: String = "mix"): DataFrame = {
+    val u = substring(
+      md5(concat_ws(":", lit(seed), col(id).cast("string")).cast("binary")),
+      1, 8)
+    def keep(w: Double): Column =
+      if (w >= 1.0) lit(true)
+      else if (w <= 0.0) lit(false)
+      else u < lit(f"${math.floor(w * 4294967296.0).toLong}%08x")
+    val cond = weights.toSeq.sortBy(_._1).foldLeft(keep(defaultWeight)) {
+      case (els, (k, w)) => when(stratum === k, keep(w)).otherwise(els)
+    }
+    df.where(cond)
+  }
+
   /** Inverted index over whitespace tokens: per token, document
     * frequency, total term frequency, and the first `sampleDocs` doc ids
     * as a CSV posting sample. `minDf` prunes the hapax tail.

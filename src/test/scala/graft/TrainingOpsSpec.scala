@@ -676,6 +676,54 @@ class CurationOpsSpec extends SparkSpec {
     assert(capped == (1L to 10L).mkString(","))
   }
 
+  test("funnel: ordered-stage minima, chain breaks null out") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // A: full ordered chain; B: click BEFORE signup only (chain breaks);
+    // C: signup+click, no purchase; D: never signs up (absent)
+    val ev = Seq(
+      (1L, "signup", ts(100)), (1L, "click", ts(200)), (1L, "purchase", ts(300)),
+      (1L, "click", ts(50)), // pre-signup click must not count
+      (2L, "click", ts(10)), (2L, "signup", ts(20)),
+      (3L, "signup", ts(10)), (3L, "click", ts(10)), // same-instant click counts (>=)
+      (4L, "click", ts(10)), (4L, "purchase", ts(20))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.streaming.EventStream
+      .funnel(ev, Seq("signup", "click", "purchase"))
+      .select($"user_id".as[Long], $"t1".as[Long],
+        $"t2".as[Option[Long]], $"t3".as[Option[Long]])
+      .collect().toSet
+    val M = 1000000L
+    assert(got == Set(
+      (1L, 100L * M, Some(200L * M), Some(300L * M)),
+      (2L, 20L * M, None, None),
+      (3L, 10L * M, Some(10L * M), None)))
+  }
+
+  test("mixSample: deterministic hash-threshold rates, exact edge weights") {
+    import spark.implicits._
+    val documents = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val en = documents.where($"lang" === "en").count()
+    // weight 1.0 keeps a stratum whole, 0.0 drops it entirely
+    val edges = TextOps.mixSample(documents, "doc_id", $"lang",
+      Map("en" -> 1.0, "fr" -> 0.0))
+    assert(edges.where($"lang" === "en").count() == en)
+    assert(edges.where($"lang" === "fr").count() == 0)
+    // fractional weight: deterministic, partition-invariant, near-rate
+    val a = TextOps.mixSample(documents, "doc_id", $"lang", Map("en" -> 0.25))
+      .select($"doc_id".as[Long]).collect().toSet
+    val b = TextOps.mixSample(documents.repartition(17), "doc_id", $"lang",
+      Map("en" -> 0.25)).select($"doc_id".as[Long]).collect().toSet
+    assert(a == b, "hash-threshold sampling must be partition-invariant")
+    val keptEn = documents.where($"lang" === "en")
+      .join(a.toSeq.toDF("doc_id"), "doc_id").count()
+    val rate = keptEn.toDouble / en
+    assert(math.abs(rate - 0.25) < 0.12, s"en keep rate $rate, want ~0.25")
+    // strata absent from the weight map ride the default weight (1.0)
+    val nonEn = documents.where($"lang" =!= "en").count()
+    assert(a.size == nonEn + keptEn)
+  }
+
   test("sessionize: gap splits, per-session aggregates") {
     import spark.implicits._
     val base = 1700000000L
