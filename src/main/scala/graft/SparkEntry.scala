@@ -436,6 +436,17 @@ object SparkEntry {
         .withColumn("micros_since_click", col("ts_us") - col("click_ts_us"))
         .orderBy(col("event_id"))
     }),
+    // end-to-end fuzzy dedup: blocked edit-distance self-pairs over the
+    // distinct part names -> connected components -> canonical min-id
+    // group (the un-encoded analogue of the whole CLK pipeline); oracle
+    // replays blocking + confirm + a recursive-CTE transitive closure
+    "q_fuzzy_groups" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id"))
+      graft.link.Fuzzy.fuzzyGroups(names, "id", "name")
+        .orderBy(col("id"))
+    }),
     // blocked fuzzy string match: deterministic middle-char-deletion
     // typos of the distinct part names, matched back against the corpus
     // via dual-affix (prefix+suffix) blocking and confirmed with Spark's
@@ -522,6 +533,15 @@ object SparkEntry {
           round(sum(col("cvalue")), 4).as("click_value"))
         .orderBy(col("event_id"))
     }),
+    // column-level data profiling of the orders table (row counts, null
+    // rates, exact cardinalities, numeric + length ranges) — one agg per
+    // column, NO multi-count_distinct Expand; timestamps excluded (their
+    // canonical string form is engine-specific)
+    "q_profile" -> ((s, dir) =>
+      graft.rel.Profile.profile(s.read.parquet(s"$dir/orders.parquet"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy(col("column"))),
     // ordered conversion funnel (signup → click → purchase): chained
     // conditional minima, every stage keyed by user so the partitioning
     // is reused; later stages null out where the chain breaks
@@ -1607,6 +1627,53 @@ object SparkEntry {
                 max(es) - min(es) AS duration_s,
                 round(sum(value), 4) AS sum_value
          FROM sq GROUP BY user_id, session_seq""",
+    "q_profile" ->
+      """WITH p AS (SELECT * FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS "column", count(*) AS n,
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  count(DISTINCT o_orderkey) AS n_distinct,
+                  min(TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE)) AS min_num,
+                  max(TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE)) AS max_num,
+                  CAST(min(length(CAST(o_orderkey AS VARCHAR))) AS INT) AS min_len,
+                  CAST(max(length(CAST(o_orderkey AS VARCHAR))) AS INT) AS max_len
+           FROM p
+           UNION ALL
+           SELECT 'o_custkey', count(*),
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_custkey),
+                  min(TRY_CAST(CAST(o_custkey AS VARCHAR) AS DOUBLE)),
+                  max(TRY_CAST(CAST(o_custkey AS VARCHAR) AS DOUBLE)),
+                  CAST(min(length(CAST(o_custkey AS VARCHAR))) AS INT),
+                  CAST(max(length(CAST(o_custkey AS VARCHAR))) AS INT)
+           FROM p
+           UNION ALL
+           SELECT 'o_orderstatus', count(*),
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderstatus),
+                  min(TRY_CAST(o_orderstatus AS DOUBLE)),
+                  max(TRY_CAST(o_orderstatus AS DOUBLE)),
+                  CAST(min(length(o_orderstatus)) AS INT),
+                  CAST(max(length(o_orderstatus)) AS INT)
+           FROM p
+           UNION ALL
+           SELECT 'o_totalprice', count(*),
+                  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_totalprice),
+                  min(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)),
+                  max(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)),
+                  CAST(min(length(CAST(o_totalprice AS VARCHAR))) AS INT),
+                  CAST(max(length(CAST(o_totalprice AS VARCHAR))) AS INT)
+           FROM p
+           UNION ALL
+           SELECT 'o_orderpriority', count(*),
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderpriority),
+                  min(TRY_CAST(o_orderpriority AS DOUBLE)),
+                  max(TRY_CAST(o_orderpriority AS DOUBLE)),
+                  CAST(min(length(o_orderpriority)) AS INT),
+                  CAST(max(length(o_orderpriority)) AS INT)
+           FROM p)""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS t
                     FROM events),
@@ -1641,6 +1708,29 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
                 round(avg(value), 4) AS avg_value
          FROM events GROUP BY 1""",
+    // blocking + confirm + recursive-CTE closure, all replayed in SQL
+    "q_fuzzy_groups" ->
+      """WITH RECURSIVE
+         names AS (SELECT p_name AS name, min(p_partkey) AS id
+                   FROM part GROUP BY 1),
+         cand AS (
+           SELECT a.id AS id0, a.name AS n0, b.id AS id1, b.name AS n1
+           FROM names a JOIN names b
+             ON substring(a.name, 1, 2) = substring(b.name, 1, 2)
+           UNION
+           SELECT a.id, a.name, b.id, b.name
+           FROM names a JOIN names b
+             ON right(a.name, 2) = right(b.name, 2)),
+         p AS (SELECT id0, id1 FROM cand
+               WHERE id0 < id1 AND levenshtein(n0, n1) <= 2),
+         e AS (SELECT id0 AS u, id1 AS v FROM p
+               UNION SELECT id1, id0 FROM p),
+         reach(id, r) AS (
+           SELECT id, id FROM names
+           UNION
+           SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id),
+         g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+         SELECT n.id, n.name, g.group_id FROM names n JOIN g USING (id)""",
     // DuckDB replays the typo synthesis, both blocking passes, and the
     // edit-distance confirm with its own levenshtein
     "q_fuzzy_match" ->

@@ -35,6 +35,31 @@ object Fuzzy {
       .where(col("dist") >= 0)
   }
 
+  /** End-to-end fuzzy dedup: blocked edit-distance self-pairs over a
+    * name table → distributed connected components → canonical min-id
+    * group per name. The un-encoded analogue of the full CLK pipeline
+    * (block → confirm → cluster) in one call; every stage is the
+    * already-gated operator ([[fuzzyJoin]], `ConnectedComponents.run`).
+    * Input must be unique per id; names may repeat (ids group them). */
+  def fuzzyGroups(names: org.apache.spark.sql.DataFrame, idCol: String,
+      nameCol: String, maxDist: Int = 2, affixLen: Int = 2): DataFrame = {
+    val spark = names.sparkSession
+    import spark.implicits._
+    val l = names.select(col(idCol).cast("long").as("id0"),
+      col(nameCol).as("n0"))
+    val r = names.select(col(idCol).cast("long").as("id1"),
+      col(nameCol).as("n1"))
+    val pairs = fuzzyJoin(l, "n0", r, "n1", maxDist, affixLen)
+      .where(col("id0") < col("id1"))
+      .select($"id0".as[Long], $"id1".as[Long])
+    val comp = graft.cluster.ConnectedComponents.run(pairs)
+      .withColumnRenamed("node", "id")
+    names.select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), col("name"),
+        coalesce(col("component"), col("id")).as("group_id"))
+  }
+
   /** The candidate stage alone: distinct (query row × corpus row) pairs
     * sharing a prefix or suffix block — plug any confirm kernel on top
     * (threshold Levenshtein in [[fuzzyJoin]], Jaro-Winkler in the

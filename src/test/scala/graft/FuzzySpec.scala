@@ -49,6 +49,35 @@ class FuzzySpec extends SparkSpec {
     assert(recall >= 0.95, s"affix-blocking recall $recall")
   }
 
+  test("fuzzyGroups == local union-find over the blocked pair set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.min
+    val names = spark.read.parquet(s"$sfTiny/part.parquet")
+      .groupBy($"p_name".as("name")).agg(min($"p_partkey").as("id"))
+    val rows = names.select($"id".as[Long], $"name".as[String]).collect().toSeq
+    val got = Fuzzy.fuzzyGroups(names, "id", "name")
+      .select($"id".as[Long], $"group_id".as[Long]).collect().toMap
+    val pairs = for {
+      (i0, n0) <- rows
+      (i1, n1) <- rows
+      if i0 < i1
+      if n0.take(2) == n1.take(2) || n0.takeRight(2) == n1.takeRight(2)
+      if lev(n0, n1) <= 2
+    } yield (i0, i1)
+    // union-by-min with path compression: the root IS the component min
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = rows.map(r => r._1 -> find(r._1)).toMap
+    assert(got == want)
+    assert(want.values.toSet.size < rows.size, "expected at least one merge")
+  }
+
   test("soundex block keys match the NARA standard vectors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.soundex

@@ -68,6 +68,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("profile: exact per-column stats on a crafted table") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option("ab"), Option(1.5)),
+      (Option(2L), Option.empty[String], Option(2.5)),
+      (Option(2L), Option("abcd"), Option.empty[Double])
+    ).toDF("k", "s", "v")
+    val got = graft.rel.Profile.profile(df, Seq("k", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), r.getInt(6), r.getInt(7)))
+      .toMap
+    assert(got("k") == ((3L, 0L, 2L, Some(1.0), Some(2.0), 1, 1)))
+    assert(got("s") == ((3L, 1L, 2L, None, None, 2, 4)))
+    assert(got("v") == ((3L, 1L, 2L, Some(1.5), Some(2.5), 3, 3)))
+  }
+
   test("percentile_approx (sketch path) tracks exact percentiles on events") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sfTiny/events.parquet")
