@@ -796,6 +796,21 @@ object SparkEntry {
           "precision", "recall", "f1")
         .orderBy("threshold")
     }),
+    // threshold-tuning curve: edge-level P/R/F1 at 10 thresholds from
+    // ONE kernel pass at t=0.5 (the reference's similarity_scores run
+    // type as an operator-facing sweep); the oracle re-derives every
+    // candidate score from the committed CLK fixture with DuckDB's own
+    // bit_count kernel, so the whole curve is independently replayed
+    "q_threshold_sweep" -> ((s, _) => {
+      val truth = s.read.option("header", "true")
+        .csv(s"$FixturesDir/febrl4_truth.csv")
+        .select(col("row_a").as("rec0"), col("row_b").as("rec1"))
+      val edges = Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.5))
+        .toDF().where(col("dp0") === 0 && col("dp1") === 1)
+      Pipeline.thresholdSweep(edges, truth,
+          Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95))
+        .orderBy(col("threshold"))
+    }),
     // tf-idf top terms (ratio idf — monotone with log idf, SQL-exact)
     "q_tfidf_topterms" -> ((s, dir) =>
       TextOps.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
@@ -1076,6 +1091,38 @@ object SparkEntry {
                 2 * (tp / n_pred) * (tp / n_true)
                   / ((tp / n_pred) + (tp / n_true)) AS f1
          FROM m""",
+    // full threshold curve replayed from the committed CLK fixture:
+    // DuckDB recomputes every cross-provider Dice score with its own
+    // bit_count (the er_febrl4_edges kernel replay), fans each pair into
+    // the grid rows it clears, and joins the truth CSV — identical
+    // BIGINT/DOUBLE arithmetic to the Spark side
+    "q_threshold_sweep" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT a.entity_id AS rec0, b.entity_id AS rec1,
+                  2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim
+           FROM c a JOIN c b ON a.dp = 0 AND b.dp = 1),
+         truth AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                          CAST(row_b AS BIGINT) AS rec1
+                   FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                     header = true)),
+         g AS (SELECT unnest([0.5, 0.55, 0.6, 0.65, 0.7,
+                              0.75, 0.8, 0.85, 0.9, 0.95]) AS threshold),
+         m AS (SELECT g.threshold, CAST(count(*) AS BIGINT) AS n_pred,
+                      CAST(sum(CASE WHEN t.rec0 IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp
+               FROM p
+               JOIN g ON p.sim >= g.threshold
+               LEFT JOIN truth t ON p.rec0 = t.rec0 AND p.rec1 = t.rec1
+               GROUP BY 1),
+         ta AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth)
+         SELECT threshold, n_pred, n_true, tp,
+                tp / n_pred AS precision, tp / n_true AS recall,
+                2 * (tp / n_pred) * (tp / n_true)
+                  / ((tp / n_pred) + (tp / n_true)) AS f1
+         FROM m, ta""",
     // tf-idf replayed exactly: same space tokenization, same (doc,term)
     // and term aggs, idf as the n_docs/df ratio (no log — libm differs
     // across engines; the ratio ranks identically), same window rank with

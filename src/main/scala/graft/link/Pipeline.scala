@@ -26,6 +26,41 @@ object Pipeline {
   def clusters(blocked: DataFrame, cfg: LinkConfig): Dataset[ClusterMember] =
     Solver.solve(edges(blocked, cfg), cfg)
 
+  /** Edge-level precision/recall/F1 across a whole threshold grid from
+    * ONE kernel pass at `min(grid)` — the reference's `similarity_scores`
+    * run type (`backend/entityservice/views/run/__init__.py:32-48`) turned
+    * into the tuning curve an operator actually wants when choosing the
+    * production threshold. Truth pairs are joined once (broadcast — truth
+    * is a labeled sample, small by construction); each scored edge then
+    * lands in every grid row it clears via a broadcast join against the
+    * tiny grid literal, so the sweep costs one narrow stage over the edge
+    * set, never a rescore per threshold. `edges` must already be filtered
+    * to the provider pair the truth labels (dp0=0, dp1=1).
+    */
+  def thresholdSweep(edges: DataFrame, truth: DataFrame,
+      grid: Seq[Double]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(grid.nonEmpty)
+    val t = truth.select(col("rec0").cast("long").as("rec0"),
+      col("rec1").cast("long").as("rec1"), lit(1L).as("is_tp"))
+    val tot = t.agg(count(lit(1)).as("n_true"))
+    val marked = edges
+      .join(broadcast(t), Seq("rec0", "rec1"), "left")
+      .select(col("sim"), coalesce(col("is_tp"), lit(0L)).as("is_tp"))
+    val g = grid.toDF("threshold")
+    marked.join(broadcast(g), col("sim") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pred"), sum(col("is_tp")).as("tp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("precision", col("tp") / col("n_pred"))
+      .withColumn("recall", col("tp") / col("n_true"))
+      .withColumn("f1", lit(2) * col("precision") * col("recall")
+        / (col("precision") + col("recall")))
+      .select("threshold", "n_pred", "n_true", "tp",
+        "precision", "recall", "f1")
+  }
+
   /** Pairwise F1 of cluster-implied cross-provider pairs vs a truth set of
     * (rec0, rec1) pairs for providers (0,1) — the fixture gate
     * (reference oracle pattern: `e2etests/tests/test_results_correctness.py`).
