@@ -176,6 +176,14 @@ object SparkEntry {
         .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
     "er_febrl4_clusters" -> ((s, _) =>
       febrl4Clusters(s).orderBy(col("clusterId"), col("dp"))),
+    // incremental linkage: only pairs touching the "new batch" (here the
+    // deterministic 10% slice entity_id%10==7) are scored; the oracle
+    // replays the FULL kernel and filters to touching-new — equality of
+    // the two shapes is exactly the delta contract
+    "q_link_delta" -> ((s, _) =>
+      Pipeline.edgesDelta(febrl4Blocked(s), LinkConfig(threshold = 0.8),
+          col("entity_id") % 10 === 7)
+        .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
     // anonlink-k candidate capping (LinkConfig.topKPerRecord) over the
     // same fixture — oracle replays the kernel + a per-record window
     "q_clk_edges_topk" -> ((s, _) =>
@@ -870,6 +878,18 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // delta contract: the full kernel replay filtered to pairs touching
+    // the new batch must equal the delta-only Spark run
+    "q_link_delta" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp)
+         SELECT sim, dp0, rec0, dp1, rec1 FROM p
+         WHERE sim >= 0.8 AND (rec0 % 10 = 7 OR rec1 % 10 = 7)""",
     // the streaming run must produce the exact batch edge set
     "q_stream_linkage" ->
       """WITH c AS (SELECT dp, entity_id, pc, words

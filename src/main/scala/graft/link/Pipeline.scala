@@ -26,6 +26,47 @@ object Pipeline {
   def clusters(blocked: DataFrame, cfg: LinkConfig): Dataset[ClusterMember] =
     Solver.solve(edges(blocked, cfg), cfg)
 
+  /** Incremental linkage over an append-only corpus: score ONLY the
+    * pairs that involve at least one record of the new batch, never
+    * re-scoring old×old. The reference re-runs the full comparison on
+    * every new upload (`backend/entityservice/views/project.py` run
+    * lifecycle — a fresh run per upload); at 10^12-document crawl scale
+    * the right shape is delta-only, and blocking makes it cheap:
+    *
+    *  1. only blocks containing ≥1 new record can emit a new pair — a
+    *     broadcast keep-list of touched block keys (a small delta touches
+    *     few blocks) drops untouched blocks BEFORE the packing shuffle,
+    *     so cost is bounded by the delta's block footprint, not corpus
+    *     size;
+    *  2. within kept blocks the standard kernel runs unchanged, then
+    *     old×old pairs (co-resident in a touched block) are dropped with
+    *     two broadcast anti-flags on the delta id set — no extra shuffle.
+    *
+    * Equality contract (spec-gated): `edgesDelta(blocked, cfg, isNew)` ==
+    * `edges(blocked, cfg).filter(touches a new record)` — union with the
+    * previous run's edge set to maintain the full linkage incrementally.
+    */
+  def edgesDelta(blocked: DataFrame, cfg: LinkConfig,
+      isNew: org.apache.spark.sql.Column): Dataset[Edge] = {
+    val spark = blocked.sparkSession
+    import spark.implicits._
+    val newRecs = blocked.where(isNew)
+    val touched = newRecs.select("block_key").distinct()
+    val reduced = blocked.join(broadcast(touched), Seq("block_key"), "left_semi")
+    val newIds = newRecs.select(col("dp"), col("entity_id")).distinct()
+    val edges = Linker.scoreCandidates(reduced, cfg).toDF()
+    val n0 = broadcast(newIds.select(col("dp").as("dp0"),
+      col("entity_id").as("rec0"), lit(1).as("new0")))
+    val n1 = broadcast(newIds.select(col("dp").as("dp1"),
+      col("entity_id").as("rec1"), lit(1).as("new1")))
+    edges
+      .join(n0, Seq("dp0", "rec0"), "left")
+      .join(n1, Seq("dp1", "rec1"), "left")
+      .where(col("new0").isNotNull || col("new1").isNotNull)
+      .select(col("sim"), col("dp0"), col("rec0"), col("dp1"), col("rec1"))
+      .as[Edge]
+  }
+
   /** Edge-level precision/recall/F1 across a whole threshold grid from
     * ONE kernel pass at `min(grid)` — the reference's `similarity_scores`
     * run type (`backend/entityservice/views/run/__init__.py:32-48`) turned

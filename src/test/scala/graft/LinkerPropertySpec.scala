@@ -108,4 +108,35 @@ class LinkerPropertySpec extends SparkSpec {
     assert(rowsPerChunk * rowsPerChunk <= 2.0 * Linker.ChunkSizeAim,
       s"chunk pair ${rowsPerChunk * rowsPerChunk} vs aim ${Linker.ChunkSizeAim}")
   }
+
+  test("edgesDelta == full edges filtered to pairs touching the new batch") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val recs = randomDataset(seed + 10)
+      val t = 0.35
+      val blocked = spark.createDataset(recs)
+        .toDF("dp", "entity_id", "clk", "blocks")
+        .withColumn("popcount", graft.expr.popcount(col("clk")))
+        .withColumn("block_key", explode(col("blocks")))
+        .select("dp", "entity_id", "clk", "popcount", "block_key")
+      val isNew = col("entity_id") % 7 === 3
+      val got = graft.link.Pipeline.edgesDelta(blocked, LinkConfig(t), isNew)
+        .collect().map(e => (e.dp0, e.rec0, e.dp1, e.rec1, e.sim)).toSet
+      val expected = (for {
+        a <- recs.iterator; b <- recs.iterator
+        if a.dp < b.dp && a.blocks.exists(b.blocks.contains)
+        if a.id % 7 == 3 || b.id % 7 == 3
+        s = BitOps.dice(a.clk, b.clk) if s >= t
+      } yield (a.dp, a.id, b.dp, b.id, s)).toSet
+      assert(got == expected, s"seed=$seed got=${got.size} expected=${expected.size}")
+      assert(expected.nonEmpty, s"seed=$seed empty delta oracle — weak test")
+      // the delta must be a strict subset of the full run (old-old dropped)
+      val full = (for {
+        a <- recs.iterator; b <- recs.iterator
+        if a.dp < b.dp && a.blocks.exists(b.blocks.contains)
+        s = BitOps.dice(a.clk, b.clk) if s >= t
+      } yield (a.dp, a.id, b.dp, b.id, s)).toSet
+      assert(expected.subsetOf(full) && expected.size < full.size)
+    }
+  }
 }
