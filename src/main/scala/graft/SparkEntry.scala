@@ -460,6 +460,22 @@ object SparkEntry {
     // via dual-affix (prefix+suffix) blocking and confirmed with Spark's
     // threshold Levenshtein — the un-encoded analogue of the CLK
     // block→candidate→confirm pipeline, fully SQL-replayable
+    // Fellegi-Sunter-style multi-field agreement scoring: brand-blocked
+    // part pairs, integer weights per agreeing field (banded Levenshtein
+    // name, exact type, +/-2 size, +/-5.0 price), threshold on the exact
+    // integer score; candidates ride the two-level-salted generator
+    "q_multifield_match" -> ((s, dir) => {
+      import graft.link.{FieldMatch, FieldRule}
+      FieldMatch.selfScore(
+          s.read.parquet(s"$dir/part.parquet"), "p_partkey", col("p_brand"),
+          Seq(
+            FieldRule("p_name", 4L, (a, b) => levenshtein(a, b, 4) >= 0),
+            FieldRule("p_type", 3L, (a, b) => a === b),
+            FieldRule("p_size", 2L, (a, b) => abs(a - b) <= 2),
+            FieldRule("p_retailprice", 1L, (a, b) => abs(a - b) <= lit(5.0))),
+          minScore = 5L)
+        .orderBy(col("id0"), col("id1"))
+    }),
     "q_fuzzy_match" -> ((s, dir) => {
       val names = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_name")).distinct()
@@ -1798,6 +1814,28 @@ object SparkEntry {
            SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id),
          g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
          SELECT n.id, n.name, g.group_id FROM names n JOIN g USING (id)""",
+    // per-field agreement flags + exact integer score, replayed with
+    // DuckDB's own levenshtein and identical double band arithmetic
+    "q_multifield_match" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                           p_retailprice FROM part),
+         c AS (
+           SELECT a.p_partkey AS id0, b.p_partkey AS id1,
+                  CAST(CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                       THEN 1 ELSE 0 END AS BIGINT) AS agree_p_name,
+                  CAST(CASE WHEN a.p_type = b.p_type
+                       THEN 1 ELSE 0 END AS BIGINT) AS agree_p_type,
+                  CAST(CASE WHEN abs(a.p_size - b.p_size) <= 2
+                       THEN 1 ELSE 0 END AS BIGINT) AS agree_p_size,
+                  CAST(CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 5.0
+                       THEN 1 ELSE 0 END AS BIGINT) AS agree_p_retailprice
+           FROM p a JOIN p b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+         SELECT *, 4 * agree_p_name + 3 * agree_p_type + 2 * agree_p_size
+                   + 1 * agree_p_retailprice AS score
+         FROM c
+         WHERE 4 * agree_p_name + 3 * agree_p_type + 2 * agree_p_size
+               + 1 * agree_p_retailprice >= 5""",
     // DuckDB replays the typo synthesis, both blocking passes, and the
     // edit-distance confirm with its own levenshtein
     "q_fuzzy_match" ->
