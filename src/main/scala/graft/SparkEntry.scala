@@ -460,6 +460,21 @@ object SparkEntry {
     // via dual-affix (prefix+suffix) blocking and confirmed with Spark's
     // threshold Levenshtein — the un-encoded analogue of the CLK
     // block→candidate→confirm pipeline, fully SQL-replayable
+    // crawl-to-crawl snapshot diff: deterministic old/new snapshots of
+    // the documents corpus (drop-by-modulus + text edits), classified
+    // added/removed/changed/unchanged by md5 content fingerprint via one
+    // full-outer join
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text"))).as("fp"))
+      val neu = d.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      graft.rel.Relational.snapshotDiff(old, neu, "doc_id", "fp")
+        .orderBy(col("key"))
+    }),
     // Fellegi-Sunter-style multi-field agreement scoring: brand-blocked
     // part pairs, integer weights per agreeing field (banded Levenshtein
     // name, exact type, +/-2 size, +/-5.0 price), threshold on the exact
@@ -1814,6 +1829,22 @@ object SparkEntry {
            SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id),
          g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
          SELECT n.id, n.name, g.group_id FROM names n JOIN g USING (id)""",
+    // both snapshots, the md5 fingerprints, and the full-outer status
+    // classification replay exactly (same null-ordered CASE arms)
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS key,
+                  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v1'
+                      ELSE text END) AS fp_old
+                FROM documents WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id AS key, md5(text) AS fp_new
+               FROM documents WHERE doc_id % 11 <> 0)
+         SELECT COALESCE(o.key, n.key) AS key,
+                CASE WHEN fp_old IS NULL THEN 'added'
+                     WHEN fp_new IS NULL THEN 'removed'
+                     WHEN fp_old = fp_new THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                fp_old, fp_new
+         FROM o FULL OUTER JOIN n ON o.key = n.key""",
     // per-field agreement flags + exact integer score, replayed with
     // DuckDB's own levenshtein and identical double band arithmetic
     "q_multifield_match" ->

@@ -166,4 +166,30 @@ object Relational {
       payload.map(p => col("_rj_v").getField(p).as(p))
     joined.select(out: _*)
   }
+
+  /** Crawl-to-crawl snapshot diff: classify every key of two corpus
+    * snapshots as added / removed / changed / unchanged by comparing a
+    * content fingerprint (the incremental-recrawl primitive — at
+    * 10^12-document scale the next crawl is processed as `changed` +
+    * `added` only, the 100-TB analogue of [[graft.link.Pipeline.edgesDelta]]
+    * for the ingest side). One full-outer shuffle join on the key; with
+    * both snapshots bucketed by key on storage even that shuffle
+    * disappears. Fingerprints should be cheap and deterministic
+    * (md5/xxhash64 of the content — [[graft.textops.TextOps]] patterns).
+    *
+    * Output: (key, status, fp_old, fp_new) with fp_* null on the absent
+    * side.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      fp: String): DataFrame = {
+    val o = oldSnap.select(col(key).as("key"), col(fp).as("fp_old"))
+    val n = newSnap.select(col(key).as("key"), col(fp).as("fp_new"))
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select("key", "status", "fp_old", "fp_new")
+  }
 }
