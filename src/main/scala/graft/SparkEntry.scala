@@ -475,6 +475,69 @@ object SparkEntry {
       graft.rel.Relational.snapshotDiff(old, neu, "doc_id", "fp")
         .orderBy(col("key"))
     }),
+    // sorted-neighborhood blocking (merge/purge): pairs within a
+    // rank-window of 4 over the (16-char-lowercase-prefix, id) total
+    // order — the skew-immune complement to equi-key blocking; ranks
+    // come from the distributed sort+zipWithIndex primitive
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").as("id"),
+        substring(lower(col("text")), 1, 16).as("k"))
+      graft.ingest.Blocking.sortedNeighborhoodPairs(d, "id", "k", window = 4)
+        .orderBy(col("id0"), col("id1"))
+    }),
+    // meta-blocking with weighted-edge pruning (Papadakis WEP): word
+    // bigrams as the redundancy-positive block collection, weight =
+    // shared-bigram count, oversized blocks purged, edges at or below
+    // the exact integer mean weight discarded
+    "q_metablocking" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id").as("id"),
+        split(col("text"), " ").as("ts"))
+      val m = t.select(col("id"), explode(expr(
+        "transform(slice(ts, 1, size(ts)-1), " +
+          "(x, i) -> concat(x, ' ', element_at(ts, i+2)))")).as("bk"))
+      graft.ingest.Blocking.metaBlockingWep(m, "id", "bk", maxBlock = 50)
+        .orderBy(col("id0"), col("id1"))
+    }),
+    // golden-record survivorship over 2-word-prefix groups: majority
+    // vote on lang/source (min-value tiebreak), longest-text rule on
+    // n_chars — the merge step downstream of every linkage run
+    "q_golden_record" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("group_key"),
+        col("lang"), col("source"), col("n_chars"))
+      graft.cluster.Survivorship.goldenRecord(d, "group_key",
+        Seq("lang", "source"), Seq("n_chars")).orderBy(col("group_key"))
+    }),
+    // per-domain crawl rollup: deterministic URL variants per doc_id,
+    // canonicalized + domain-extracted, one hash agg per domain (page
+    // count, distinct canonical urls, distinct texts, mean page size)
+    "q_domain_stats" -> ((s, dir) => {
+      val v = col("doc_id") % 4
+      val k = (col("doc_id") % 97).cast("string")
+      val raw = docs(s, dir).select(col("text"),
+        when(v === 0, concat(lit("https://WWW.Alpha.COM/p/"), k,
+            lit("?utm_source=x&x=1")))
+          .when(v === 1, concat(lit("HTTP://alpha.com:80/p/"), k,
+            lit("/?x=1")))
+          .when(v === 2, concat(lit("https://beta.example.org/doc/"),
+            col("doc_id").cast("string")))
+          .otherwise(concat(lit("https://cdn.beta.example.org/doc/"), k))
+          .as("url"))
+      graft.textops.UrlOps.domainStats(raw, "url", "text")
+        .orderBy(col("domain"))
+    }),
+    // per-node triangle counts over a thinned co-purchase graph —
+    // degree-oriented node-iterator (each triangle found exactly once,
+    // wedge fan-out bounded by O(sqrt m))
+    "q_triangles" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      graft.cluster.Triangles.perNode(edges).orderBy(col("id"))
+    }),
     // Fellegi-Sunter-style multi-field agreement scoring: brand-blocked
     // part pairs, integer weights per agreeing field (banded Levenshtein
     // name, exact type, +/-2 size, +/-5.0 price), threshold on the exact
@@ -1845,6 +1908,102 @@ object SparkEntry {
                      ELSE 'changed' END AS status,
                 fp_old, fp_new
          FROM o FULL OUTER JOIN n ON o.key = n.key""",
+    // row_number over the same total order replays the distributed
+    // global rank; the window join is rank arithmetic
+    "q_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id AS id, substring(lower(text), 1, 16) AS k
+                    FROM documents),
+         ranked AS (SELECT id, row_number() OVER (ORDER BY k, id) - 1 AS rnk
+                    FROM r)
+         SELECT a.id AS id0, b.id AS id1, CAST(b.rnk - a.rnk AS INT) AS dist
+         FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND 3""",
+    // bigram blocks via list indexing, CBS weights, and the identical
+    // exact-integer mean cut (weight * n_edges > sum(weights))
+    "q_metablocking" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ts
+                    FROM documents),
+         m AS (SELECT DISTINCT id, ts[i] || ' ' || ts[i+1] AS bk
+               FROM t, unnest(generate_series(1, len(ts)-1)) AS g(i)),
+         kept AS (SELECT bk FROM m GROUP BY bk
+                  HAVING count(*) BETWEEN 2 AND 50),
+         mm AS (SELECT m.id, m.bk FROM m JOIN kept USING (bk)),
+         w AS (SELECT a.id AS id0, b.id AS id1, count(*) AS weight
+               FROM mm a JOIN mm b ON a.bk = b.bk AND a.id < b.id
+               GROUP BY a.id, b.id),
+         tot AS (SELECT sum(weight) AS s, count(*) AS c FROM w)
+         SELECT id0, id1, weight FROM w, tot WHERE weight * c > s""",
+    // majority vote replayed as count + row_number (count DESC, value
+    // ASC tiebreak); max fields and member counts as plain aggs
+    "q_golden_record" ->
+      """WITH d AS (SELECT array_to_string(string_split(text, ' ')[1:2], ' ')
+                      AS group_key, lang, source, n_chars FROM documents),
+         l AS (SELECT group_key, lang FROM (
+             SELECT group_key, lang, row_number() OVER (PARTITION BY group_key
+               ORDER BY count(*) DESC, lang) AS rn
+             FROM d WHERE lang IS NOT NULL GROUP BY group_key, lang)
+           WHERE rn = 1),
+         s AS (SELECT group_key, source FROM (
+             SELECT group_key, source, row_number() OVER (PARTITION BY group_key
+               ORDER BY count(*) DESC, source) AS rn
+             FROM d WHERE source IS NOT NULL GROUP BY group_key, source)
+           WHERE rn = 1),
+         base AS (SELECT group_key, count(*) AS n_members,
+                         max(n_chars) AS max_n_chars
+                  FROM d GROUP BY group_key)
+         SELECT base.group_key, n_members, l.lang, s.source, max_n_chars
+         FROM base LEFT JOIN l USING (group_key)
+                   LEFT JOIN s USING (group_key)""",
+    // the oracle derives each variant's CANONICAL form and domain from
+    // the generation rule itself — an independent replay of
+    // canonicalization + rollup, not of the implementation
+    "q_domain_stats" ->
+      """WITH r AS (SELECT text,
+           CASE WHEN doc_id % 4 = 0
+                  THEN 'https://alpha.com/p/' || CAST(doc_id % 97 AS VARCHAR)
+                       || '?x=1'
+                WHEN doc_id % 4 = 1
+                  THEN 'http://alpha.com/p/' || CAST(doc_id % 97 AS VARCHAR)
+                       || '?x=1'
+                WHEN doc_id % 4 = 2
+                  THEN 'https://beta.example.org/doc/'
+                       || CAST(doc_id AS VARCHAR)
+                ELSE 'https://cdn.beta.example.org/doc/'
+                     || CAST(doc_id % 97 AS VARCHAR) END AS u,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'alpha.com'
+                ELSE 'example.org' END AS domain
+         FROM documents)
+         SELECT domain, count(*) AS n_pages, count(DISTINCT u) AS n_urls,
+                count(DISTINCT md5(text)) AS n_unique_texts,
+                avg(length(text)) AS avg_chars
+         FROM r GROUP BY domain""",
+    // degree-oriented node-iterator replay: orient low->high by
+    // (degree, id), wedge join, closure check, exploded incidence count
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_orderkey % 4 = 0 AND l_partkey % 2 = 0),
+         e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                       greatest(a.l_partkey, b.l_partkey) AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT id, count(*) AS dg FROM
+                   (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+                 GROUP BY id),
+         o AS (SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                      THEN u ELSE v END AS a,
+                      CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                      THEN v ELSE u END AS b
+               FROM e0 JOIN deg d1 ON e0.u = d1.id
+                       JOIN deg d2 ON e0.v = d2.id),
+         tri AS (SELECT w.a, w.b, w.c FROM
+                   (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                    FROM o e1 JOIN o e2 ON e1.b = e2.a) w
+                 JOIN o ON o.a = w.a AND o.b = w.c),
+         inc AS (SELECT id, count(*) AS n FROM
+                   (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri)
+                 GROUP BY id)
+         SELECT deg.id, coalesce(inc.n, 0) AS n_triangles
+         FROM deg LEFT JOIN inc ON deg.id = inc.id""",
     // per-field agreement flags + exact integer score, replayed with
     // DuckDB's own levenshtein and identical double band arithmetic
     "q_multifield_match" ->

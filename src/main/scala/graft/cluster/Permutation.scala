@@ -32,8 +32,10 @@ object Permutation {
   /** Distributed 0-based global rank in the total order given by `order`
     * (must be a TOTAL order — include a unique tiebreaker). Implemented as
     * sort + zipWithIndex: the one genuinely per-partition-imperative step
-    * (offset accumulation) that the DataFrame API lacks. */
-  private def withGlobalRank(df: DataFrame, out: String,
+    * (offset accumulation) that the DataFrame API lacks. Public: also the
+    * rank primitive behind sorted-neighborhood blocking
+    * ([[graft.ingest.Blocking.sortedNeighborhoodPairs]]). */
+  def withGlobalRank(df: DataFrame, out: String,
       order: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(order: _*)

@@ -1,0 +1,64 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Triangle counting over an undirected simple graph — the standard
+  * cohesion diagnostic for the co-occurrence / near-dup graphs this
+  * library produces (a linkage edge set whose triangle density is high
+  * clusters cleanly; a triangle-free one is star-shaped noise, worth
+  * knowing before running the greedy solver on it).
+  *
+  * Algorithm: node-iterator with DEGREE ORIENTATION (Schank & Wagner
+  * 2005; the MapReduce formulation is Suri & Vassilvitskii, WWW 2011).
+  * Every undirected edge is directed from its (degree, id)-smaller
+  * endpoint to the larger; each triangle then has exactly ONE wedge
+  * a→b, a→c with b→c, so it is found exactly once and the heaviest
+  * wedge fan-out is bounded by O(√m) out-degree — the hub that would
+  * make a naive wedge join quadratic cannot occur.
+  *
+  * Scale shape: two hash equi-joins on bare long ids (wedge build +
+  * closure check) and one exploded count agg; the oriented edge table is
+  * persisted once and reused by both joins. No collects.
+  */
+object Triangles {
+
+  /** @param edges (src, dst) pairs in any orientation; self-loops and
+    *              duplicates tolerated (dropped/merged).
+    * @return (id, n_triangles) for every node of the edge list,
+    *         including triangle-free nodes with 0. */
+  def perNode(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
+    // orient low (deg, id) -> high (deg, id); id breaks degree ties,
+    // so the orientation is acyclic and total
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("a"), col("b"))
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(
+      oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val incidences = tris.select(explode(array(col("a"), col("b"),
+      col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("id")).join(incidences, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L))
+        .as("n_triangles"))
+  }
+}

@@ -109,4 +109,84 @@ object Blocking {
     l.join(r, "block_key").where(col("dp0") < col("dp1"))
       .select(col("block_key"), col("dp0"), col("dp1"))
   }
+
+  /** Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge):
+    * sort all records by a discriminating key and emit every pair whose
+    * positions in the total order are within `window` of each other — the
+    * classic complement to equi-key blocking, catching near-matches whose
+    * keys differ in a low-order character and never collide on any exact
+    * block key. Complexity is O(n·w) pairs regardless of key skew (an
+    * equi-block over a heavy key is O(n²) in that block; SN is immune).
+    *
+    * Scale shape: one distributed range-partitioned sort +
+    * per-partition offsets ([[graft.cluster.Permutation.withGlobalRank]]
+    * discipline — never a single-partition window), then a hash
+    * equi-join of the rank column against rank+offset for offsets
+    * 1..window-1. Both join sides are bare (rank, id, key) rows; the
+    * explode factor is window-1, constant per record.
+    *
+    * The sort key must be made TOTAL with the id tiebreak (done here) so
+    * ranks — and therefore the emitted pair set — are deterministic at
+    * any partitioning.
+    *
+    * @return (id0, id1, dist) with id0's rank < id1's rank,
+    *         dist = rank distance in [1, window-1]. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+      window: Int): DataFrame = {
+    require(window >= 2, "window must cover at least adjacent rows")
+    val ranked = graft.cluster.Permutation.withGlobalRank(
+      df.select(col(idCol).as("_sn_id"), col(keyCol).as("_sn_key")),
+      "_sn_rank", Seq(col("_sn_key"), col("_sn_id")))
+    val l = ranked.select(col("_sn_id").as("id0"), col("_sn_rank"))
+      .withColumn("dist",
+        explode(lit((1 until window).toArray)))
+      .withColumn("_sn_rank2", col("_sn_rank") + col("dist"))
+    val r = ranked.select(col("_sn_id").as("id1"),
+      col("_sn_rank").as("_sn_rank2"))
+    l.join(r, "_sn_rank2").select(col("id0"), col("id1"), col("dist"))
+  }
+
+  /** Meta-blocking with weighted-edge pruning (WEP, Papadakis et al.,
+    * TKDE 2014): turn a redundancy-positive block collection (LSH bands,
+    * q-grams — any scheme where true matches co-occur in MANY blocks)
+    * into a weighted pair graph, weight = number of shared blocks (CBS),
+    * and discard every pair at or below the mean edge weight. Oversized
+    * blocks are purged first (`maxBlock`) — they carry no discriminating
+    * signal and dominate the pair count.
+    *
+    * The mean-weight cut is evaluated in EXACT integer arithmetic
+    * (weight · n_edges > Σ weights), never a floating mean, so the kept
+    * set is bit-stable across partitionings and replayable by the SQL
+    * oracle.
+    *
+    * Scale shape: block purge is one agg + semi-join; pair weights are
+    * the standard block equi-join on bare ids feeding one map-side-
+    * combined count; the Σ/n scalar rides a broadcast cross join (one
+    * row). The equi-join inherits the purge cap, so no block contributes
+    * more than maxBlock² pairs; for skewed production corpora route the
+    * self-join through [[graft.link.Salting]] as [[graft.link.Linker]]
+    * does.
+    *
+    * @param blocked (idCol, blockCol) membership rows (dedup setting:
+    *                one logical source; both orientations emitted once
+    *                as id0 < id1).
+    * @return (id0, id1, weight) — the pruned candidate graph. */
+  def metaBlockingWep(blocked: DataFrame, idCol: String, blockCol: String,
+      maxBlock: Int = 1000): DataFrame = {
+    val m = blocked.select(col(idCol).as("_mb_id"),
+      col(blockCol).as("_mb_bk")).distinct()
+    val kept = m.groupBy("_mb_bk").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2 && col("n") <= maxBlock)
+      .select("_mb_bk")
+    val mm = m.join(kept, "_mb_bk")
+    val w = mm.select(col("_mb_bk"), col("_mb_id").as("id0"))
+      .join(mm.select(col("_mb_bk"), col("_mb_id").as("id1")), "_mb_bk")
+      .where(col("id0") < col("id1"))
+      .groupBy("id0", "id1").agg(count(lit(1)).as("weight"))
+    val tot = w.agg(sum(col("weight")).as("_w_sum"),
+      count(lit(1)).as("_w_cnt"))
+    w.crossJoin(broadcast(tot))
+      .where(col("weight") * col("_w_cnt") > col("_w_sum"))
+      .select("id0", "id1", "weight")
+  }
 }

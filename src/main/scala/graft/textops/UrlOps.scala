@@ -66,4 +66,28 @@ object UrlOps {
     val host = regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
   }
+
+  /** Per-domain corpus rollup — the first question asked of any crawl
+    * (which sites dominate, how duplicated is each, how heavy are its
+    * pages) and the input to per-domain quotas in a training-data mix.
+    * URLs are canonicalized first so fetch-variant URLs of one page
+    * don't inflate `n_urls`.
+    *
+    * Scale shape: one hash agg keyed by domain; the two distinct counts
+    * are partial_aggregated per map side before the shuffle. Domain keys
+    * are few relative to pages, but a mega-domain is a legitimately hot
+    * key — Spark's two-phase distinct handles it without salting because
+    * the first phase keys on (domain, value), which is high-cardinality.
+    */
+  def domainStats(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val canon = canonicalUrl(col(urlCol))
+    df.select(domainOf(canon).as("domain"), canon.as("_u"),
+        col(textCol).as("_t"))
+      .groupBy("domain").agg(
+        count(lit(1)).as("n_pages"),
+        countDistinct(col("_u")).as("n_urls"),
+        countDistinct(md5(col("_t"))).as("n_unique_texts"),
+        avg(length(col("_t"))).as("avg_chars"))
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ingest.Blocking
+import graft.cluster.{Survivorship, Triangles}
+
+/** Sorted-neighborhood blocking, meta-blocking WEP, golden-record
+  * survivorship, triangle counting — each checked against an
+  * in-test brute-force re-computation on small inputs.
+  */
+class ResolveOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sortedNeighborhoodPairs == brute-force window over the sort order") {
+    val rows = Seq(
+      (1L, "smith"), (2L, "smyth"), (3L, "smith"), (4L, "adams"),
+      (5L, "adamson"), (6L, "zorro"), (7L, "smithe"), (8L, "adams"))
+    val df = rows.toDF("id", "key")
+    val w = 3
+    val got = Blocking.sortedNeighborhoodPairs(df, "id", "key", w)
+      .as[(Long, Long, Int)].collect().toSet
+
+    val order = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+    val want = (for {
+      i <- order.indices; d <- 1 until w; if i + d < order.size
+    } yield (order(i), order(i + d), d)).toSet
+    assert(got == want)
+    // every pair within the window, nothing outside it
+    assert(got.size == (order.size - 1) + (order.size - 2))
+  }
+
+  test("sortedNeighborhoodPairs is partitioning-invariant") {
+    val df = spark.range(200).select(col("id"),
+      (col("id") * 7919 % 101).cast("string").as("key"))
+    val a = Blocking.sortedNeighborhoodPairs(df.repartition(1), "id", "key", 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Blocking.sortedNeighborhoodPairs(df.repartition(13), "id", "key", 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b && a.size == 199 + 198 + 197)
+  }
+
+  test("metaBlockingWep == brute-force CBS weights + integer mean cut") {
+    // ids sharing many blocks survive; single-shared-block noise is cut
+    val membership = Seq(
+      1L -> "a", 1L -> "b", 1L -> "c",
+      2L -> "a", 2L -> "b", 2L -> "c",   // (1,2) weight 3
+      3L -> "a", 3L -> "b",              // (1,3),(2,3) weight 2
+      4L -> "c",                         // (·,4) weight 1
+      5L -> "d",                         // block size 1: purged
+      6L -> "e", 7L -> "e", 8L -> "e", 9L -> "e" // big block -> weight-1 pairs
+    )
+    val df = membership.toDF("id", "bk")
+    val got = Blocking.metaBlockingWep(df, "id", "bk", maxBlock = 10)
+      .as[(Long, Long, Long)].collect().toSet
+
+    // brute force
+    val byBlock = membership.groupBy(_._2).filter(_._2.size >= 2)
+    val weights = byBlock.values.flatMap { ms =>
+      val ids = ms.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (p, o) => (p._1, p._2, o.size.toLong) }
+    val totW = weights.map(_._3).sum
+    val cnt = weights.size
+    val want = weights.filter(t => t._3 * cnt > totW).toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 3L)) && !got.exists(t => t._3 == 1L))
+  }
+
+  test("goldenRecord picks majority value, min-value ties, max fields") {
+    val df = Seq(
+      (10L, "en", "web", 100L),
+      (10L, "en", "book", 250L),
+      (10L, "de", "web", 50L),
+      (20L, "fr", "web", 7L),
+      (20L, "es", "news", 7L) // 1-1 tie -> lexicographic min "es"/"news"
+    ).toDF("g", "lang", "source", "n")
+    val got = Survivorship.goldenRecord(df, "g", Seq("lang", "source"),
+        Seq("n")).orderBy("g").collect()
+    assert(got(0) == Row(10L, 3L, "en", "web", 250L))
+    assert(got(1) == Row(20L, 2L, "es", "news", 7L))
+  }
+
+  test("goldenRecord ignores nulls in vote fields") {
+    val df = Seq[(Long, Option[String])](
+      (1L, None), (1L, None), (1L, Some("x")), (1L, Some("y")),
+      (2L, None)
+    ).toDF("g", "f")
+    val got = Survivorship.goldenRecord(df, "g", Seq("f"))
+      .orderBy("g").collect()
+    assert(got(0) == Row(1L, 4L, "x")) // nulls never outvote values
+    assert(got(1) == Row(2L, 1L, null)) // all-null group survives as null
+  }
+
+  test("Triangles.perNode == brute-force enumeration") {
+    // K4 on 1-4 (4 triangles, 3 per node) + pendant 5 + triangle 6-7-8
+    val edges = Seq(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5),
+      (6, 7), (7, 8), (8, 6),
+      (2, 1), (3, 3) // dup reversed edge + self loop: ignored
+    ).toDF("src", "dst")
+    val got = Triangles.perNode(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L,
+      6L -> 1L, 7L -> 1L, 8L -> 1L))
+  }
+
+  test("Triangles.perNode partitioning-invariant on a random graph") {
+    val edges = spark.range(600).select(
+      pmod(xxhash64(col("id")), lit(40)).as("src"),
+      pmod(xxhash64(col("id") + 1000), lit(40)).as("dst"))
+    val a = Triangles.perNode(edges.repartition(1))
+      .as[(Long, Long)].collect().toMap
+    val b = Triangles.perNode(edges.repartition(11))
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.values.sum > 0)
+
+    // brute force on the collected edge set
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val want = nodes.map { n =>
+      n -> und.toSeq.map { case (u, v) =>
+        if (u != n && v != n && und.contains((math.min(u, n), math.max(u, n)))
+          && und.contains((math.min(v, n), math.max(v, n)))) 1L else 0L
+      }.sum
+    }.toMap
+    assert(a == want)
+  }
+}
