@@ -898,6 +898,45 @@ object SparkEntry {
           "precision", "recall", "f1")
         .orderBy("threshold")
     }),
+    // B-cubed cluster-level evaluation of the golden febrl4 clustering
+    // vs truth: full 2x2000-record universe (absent records = singleton
+    // labels), exact fixed-point per-cell terms (integer DIV), doubles
+    // only in the final three ratios
+    "q_bcubed" -> ((s, _) => {
+      val golden = s.read.parquet(s"$FixturesDir/febrl4_golden_clusters.parquet")
+        .select((col("dp").cast("long") * 10000 + col("entityId")).as("id"),
+          col("clusterId").as("pred"))
+      val tp = s.read.option("header", "true")
+        .csv(s"$FixturesDir/febrl4_truth.csv")
+      val truth = tp.select(col("row_a").cast("long").as("id"),
+          col("row_a").cast("long").as("t"))
+        .union(tp.select((col("row_b").cast("long") + 10000).as("id"),
+          col("row_a").cast("long").as("t")))
+      val universe = s.range(2000).select(col("id"))
+        .union(s.range(2000).select((col("id") + 10000).as("id")))
+      val assign = universe.join(golden, Seq("id"), "left")
+        .join(truth, Seq("id"), "left")
+        .select(
+          coalesce(col("pred"), -col("id") - 1).as("pred"),
+          coalesce(col("t"), -col("id") - 1).as("truth"))
+      graft.cluster.Evaluation.bcubed(assign, "pred", "truth")
+    }),
+    // active-learning labeling sampler: k candidate pairs per similarity
+    // band from one low-threshold kernel pass, hash-ordered (md5 — pure
+    // SQL in both engines) so the labeling batch is reproducible at any
+    // parallelism and engine
+    "q_label_sample" -> ((s, _) => {
+      val e = Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.5))
+        .toDF()
+      val banded = e.select(col("rec0"), col("rec1"), col("sim"),
+        floor(col("sim") * 20).cast("int").as("band"),
+        md5(concat_ws("_", col("rec0"), col("rec1"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band")).orderBy(col("h"))
+      banded.withColumn("sample_rank", row_number().over(w))
+        .where(col("sample_rank") <= 5)
+        .orderBy(col("band"), col("sample_rank"))
+    }),
     // threshold-tuning curve: edge-level P/R/F1 at 10 thresholds from
     // ONE kernel pass at t=0.5 (the reference's similarity_scores run
     // type as an operator-facing sweep); the oracle re-derives every
@@ -1237,6 +1276,64 @@ object SparkEntry {
                 2 * (tp / n_pred) * (tp / n_true)
                   / ((tp / n_pred) + (tp / n_true)) AS f1
          FROM m, ta""",
+    // B-cubed replay: same universe, same singleton labels, same
+    // fixed-point integer cell terms (// == DIV on positive operands)
+    "q_bcubed" ->
+      """WITH uni AS (SELECT i AS id FROM range(0, 2000) t(i)
+                      UNION ALL SELECT i + 10000 FROM range(0, 2000) t(i)),
+         g AS (SELECT dp * 10000 + entityId AS id, clusterId AS pred
+               FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet'),
+         tp AS (SELECT CAST(row_a AS BIGINT) AS id,
+                       CAST(row_a AS BIGINT) AS t
+                FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                  header = true)
+                UNION ALL
+                SELECT CAST(row_b AS BIGINT) + 10000, CAST(row_a AS BIGINT)
+                FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                  header = true)),
+         a AS (SELECT coalesce(g.pred, -uni.id - 1) AS c,
+                      coalesce(tp.t, -uni.id - 1) AS e
+               FROM uni LEFT JOIN g ON uni.id = g.id
+                        LEFT JOIN tp ON uni.id = tp.id),
+         nce AS (SELECT c, e, CAST(count(*) AS BIGINT) AS n_ce
+                 FROM a GROUP BY c, e),
+         nc AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM a GROUP BY c),
+         ne AS (SELECT e, CAST(count(*) AS BIGINT) AS n_e FROM a GROUP BY e),
+         j AS (SELECT n_ce, n_c, n_e
+               FROM nce JOIN nc USING (c) JOIN ne USING (e)),
+         s AS (SELECT sum(n_ce) AS n,
+                      sum((n_ce * n_ce * 1000000000) // n_c) AS p_num,
+                      sum((n_ce * n_ce * 1000000000) // n_e) AS r_num
+               FROM j)
+         SELECT n, p_num, r_num,
+                p_num / (1000000000.0 * n) AS b3_precision,
+                r_num / (1000000000.0 * n) AS b3_recall,
+                2.0 * (p_num / (1000000000.0 * n))
+                    * (r_num / (1000000000.0 * n))
+                  / (p_num / (1000000000.0 * n)
+                     + r_num / (1000000000.0 * n)) AS b3_f1
+         FROM s""",
+    // kernel replay at t=0.5 + identical banding and md5 hash order —
+    // the labeling batch is engine-independent by construction
+    "q_label_sample" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT a.entity_id AS rec0, b.entity_id AS rec1,
+                  2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc)
+                    AS sim
+           FROM c a JOIN c b ON a.dp < b.dp),
+         banded AS (SELECT rec0, rec1, sim,
+                           CAST(floor(sim * 20) AS INT) AS band,
+                           md5(CAST(rec0 AS VARCHAR) || '_'
+                               || CAST(rec1 AS VARCHAR)) AS h
+                    FROM p WHERE sim >= 0.5),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY band
+                 ORDER BY h) AS INT) AS sample_rank
+               FROM banded)
+         SELECT rec0, rec1, sim, band, h, sample_rank
+         FROM r WHERE sample_rank <= 5""",
     // tf-idf replayed exactly: same space tokenization, same (doc,term)
     // and term aggs, idf as the n_docs/df ratio (no log — libm differs
     // across engines; the ratio ranks identically), same window rank with

@@ -93,6 +93,37 @@ class ResolveOpsSpec extends SparkSpec {
     assert(got(1) == Row(2L, 1L, null)) // all-null group survives as null
   }
 
+  test("bcubed == hand-computed reference values") {
+    // classic example: pred {1,2,3,4,5}{6,7}, truth {1,2,3}{4,5}{6,7}
+    val assign = Seq(
+      (1L, 10L, 100L), (2L, 10L, 100L), (3L, 10L, 100L),
+      (4L, 10L, 200L), (5L, 10L, 200L),
+      (6L, 20L, 300L), (7L, 20L, 300L)
+    ).toDF("id", "pred", "truth")
+    val r = graft.cluster.Evaluation.bcubed(assign, "pred", "truth")
+      .collect()(0)
+    // brute force per record: P_i = |C∩E|/|C|, R_i = |C∩E|/|E|
+    // records 1-3: P=3/5 R=1; 4-5: P=2/5 R=1; 6-7: P=1 R=1
+    val expP = (3 * 3.0 / 5 + 2 * 2.0 / 5 + 2 * 1.0) / 7
+    val expR = 1.0
+    assert(r.getAs[Long]("n") == 7L)
+    assert(math.abs(r.getAs[Double]("b3_precision") - expP) < 1e-8)
+    assert(math.abs(r.getAs[Double]("b3_recall") - expR) < 1e-8)
+    val f1 = 2 * expP * expR / (expP + expR)
+    assert(math.abs(r.getAs[Double]("b3_f1") - f1) < 1e-8)
+  }
+
+  test("bcubed is partitioning-invariant (exact fixed-point sums)") {
+    val df = spark.range(500).select(col("id"),
+      pmod(xxhash64(col("id")), lit(37)).as("pred"),
+      pmod(xxhash64(col("id") + 7), lit(41)).as("truth"))
+    val a = graft.cluster.Evaluation.bcubed(df.repartition(1), "pred", "truth")
+      .collect()(0)
+    val b = graft.cluster.Evaluation.bcubed(df.repartition(17), "pred", "truth")
+      .collect()(0)
+    assert(a == b) // bit-identical, including the integer sums
+  }
+
   test("Triangles.perNode == brute-force enumeration") {
     // K4 on 1-4 (4 triangles, 3 per node) + pendant 5 + triangle 6-7-8
     val edges = Seq(
