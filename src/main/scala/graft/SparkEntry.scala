@@ -145,6 +145,29 @@ object SparkEntry {
   // memory-sink table names must be unique within a session
   private val streamQueryIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Full 2x2000 febrl4 record universe labeled with the golden
+    * clustering (pred) and the truth pairing (truth); records outside
+    * either get unique singleton labels — B-cubed/Rand need singletons
+    * present. */
+  private def febrl4Assignment(s: SparkSession): DataFrame = {
+    val golden = s.read.parquet(s"$FixturesDir/febrl4_golden_clusters.parquet")
+      .select((col("dp").cast("long") * 10000 + col("entityId")).as("id"),
+        col("clusterId").as("pred"))
+    val tp = s.read.option("header", "true")
+      .csv(s"$FixturesDir/febrl4_truth.csv")
+    val truth = tp.select(col("row_a").cast("long").as("id"),
+        col("row_a").cast("long").as("t"))
+      .union(tp.select((col("row_b").cast("long") + 10000).as("id"),
+        col("row_a").cast("long").as("t")))
+    val universe = s.range(2000).select(col("id"))
+      .union(s.range(2000).select((col("id") + 10000).as("id")))
+    universe.join(golden, Seq("id"), "left")
+      .join(truth, Seq("id"), "left")
+      .select(
+        coalesce(col("pred"), -col("id") - 1).as("pred"),
+        coalesce(col("t"), -col("id") - 1).as("truth"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -902,24 +925,25 @@ object SparkEntry {
     // vs truth: full 2x2000-record universe (absent records = singleton
     // labels), exact fixed-point per-cell terms (integer DIV), doubles
     // only in the final three ratios
-    "q_bcubed" -> ((s, _) => {
-      val golden = s.read.parquet(s"$FixturesDir/febrl4_golden_clusters.parquet")
+    "q_bcubed" -> ((s, _) =>
+      graft.cluster.Evaluation.bcubed(febrl4Assignment(s), "pred", "truth")),
+    // Rand index over the same assignment — pair-level agreement without
+    // pair enumeration (three comb-2 aggs + inclusion-exclusion, all
+    // integer until the final ratio)
+    "q_rand_index" -> ((s, _) =>
+      graft.cluster.Evaluation.randIndex(febrl4Assignment(s), "pred",
+        "truth")),
+    // cluster churn between the committed t=0.75 and t=0.8 golden
+    // clusterings: splits / merges / stable clusters after a threshold
+    // change — the monitoring readout an incremental-linkage consumer
+    // watches after every delta batch
+    "q_cluster_churn" -> ((s, _) => {
+      def fix(f: String) = s.read.parquet(s"$FixturesDir/$f")
         .select((col("dp").cast("long") * 10000 + col("entityId")).as("id"),
-          col("clusterId").as("pred"))
-      val tp = s.read.option("header", "true")
-        .csv(s"$FixturesDir/febrl4_truth.csv")
-      val truth = tp.select(col("row_a").cast("long").as("id"),
-          col("row_a").cast("long").as("t"))
-        .union(tp.select((col("row_b").cast("long") + 10000).as("id"),
-          col("row_a").cast("long").as("t")))
-      val universe = s.range(2000).select(col("id"))
-        .union(s.range(2000).select((col("id") + 10000).as("id")))
-      val assign = universe.join(golden, Seq("id"), "left")
-        .join(truth, Seq("id"), "left")
-        .select(
-          coalesce(col("pred"), -col("id") - 1).as("pred"),
-          coalesce(col("t"), -col("id") - 1).as("truth"))
-      graft.cluster.Evaluation.bcubed(assign, "pred", "truth")
+          col("clusterId"))
+      graft.cluster.Evaluation.clusterChurn(
+        fix("febrl4_golden_clusters_t075.parquet"),
+        fix("febrl4_golden_clusters.parquet"), "id", "clusterId")
     }),
     // active-learning labeling sampler: k candidate pairs per similarity
     // band from one low-threshold kernel pass, hash-ordered (md5 — pure
@@ -1313,6 +1337,79 @@ object SparkEntry {
                   / (p_num / (1000000000.0 * n)
                      + r_num / (1000000000.0 * n)) AS b3_f1
          FROM s""",
+    // same assignment CTEs as q_bcubed; comb-2 sums + inclusion-
+    // exclusion, one double at the end
+    "q_rand_index" ->
+      """WITH uni AS (SELECT i AS id FROM range(0, 2000) t(i)
+                      UNION ALL SELECT i + 10000 FROM range(0, 2000) t(i)),
+         g AS (SELECT dp * 10000 + entityId AS id, clusterId AS pred
+               FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet'),
+         tp AS (SELECT CAST(row_a AS BIGINT) AS id,
+                       CAST(row_a AS BIGINT) AS t
+                FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                  header = true)
+                UNION ALL
+                SELECT CAST(row_b AS BIGINT) + 10000, CAST(row_a AS BIGINT)
+                FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                  header = true)),
+         a AS (SELECT coalesce(g.pred, -uni.id - 1) AS c,
+                      coalesce(tp.t, -uni.id - 1) AS e
+               FROM uni LEFT JOIN g ON uni.id = g.id
+                        LEFT JOIN tp ON uni.id = tp.id),
+         ss AS (SELECT sum((n_ce * (n_ce - 1)) // 2) AS agree_same,
+                       sum(n_ce) AS n FROM
+                  (SELECT CAST(count(*) AS BIGINT) AS n_ce FROM a
+                   GROUP BY c, e)),
+         pp AS (SELECT sum((n_c * (n_c - 1)) // 2) AS pred_pairs FROM
+                  (SELECT CAST(count(*) AS BIGINT) AS n_c FROM a
+                   GROUP BY c)),
+         tt AS (SELECT sum((n_e * (n_e - 1)) // 2) AS truth_pairs FROM
+                  (SELECT CAST(count(*) AS BIGINT) AS n_e FROM a
+                   GROUP BY e)),
+         x AS (SELECT n, (n * (n - 1)) // 2 AS pairs_total, agree_same,
+                      pred_pairs, truth_pairs,
+                      (n * (n - 1)) // 2 - pred_pairs - truth_pairs
+                        + agree_same AS agree_diff
+               FROM ss, pp, tt)
+         SELECT n, pairs_total, agree_same, pred_pairs, truth_pairs,
+                agree_diff,
+                (agree_same + agree_diff) / CAST(pairs_total AS DOUBLE)
+                  AS rand_index
+         FROM x""",
+    // full-outer id join of the two golden fixtures, identical singleton
+    // labels, cell/size aggs and the same stable/split/merge predicates
+    "q_cluster_churn" ->
+      """WITH o AS (SELECT dp * 10000 + entityId AS id, clusterId AS c
+                    FROM '/root/repo/fixtures/febrl4_golden_clusters_t075.parquet'),
+         nn AS (SELECT dp * 10000 + entityId AS id, clusterId AS c
+                FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet'),
+         u AS (SELECT coalesce(o.c, -coalesce(o.id, nn.id) - 1) AS c_old,
+                      coalesce(nn.c, -coalesce(o.id, nn.id) - 1) AS c_new
+               FROM o FULL OUTER JOIN nn ON o.id = nn.id),
+         cells AS (SELECT c_old, c_new, CAST(count(*) AS BIGINT) AS n_cell
+                   FROM u GROUP BY c_old, c_new),
+         osz AS (SELECT c_old, CAST(count(*) AS BIGINT) AS n_old
+                 FROM u GROUP BY c_old),
+         nsz AS (SELECT c_new, CAST(count(*) AS BIGINT) AS n_new
+                 FROM u GROUP BY c_new),
+         j AS (SELECT cells.*, osz.n_old, nsz.n_new
+               FROM cells JOIN osz USING (c_old) JOIN nsz USING (c_new)),
+         po AS (SELECT c_old, count(*) AS spans,
+                       max(CASE WHEN n_cell = n_old AND n_cell = n_new
+                           THEN 1 ELSE 0 END) AS stable
+                FROM j GROUP BY c_old),
+         pn AS (SELECT c_new, count(*) AS merges FROM j GROUP BY c_new),
+         oa AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_old,
+                       CAST(sum(CASE WHEN spans > 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_split,
+                       CAST(sum(stable) AS BIGINT) AS n_stable FROM po),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_new,
+                       CAST(sum(CASE WHEN merges > 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_merged FROM pn),
+         nr AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM u)
+         SELECT n_records, n_clusters_old, n_clusters_new, n_split,
+                n_merged, n_stable
+         FROM nr, oa, na""",
     // kernel replay at t=0.5 + identical banding and md5 hash order —
     // the labeling batch is engine-independent by construction
     "q_label_sample" ->

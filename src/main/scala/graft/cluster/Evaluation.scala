@@ -57,4 +57,73 @@ object Evaluation {
       p.as("b3_precision"), r.as("b3_recall"),
       (lit(2.0) * p * r / (p + r)).as("b3_f1"))
   }
+
+  /** Rand index: fraction of record PAIRS on which the two clusterings
+    * agree (same-same or different-different). Entirely integer until
+    * the one final division: agreements-same = Σ C(n_ce,2) over
+    * intersection cells, pred/truth pair counts = Σ C(n_c,2)/C(n_e,2),
+    * and agreements-different follows by inclusion-exclusion — no pair
+    * enumeration ever happens, so the O(n²) pair space costs three
+    * dimension-sized aggs. Same scale shape and determinism argument as
+    * [[bcubed]]. */
+  def randIndex(assign: DataFrame, predCol: String,
+      truthCol: String): DataFrame = {
+    val a = assign.select(col(predCol).as("c"), col(truthCol).as("e"))
+    val sameSame = a.groupBy("c", "e").agg(count(lit(1)).as("n_ce"))
+      .agg(sum(expr("(n_ce * (n_ce - 1)) DIV 2")).as("agree_same"),
+        sum(col("n_ce")).as("n"))
+    val predPairs = a.groupBy("c").agg(count(lit(1)).as("n_c"))
+      .agg(sum(expr("(n_c * (n_c - 1)) DIV 2")).as("pred_pairs"))
+    val truthPairs = a.groupBy("e").agg(count(lit(1)).as("n_e"))
+      .agg(sum(expr("(n_e * (n_e - 1)) DIV 2")).as("truth_pairs"))
+    sameSame.crossJoin(predPairs).crossJoin(truthPairs)
+      .withColumn("pairs_total", expr("(n * (n - 1)) DIV 2"))
+      .withColumn("agree_diff",
+        col("pairs_total") - col("pred_pairs") - col("truth_pairs")
+          + col("agree_same"))
+      .select(col("n"), col("pairs_total"), col("agree_same"),
+        col("pred_pairs"), col("truth_pairs"), col("agree_diff"),
+        ((col("agree_same") + col("agree_diff")).cast("double")
+          / col("pairs_total")).as("rand_index"))
+  }
+
+  /** Cluster churn between two clusterings of one record universe — the
+    * monitoring metric for incremental linkage
+    * ([[graft.link.Pipeline.edgesDelta]] consumers): after a re-run or a
+    * delta batch, how many clusters split, merged, or survived
+    * untouched. A cluster is STABLE when its member set is identical on
+    * both sides (its one intersection cell covers it entirely); an old
+    * cluster SPLIT if its members now span >1 new cluster; a new
+    * cluster MERGED >1 old cluster. Singleton semantics are the
+    * caller's: feed every record on both sides (absent = its own
+    * singleton label), as records dropping out of clusters is churn too.
+    *
+    * Scale shape: one full-outer id join + three hash aggs over
+    * (old, new) cells; output is one row. */
+  def clusterChurn(oldA: DataFrame, newA: DataFrame, idCol: String,
+      clusterCol: String): DataFrame = {
+    val o = oldA.select(col(idCol).as("id"), col(clusterCol).as("_old"))
+    val n = newA.select(col(idCol).as("id"), col(clusterCol).as("_new"))
+    val u = o.join(n, Seq("id"), "full_outer").select(
+      coalesce(col("_old"), -col("id") - 1).as("c_old"),
+      coalesce(col("_new"), -col("id") - 1).as("c_new"))
+    val cells = u.groupBy("c_old", "c_new").agg(count(lit(1)).as("n_cell"))
+    val oldSz = u.groupBy("c_old").agg(count(lit(1)).as("n_old"))
+    val newSz = u.groupBy("c_new").agg(count(lit(1)).as("n_new"))
+    val j = cells.join(oldSz, "c_old").join(newSz, "c_new")
+    val perOld = j.groupBy("c_old").agg(
+      count(lit(1)).as("spans"),
+      max(when(col("n_cell") === col("n_old") &&
+        col("n_cell") === col("n_new"), 1L).otherwise(0L)).as("stable"))
+    val perNew = j.groupBy("c_new").agg(count(lit(1)).as("merges"))
+    val oldAgg = perOld.agg(count(lit(1)).as("n_clusters_old"),
+      sum(when(col("spans") > 1, 1L).otherwise(0L)).as("n_split"),
+      sum(col("stable")).as("n_stable"))
+    val newAgg = perNew.agg(count(lit(1)).as("n_clusters_new"),
+      sum(when(col("merges") > 1, 1L).otherwise(0L)).as("n_merged"))
+    val nRec = u.agg(count(lit(1)).as("n_records"))
+    nRec.crossJoin(oldAgg).crossJoin(newAgg)
+      .select("n_records", "n_clusters_old", "n_clusters_new",
+        "n_split", "n_merged", "n_stable")
+  }
 }

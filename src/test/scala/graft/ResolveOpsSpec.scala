@@ -124,6 +124,51 @@ class ResolveOpsSpec extends SparkSpec {
     assert(a == b) // bit-identical, including the integer sums
   }
 
+  test("randIndex == brute-force pair enumeration") {
+    val assign = Seq(
+      (1L, 10L, 100L), (2L, 10L, 100L), (3L, 10L, 100L),
+      (4L, 10L, 200L), (5L, 10L, 200L),
+      (6L, 20L, 300L), (7L, 20L, 300L)
+    )
+    val r = graft.cluster.Evaluation
+      .randIndex(assign.toDF("id", "pred", "truth"), "pred", "truth")
+      .collect()(0)
+    // brute force over all 21 pairs
+    var same = 0L; var diff = 0L
+    for (i <- assign.indices; j <- i + 1 until assign.size) {
+      val (_, ci, ei) = assign(i); val (_, cj, ej) = assign(j)
+      if (ci == cj && ei == ej) same += 1
+      if (ci != cj && ei != ej) diff += 1
+    }
+    assert(r.getAs[Long]("pairs_total") == 21L)
+    assert(r.getAs[Long]("agree_same") == same)
+    assert(r.getAs[Long]("agree_diff") == diff)
+    assert(math.abs(r.getAs[Double]("rand_index") -
+      (same + diff).toDouble / 21) < 1e-12)
+  }
+
+  test("clusterChurn classifies splits, merges, stable, and dropouts") {
+    // old: {1,2,3} {4,5} {6} {7,8};  new: {1,2} {3} {4,5,6} {7,8}
+    val old = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 3L), (7L, 4L), (8L, 4L)).toDF("id", "c")
+    val neu = Seq((1L, 11L), (2L, 11L), (3L, 12L), (4L, 13L), (5L, 13L),
+      (6L, 13L), (7L, 14L), (8L, 14L)).toDF("id", "c")
+    val r = graft.cluster.Evaluation.clusterChurn(old, neu, "id", "c")
+      .collect()(0)
+    assert(r.getAs[Long]("n_records") == 8L)
+    assert(r.getAs[Long]("n_clusters_old") == 4L)
+    assert(r.getAs[Long]("n_clusters_new") == 4L)
+    assert(r.getAs[Long]("n_split") == 1L)   // {1,2,3} -> {1,2}+{3}
+    assert(r.getAs[Long]("n_merged") == 1L)  // {4,5}+{6} -> {4,5,6}
+    assert(r.getAs[Long]("n_stable") == 1L)  // {7,8}
+    // a record present on one side only becomes churn, not a crash
+    val r2 = graft.cluster.Evaluation
+      .clusterChurn(old, neu.where(col("id") =!= 8L), "id", "c")
+      .collect()(0)
+    assert(r2.getAs[Long]("n_records") == 8L)
+    assert(r2.getAs[Long]("n_stable") == 0L) // {7,8} split by the dropout
+  }
+
   test("Triangles.perNode == brute-force enumeration") {
     // K4 on 1-4 (4 triangles, 3 per node) + pendant 5 + triangle 6-7-8
     val edges = Seq(
