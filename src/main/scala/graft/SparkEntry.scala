@@ -961,6 +961,19 @@ object SparkEntry {
         .where(col("sample_rank") <= 5)
         .orderBy(col("band"), col("sample_rank"))
     }),
+    // blocking privacy: per-provider k-anonymity of the block
+    // collection (blocks below k re-identify members by membership
+    // alone — the threat the reference's BLAKE2b block-name hashing
+    // does NOT cover)
+    "q_block_kanon" -> ((s, dir) =>
+      graft.ingest.Blocking.kAnonymityStats(docsBlocked(s, dir), k = 5)
+        .orderBy(col("dp"))),
+    // TF-IDF-weighted cosine pair scoring: inverted-index pair join
+    // with df cap, fixed-point integer weights (exact dot products and
+    // norms), doubles only in the final cosine
+    "q_tfidf_cosine" -> ((s, dir) =>
+      TextOps.tfidfCosinePairs(docs(s, dir), "doc_id", "text",
+        minSim = 0.9).orderBy(col("id0"), col("id1"))),
     // threshold-tuning curve: edge-level P/R/F1 at 10 thresholds from
     // ONE kernel pass at t=0.5 (the reference's similarity_scores run
     // type as an operator-facing sweep); the oracle re-derives every
@@ -1431,6 +1444,46 @@ object SparkEntry {
                FROM banded)
          SELECT rec0, rec1, sim, band, h, sample_rank
          FROM r WHERE sample_rank <= 5""",
+    // same distinct-membership sizes and per-dp rollup
+    "q_block_kanon" ->
+      """WITH b AS (SELECT DISTINCT CAST(doc_id % 2 AS INT) AS dp,
+                      doc_id AS entity_id,
+                      string_split(text, ' ')[1] AS block_key
+                    FROM documents),
+         s AS (SELECT dp, block_key, CAST(count(*) AS BIGINT) AS n
+               FROM b GROUP BY dp, block_key)
+         SELECT dp, CAST(count(*) AS BIGINT) AS n_blocks,
+                sum(n) AS n_memberships,
+                CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS blocks_below_k,
+                sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                  AS memberships_below_k,
+                min(n) AS min_block_size, 5 AS k
+         FROM s GROUP BY dp""",
+    // identical fixed-point weights (// == DIV), integer dots/norms,
+    // the same two final sqrt/divide ops
+    "q_tfidf_cosine" ->
+      """WITH tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id AS id,
+                       unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+               GROUP BY id, term),
+         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY term HAVING count(*) <= 1000),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         wt AS (SELECT id, term, tf * ((n_docs * 1000) // df) AS w
+                FROM tf JOIN d USING (term), n),
+         norms AS (SELECT id, sum(w * w) AS norm_sq FROM wt GROUP BY id),
+         p AS (SELECT a.id AS id0, b.id AS id1, sum(a.w * b.w) AS dot
+               FROM wt a JOIN wt b ON a.term = b.term AND a.id < b.id
+               GROUP BY a.id, b.id),
+         c AS (SELECT p.id0, p.id1, dot,
+                      sqrt(o0.norm_sq) AS norm0, sqrt(o1.norm_sq) AS norm1,
+                      dot / (sqrt(o0.norm_sq) * sqrt(o1.norm_sq)) AS cos
+               FROM p JOIN norms o0 ON p.id0 = o0.id
+                      JOIN norms o1 ON p.id1 = o1.id)
+         SELECT id0, id1, dot, norm0, norm1, cos FROM c
+         WHERE cos >= 0.9""",
     // tf-idf replayed exactly: same space tokenization, same (doc,term)
     // and term aggs, idf as the n_docs/df ratio (no log — libm differs
     // across engines; the ratio ranks identically), same window rank with

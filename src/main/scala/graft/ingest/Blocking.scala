@@ -146,6 +146,32 @@ object Blocking {
     l.join(r, "_sn_rank2").select(col("id0"), col("id1"), col("dist"))
   }
 
+  /** Block k-anonymity diagnostics — the privacy readout of a blocking
+    * scheme before encodings ever leave a data provider: a record in a
+    * block smaller than k is re-identifiable by its block membership
+    * alone (the reference's threat model hashes block NAMES with
+    * BLAKE2b for exactly this reason, `encoding_storage.py:238-242`;
+    * hashing hides the label but not a size-1 membership). Reports, per
+    * provider: block count, records, how many of each sit below k, and
+    * the minimum block size.
+    *
+    * Scale shape: one (dp, block) count agg + one per-dp rollup — the
+    * same two-phase shape as [[blockStats]]; output is one row per dp. */
+  def kAnonymityStats(blocked: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k-anonymity below 2 is vacuous")
+    val sizes = blocked.select(col("dp"), col("entity_id"), col("block_key"))
+      .distinct()
+      .groupBy("dp", "block_key").agg(count(lit(1)).as("n"))
+    sizes.groupBy("dp").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(col("n")).as("n_memberships"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("blocks_below_k"),
+      sum(when(col("n") < k, col("n")).otherwise(0L))
+        .as("memberships_below_k"),
+      min(col("n")).as("min_block_size"))
+      .withColumn("k", lit(k))
+  }
+
   /** Meta-blocking with weighted-edge pruning (WEP, Papadakis et al.,
     * TKDE 2014): turn a redundancy-positive block collection (LSH bands,
     * q-grams — any scheme where true matches co-occur in MANY blocks)

@@ -124,6 +124,65 @@ class ResolveOpsSpec extends SparkSpec {
     assert(a == b) // bit-identical, including the integer sums
   }
 
+  test("kAnonymityStats counts sub-k blocks and memberships per provider") {
+    val blocked = Seq(
+      (0, 1L, "a"), (0, 2L, "a"), (0, 3L, "a"),    // size-3 block
+      (0, 4L, "b"),                                // size-1 (below k)
+      (0, 4L, "b"),                                // dup membership row
+      (1, 5L, "c"), (1, 6L, "c"),                  // size-2 (below k=3)
+      (1, 7L, "d"), (1, 8L, "d"), (1, 9L, "d")
+    ).toDF("dp", "entity_id", "block_key")
+    val r = graft.ingest.Blocking.kAnonymityStats(blocked, k = 3)
+      .orderBy("dp").collect()
+    assert(r(0).getAs[Long]("n_blocks") == 2L)
+    assert(r(0).getAs[Long]("n_memberships") == 4L) // dup row counted once
+    assert(r(0).getAs[Long]("blocks_below_k") == 1L)
+    assert(r(0).getAs[Long]("memberships_below_k") == 1L)
+    assert(r(0).getAs[Long]("min_block_size") == 1L)
+    assert(r(1).getAs[Long]("blocks_below_k") == 1L)
+    assert(r(1).getAs[Long]("memberships_below_k") == 2L)
+    assert(r(1).getAs[Long]("min_block_size") == 2L)
+  }
+
+  test("tfidfCosinePairs == brute-force fixed-point cosine") {
+    val docsDf = Seq(
+      (1L, "rare1 rare2 common"),
+      (2L, "rare1 rare2 common"),
+      (3L, "rare3 common"),
+      (4L, "common stop stop")
+    ).toDF("doc_id", "text")
+    val got = graft.textops.TextOps
+      .tfidfCosinePairs(docsDf, "doc_id", "text", minSim = 0.0)
+      .orderBy("id0", "id1")
+      .select("id0", "id1", "dot", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+
+    // brute force with the identical integer arithmetic
+    val texts = Map(1L -> "rare1 rare2 common", 2L -> "rare1 rare2 common",
+      3L -> "rare3 common", 4L -> "common stop stop")
+    val tf = texts.map { case (i, t) =>
+      i -> t.split(" ").groupBy(identity).map { case (w, o) => w -> o.length.toLong } }
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val nDocs = 4L
+    def w(i: Long): Map[String, Long] =
+      tf(i).map { case (t, f) => t -> f * ((nDocs * 1000L) / dfm(t)) }
+    val ids = texts.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids; if a < b
+      wa = w(a); wb = w(b)
+      shared = wa.keySet intersect wb.keySet
+      if shared.nonEmpty
+    } yield {
+      val dot = shared.toSeq.map(t => wa(t) * wb(t)).sum
+      val na = math.sqrt(wa.values.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(wb.values.map(x => x * x).sum.toDouble)
+      (a, b, dot, dot / (na * nb))
+    }).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    // identical docs score exactly 1.0; df cap never drops these terms
+    assert(got.find(t => t._1 == 1L && t._2 == 2L).get._4 == 1.0)
+  }
+
   test("randIndex == brute-force pair enumeration") {
     val assign = Seq(
       (1L, 10L, 100L), (2L, 10L, 100L), (3L, 10L, 100L),
