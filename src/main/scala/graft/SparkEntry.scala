@@ -395,6 +395,13 @@ object SparkEntry {
         graft.expr.hashedCharNgrams(col("text"), 3),
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
+    // containment near-dup pairs (|A∩B|/min(|A|,|B|) — the subset/quote
+    // duplication Jaccard misses; same hashed-set merge-scan kernel)
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairsHashed(docs(s, dir), "doc_id",
+        Dedup.hashedSet(split(col("text"), " ")),
+        element_at(split(col("text"), " "), 1), threshold = 0.6)
+        .orderBy(col("id0"), col("id1"))),
     // C1 semantics, SQL-replayable form: Dice coefficient over distinct
     // token SETS (2|A∩B|/(|A|+|B|)) thresholded within blocks — the same
     // candidate-generation + threshold-join shape as the CLK kernel, with
@@ -497,6 +504,40 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("fp"))
       graft.rel.Relational.snapshotDiff(old, neu, "doc_id", "fp")
         .orderBy(col("key"))
+    }),
+    // CDC merge (Iceberg/Delta MERGE INTO, latest-change-wins): events
+    // replayed as a keyed changelog against a snapshot built from every
+    // third event; deletes (event_id%10==0) drop keys, later changes
+    // override earlier ones — one max_by hash-agg + one key join
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        (col("user_id") * 100 + col("event_id") % 50).as("k"),
+        col("event_id"), col("value"), col("event_type"))
+      val snap = base.where(col("event_id") % 3 === 0)
+        .groupBy(col("k"))
+        .agg(max_by(struct(col("value"), col("event_type")),
+          col("event_id")).as("p"))
+        .select(col("k"), col("p.value").as("value"),
+          col("p.event_type").as("event_type"))
+      val chg = base.where(col("event_id") % 3 =!= 0)
+        .select(col("k"), col("event_id").as("seq"),
+          when(col("event_id") % 10 === 0, lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"), col("event_type"))
+      graft.rel.Relational.applyChanges(snap, chg, "k", "seq", "op")
+        .orderBy(col("k"))
+    }),
+    // SCD2 history build: every non-delete change becomes a validity
+    // interval [eff_from, eff_to) in changelog order; deletes close the
+    // previous interval — one per-key window shuffle
+    "q_scd2" -> ((s, dir) => {
+      val chg = events(s, dir).select(
+        col("user_id"), col("event_id").as("seq"),
+        when(col("event_id") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("value"))
+      graft.rel.Relational.scd2(chg, "user_id", "seq", "op")
+        .orderBy(col("user_id"), col("eff_from"))
     }),
     // sorted-neighborhood blocking (merge/purge): pairs within a
     // rank-window of 4 over the (16-char-lowercase-prefix, id) total
@@ -862,6 +903,22 @@ object SparkEntry {
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy(col("id"))
     }),
+    // per-source boilerplate removal (CCNet domain rule): header/footer
+    // lines injected into every doc of a source (and a 25% promo line)
+    // — lines in ≥ ceil(0.5·source_docs) docs of the SAME source are
+    // stripped, so header/copyright go and promo stays
+    "q_boilerplate" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(lit("header "), col("source"), lit("\n"), col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("\npromo "), col("source"))).otherwise(lit("")),
+          lit("\ncopyright "), col("source")).as("text"))
+      TextOps.boilerplateStrip(corpus, "doc_id", "text", col("source"),
+          minFrac = 0.5)
+        .select(col("id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy(col("id"))
+    }),
     // URL canonicalization + URL-level dup grouping over deterministic
     // messy variants (case, default port, www., tracking params, param
     // order, trailing slashes, fragments, plus a non-URL passthrough);
@@ -1183,6 +1240,33 @@ object SparkEntry {
                 md5(COALESCE(string_agg(CASE WHEN cnt <= 1 THEN line END,
                       chr(10) ORDER BY pos), '')) AS clean_md5
          FROM l JOIN f ON trim(l.line) = f.k
+         GROUP BY doc_id""",
+    // same injection; boilerplate = line in >= greatest(2,
+    // ceil(0.5*source_docs)) distinct docs of its source
+    "q_boilerplate" ->
+      """WITH c AS (SELECT doc_id, source,
+                 'header ' || source || chr(10) || text
+                   || (CASE WHEN doc_id % 4 = 0
+                            THEN chr(10) || 'promo ' || source
+                            ELSE '' END)
+                   || chr(10) || 'copyright ' || source AS t
+               FROM documents),
+         l AS (SELECT doc_id, source,
+                 unnest(string_split(t, chr(10))) AS line,
+                 generate_subscripts(string_split(t, chr(10)), 1) AS pos
+               FROM c),
+         g AS (SELECT source, count(*) AS n_docs FROM c GROUP BY 1),
+         f AS (SELECT l.source, trim(line) AS k,
+                      count(DISTINCT doc_id) AS doc_hits
+               FROM l GROUP BY 1, 2),
+         b AS (SELECT f.source, k FROM f JOIN g ON f.source = g.source
+               WHERE doc_hits >= greatest(2, CAST(ceil(0.5 * n_docs) AS BIGINT)))
+         SELECT doc_id AS id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                md5(COALESCE(string_agg(CASE WHEN b.k IS NULL THEN line END,
+                      chr(10) ORDER BY pos), '')) AS clean_md5
+         FROM l LEFT JOIN b ON l.source = b.source AND trim(l.line) = b.k
          GROUP BY doc_id""",
     // URL canonicalization replayed step-for-step: same variant
     // injection, same alternation-free regexes (Java regex == RE2 here),
@@ -1924,6 +2008,17 @@ object SparkEntry {
                     4) AS jaccard
            FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    "q_containment" ->
+      """WITH b AS (
+           SELECT str_split(text, ' ')[1] AS bk, doc_id AS id,
+                  list_distinct(str_split(text, ' ')) AS toks
+           FROM documents),
+         p AS (
+           SELECT l.id AS id0, r.id AS id1,
+                  round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                    / least(len(l.toks), len(r.toks)), 4) AS containment
+           FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id)
+         SELECT id0, id1, containment FROM p WHERE containment >= 0.6""",
     "q_dice_token_pairs" ->
       """WITH b AS (
            SELECT str_split(text, ' ')[1] AS bk, CAST(doc_id % 2 AS INT) AS dp,
@@ -2155,6 +2250,39 @@ object SparkEntry {
                      ELSE 'changed' END AS status,
                 fp_old, fp_new
          FROM o FULL OUTER JOIN n ON o.key = n.key""",
+    // arg_max replays max_by (event_id unique → no ties); the latest-op
+    // dispatch and delete filter are the MERGE semantics verbatim
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT user_id * 100 + event_id % 50 AS k,
+                              event_id, value, event_type FROM events),
+         snap AS (SELECT k, arg_max(value, event_id) AS value,
+                         arg_max(event_type, event_id) AS event_type
+                  FROM base WHERE event_id % 3 = 0 GROUP BY k),
+         chg AS (SELECT k, event_id AS seq,
+                        CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                        value, event_type
+                 FROM base WHERE event_id % 3 <> 0),
+         latest AS (SELECT k, arg_max(op, seq) AS op,
+                           arg_max(value, seq) AS value,
+                           arg_max(event_type, seq) AS event_type
+                    FROM chg GROUP BY k)
+         SELECT COALESCE(s.k, l.k) AS k,
+                CASE WHEN l.k IS NULL THEN s.value ELSE l.value END AS value,
+                CASE WHEN l.k IS NULL THEN s.event_type
+                     ELSE l.event_type END AS event_type
+         FROM snap s FULL OUTER JOIN latest l ON s.k = l.k
+         WHERE l.k IS NULL OR l.op <> 'D'""",
+    "q_scd2" ->
+      """WITH chg AS (SELECT user_id, event_id AS seq,
+                        CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                        value FROM events),
+         w AS (SELECT user_id, seq, op, value,
+                      lead(seq) OVER (PARTITION BY user_id ORDER BY seq)
+                        AS eff_to
+               FROM chg)
+         SELECT user_id, seq AS eff_from, value, eff_to,
+                (eff_to IS NULL) AS is_current
+         FROM w WHERE op <> 'D'""",
     // row_number over the same total order replays the distributed
     // global rank; the window join is rank arithmetic
     "q_sorted_neighborhood" ->

@@ -196,6 +196,38 @@ object Dedup {
       "id0", "id1", "jaccard")
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over a
+    * PRE-HASHED sorted long-set column. Containment catches the subset
+    * duplication Jaccard structurally misses — a short document quoted
+    * inside a long one scores |A|/|A| = 1.0 here but only |A|/|B| ≈ 0 on
+    * Jaccard — the boilerplate/quotation case in web-corpus dedup
+    * (Broder's resemblance-vs-containment distinction, SEQUENCES'97).
+    *
+    * Same scale shape as [[jaccardPairsHashed]] (signatures persisted
+    * once, salted pair fan-out carries bare ids, codegen merge-scan
+    * confirm) EXCEPT no size-window prune: containment is not bounded by
+    * the size ratio (a 10-gram doc inside a 10k-gram doc still scores
+    * 1.0), so every blocked pair must run the merge scan — the blocking
+    * key carries the entire pruning burden by design. */
+  def containmentPairsHashed(df: DataFrame, id: String, toks: Column,
+      blockKey: Column, threshold: Double, aim: Long = PairAim,
+      maxK: Int = 4096): DataFrame = {
+    val sig = persistLatest("containment",
+      df.select(blockKey.as("bk"), col(id).as("id"), toks.as("toks"))
+        .withColumn("sz", size(col("toks"))))
+    val paired = saltedSelfPairs(sig.select(col("bk"), col("id"), col("sz")),
+      aim, maxK)
+    val inter = graft.expr.sortedIntersectCount(col("toks0"), col("toks1"))
+      .cast("double")
+    scoreAndFilter(
+      paired.select("id0", "id1", "sz0", "sz1")
+        .join(sig.select(col("id").as("id0"), col("toks").as("toks0")), "id0")
+        .join(sig.select(col("id").as("id1"), col("toks").as("toks1")), "id1"),
+      "containment",
+      round(inter / least(col("sz0"), col("sz1")).cast("double"), 4),
+      threshold, "id0", "id1", "containment")
+  }
+
   /** Word-bigram shingles of a text (deduplicated). Bigrams discriminate
     * documents whose unigram vocabularies overlap heavily (a small-vocab
     * corpus makes unigram MinHash buckets degenerate to all-pairs —

@@ -192,4 +192,58 @@ object Relational {
           .otherwise(lit("changed")))
       .select("key", "status", "fp_old", "fp_new")
   }
+
+  /** CDC merge (Iceberg/Delta `MERGE INTO` semantics, latest-change-wins):
+    * apply a changelog to a keyed snapshot and return the new snapshot.
+    *
+    * `changes` carries (`key`, `seqCol`, `opCol`, payload...) where payload
+    * is exactly `snapshot`'s non-key columns; `opCol` is `"D"` for a delete
+    * and anything else (I/U) for an upsert. Per key the change with the
+    * highest `seqCol` wins (callers must make `seqCol` unique per key —
+    * e.g. a monotonically increasing change id).
+    *
+    * Scale shape: ONE map-side-combining hash aggregate over the changelog
+    * (`max_by` of a payload struct — no window sort, no per-key list) and
+    * one full-outer equi-join on the key. The changelog side after the agg
+    * is at most one row per touched key, so AQE broadcast-joins it against
+    * a large snapshot whenever the touched-key set is small — the common
+    * incremental-ingest case at 100 TB.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, key: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == key).toSeq
+    val latest = changes.groupBy(col(key)).agg(
+      max_by(struct((opCol +: payload).map(col): _*), col(seqCol))
+        .as("_cdc"))
+    snapshot.join(latest, Seq(key), "full_outer")
+      // a key whose latest change is a delete leaves the snapshot; a key
+      // with no change keeps its snapshot row; otherwise the change wins
+      // (explicit isNull dispatch, NOT coalesce: a change may legitimately
+      // set a payload column to null)
+      .where(col("_cdc").isNull || col(s"_cdc.$opCol") =!= lit("D"))
+      .select(col(key) +: payload.map(c =>
+        when(col("_cdc").isNull, col(c))
+          .otherwise(col(s"_cdc.$c")).as(c)): _*)
+  }
+
+  /** Slowly-changing-dimension type-2 history from an append-only
+    * changelog: every non-delete change becomes a validity interval
+    * `[eff_from, eff_to)` in `seqCol` order; a delete closes the previous
+    * interval without opening a new one; the last open interval per key
+    * has `eff_to` null and `is_current` true.
+    *
+    * One shuffle (the per-key window); each key's history sorts within a
+    * single task, so the operator is bounded by the largest single key's
+    * change count — the natural SCD2 limit on any engine.
+    */
+  def scd2(changes: DataFrame, key: String, seqCol: String,
+      opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+    changes
+      .withColumn("eff_to", lead(col(seqCol), 1).over(w))
+      .where(col(opCol) =!= lit("D"))
+      .drop(opCol)
+      .withColumnRenamed(seqCol, "eff_from")
+      .withColumn("is_current", col("eff_to").isNull)
+  }
 }

@@ -224,6 +224,47 @@ object TextOps {
           x => x.getField("line")), "\n").as("clean_text"))
   }
 
+  /** Per-group (domain/source) boilerplate removal: a line is boilerplate
+    * within its group when it appears in ≥ max(minDocs, ceil(minFrac ·
+    * group_docs)) DISTINCT documents of that group — the CCNet-style
+    * "paragraph appears on most pages of the domain" rule (headers,
+    * footers, cookie banners), as opposed to [[lineDedup]]'s corpus-global
+    * frequency cut.
+    *
+    * Shape at 100 TB: one explode, one (group, line-hash, doc) distinct +
+    * hash agg for the per-group doc frequency, a BROADCAST of the one-row-
+    * per-group size table, one shuffle join back on the 8-byte line key,
+    * one per-doc agg. Lines ride the shuffles as xxhash64 keys (fixed
+    * width); as in [[lineDedup]], a 64-bit collision can only spuriously
+    * DROP a unique line.
+    * Output: (id, n_lines, n_kept, clean_text = surviving lines joined by
+    * '\n' in original order; empty when everything was boilerplate). */
+  def boilerplateStrip(docs: DataFrame, id: String, text: String,
+      group: Column, minFrac: Double, minDocs: Long = 2): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac out of (0,1]: $minFrac")
+    val base = docs.select(col(id).cast("long").as("id"), group.as("grp"),
+      col(text).as("t"))
+    val lines = base.select(col("id"), col("grp"),
+        posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", xxhash64(trim(col("line"))))
+    val groupSizes = base.groupBy("grp").agg(count(lit(1)).as("n_docs"))
+    val docFreq = lines.select("grp", "key", "id").distinct()
+      .groupBy("grp", "key").agg(count(lit(1)).as("doc_hits"))
+    val boiler = docFreq
+      .join(broadcast(groupSizes), "grp")
+      .where(col("doc_hits") >=
+        greatest(lit(minDocs), ceil(lit(minFrac) * col("n_docs"))))
+      .select(col("grp"), col("key"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("grp", "key"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Top-k characteristic terms per document by tf-idf, with idf as the
     * raw rarity ratio n_docs/df instead of log(n_docs/df) — the ranking
     * is identical (log is monotone) and the ratio form keeps the score

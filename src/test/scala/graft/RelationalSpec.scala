@@ -129,4 +129,63 @@ class RelationalSpec extends SparkSpec {
       (rt.getTime - lt.getTime) / 1000L == upper
     }, "upper boundary must be exclusive")
   }
+
+  // CDC changelog: (key, seq, op, v) — seq unique per key; includes keys
+  // that are insert-only, update-then-delete, delete-then-reinsert, a
+  // null-valued update (must NOT fall back to the snapshot value), and
+  // untouched snapshot keys
+  private lazy val cdcSnapshot: Seq[(Long, Option[Long])] =
+    Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)), (4L, Some(40L)))
+  private lazy val cdcChanges: Seq[(Long, Long, String, Option[Long])] = Seq(
+    (2L, 1L, "U", Some(21L)), (2L, 5L, "U", Some(22L)),   // update twice
+    (3L, 2L, "D", None),                                   // delete
+    (4L, 3L, "U", None),                                   // null update
+    (5L, 4L, "U", Some(50L)),                              // insert
+    (6L, 6L, "U", Some(60L)), (6L, 7L, "D", None),         // insert+delete
+    (7L, 8L, "D", None), (7L, 9L, "U", Some(70L)))         // del, reinsert
+
+  test("applyChanges: latest-wins merge with deletes, inserts, null updates") {
+    import spark.implicits._
+    val snap = cdcSnapshot.toDF("k", "v")
+    val chg = cdcChanges.toDF("k", "seq", "op", "v")
+    val got = Relational.applyChanges(snap, chg, "k", "seq", "op")
+      .as[(Long, Option[Long])].collect().toSet
+    // brute force: latest change per key, else snapshot
+    val latest = cdcChanges.groupBy(_._1).view
+      .mapValues(_.maxBy(_._2)).toMap
+    val want = (cdcSnapshot.map(_._1) ++ cdcChanges.map(_._1)).distinct
+      .flatMap { k =>
+        latest.get(k) match {
+          case Some((_, _, "D", _)) => None
+          case Some((_, _, _, v))   => Some((k, v))
+          case None => cdcSnapshot.find(_._1 == k).map(s => (k, s._2))
+        }
+      }.toSet
+    assert(got == want)
+    assert(got.contains((4L, None)), "null update must override the snapshot")
+    assert(got.contains((1L, Some(10L))), "untouched key keeps snapshot row")
+    assert(!got.exists(_._1 == 3L) && !got.exists(_._1 == 6L))
+  }
+
+  test("scd2: validity intervals in seq order, deletes close without opening") {
+    import spark.implicits._
+    val chg = cdcChanges.toDF("k", "seq", "op", "v")
+    val got = Relational.scd2(chg, "k", "seq", "op")
+      .select("k", "v", "eff_from", "eff_to", "is_current")
+      .as[(Long, Option[Long], Long, Option[Long], Boolean)]
+      .collect().toSet
+    val want = cdcChanges.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.collect {
+        case ((k, seq, op, v), i) if op != "D" =>
+          val to = sorted.lift(i + 1).map(_._2)
+          (k, v, seq, to, to.isEmpty)
+      }
+    }.toSet
+    assert(got == want)
+    // delete-then-reinsert: key 7's reinsert is current
+    assert(got.contains((7L, Some(70L), 9L, None, true)))
+    // insert-then-delete: key 6's only interval is CLOSED by the delete
+    assert(got.contains((6L, Some(60L), 6L, Some(7L), false)))
+  }
 }

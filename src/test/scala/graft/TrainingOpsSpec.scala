@@ -62,6 +62,33 @@ class TextOpsSpec extends SparkSpec {
     assert(loose == "alpha\nboiler\ngamma")
   }
 
+  test("boilerplateStrip: per-group doc-frequency rule, order preserved") {
+    import spark.implicits._
+    // group A (4 docs): 'head' in all 4 (>= ceil(0.5*4)=2 -> boiler),
+    // 'promo' in 2 of 4 (== 2 -> boiler), 'rare' in 1 (kept);
+    // group B (2 docs): 'head' in only 1 of 2 -> NOT boiler in B even
+    // though it is in A (per-group isolation); minDocs=2 floor means a
+    // 1-doc group can never lose lines
+    val df = Seq(
+      (1L, "A", "head\nbody one\npromo"),
+      (2L, "A", "head\nbody two\npromo"),
+      (3L, "A", "head\nbody three\nrare"),
+      (4L, "A", "head\nbody four"),
+      (5L, "B", "head\nother body"),
+      (6L, "B", "solo line"),
+      (7L, "C", "head\nlone doc")).toDF("doc_id", "src", "text")
+    val got = TextOps.boilerplateStrip(df, "doc_id", "text", $"src", 0.5)
+      .select($"id".as[Long], $"n_lines".as[Long], $"n_kept".as[Long],
+        $"clean_text".as[String]).collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 1L, "body one")))
+    assert(got(1) == ((2L, 3L, 1L, "body two")))
+    assert(got(2) == ((3L, 3L, 2L, "body three\nrare")))
+    assert(got(3) == ((4L, 2L, 1L, "body four")))
+    assert(got(4) == ((5L, 2L, 2L, "head\nother body"))) // B keeps 'head'
+    assert(got(5) == ((6L, 1L, 1L, "solo line")))
+    assert(got(6) == ((7L, 2L, 2L, "head\nlone doc"))) // 1-doc group safe
+  }
+
   test("canonicalUrl: case/port/www/tracking/order/slash/fragment invariances") {
     import spark.implicits._
     import graft.textops.UrlOps
@@ -352,6 +379,46 @@ class DedupSpec extends SparkSpec {
     } yield (i, j, s)).toSet
     assert(got.map(t => (t._1, t._2, t._3)).toSet == truth)
     assert(truth.nonEmpty)
+  }
+
+  test("containment pairs: == brute force under forced salting; catches the subset pair Jaccard misses") {
+    import spark.implicits._
+    // crafted quotation pair: doc B embeds ALL of doc A's tokens inside a
+    // much larger vocabulary — containment(A,B)=1.0 but Jaccard ~ |A|/|B|
+    val quoteA = "alpha beta gamma delta"
+    val quoteB = ("alpha beta gamma delta " +
+      (1 to 40).map(i => s"w$i").mkString(" "))
+    val docs = documents.limit(200)
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, quoteA), (9002L, quoteB)).toDF("doc_id", "text"))
+    val got = Dedup.containmentPairsHashed(docs, "doc_id",
+      Dedup.hashedSet(split(col("text"), " ")), lit("hot"), 0.6, aim = 50L)
+      .select($"id0".as[Long], $"id1".as[Long], $"containment".as[Double])
+      .collect()
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+      "duplicate pairs")
+    val txts = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+    def cont(a: String, b: String): Double = {
+      val sa = a.split(" ").distinct.toSet; val sb = b.split(" ").distinct.toSet
+      val i = (sa intersect sb).size.toDouble
+      math.rint(i / math.min(sa.size, sb.size) * 10000) / 10000
+    }
+    def jac(a: String, b: String): Double = {
+      val sa = a.split(" ").distinct.toSet; val sb = b.split(" ").distinct.toSet
+      val i = (sa intersect sb).size.toDouble
+      math.rint(i / (sa.size + sb.size - i) * 10000) / 10000
+    }
+    val truth = (for {
+      (i, ti) <- txts.iterator; (j, tj) <- txts.iterator
+      if i < j
+      s = cont(ti, tj) if s >= 0.6
+    } yield (i, j, s)).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == truth)
+    val tq = txts.find(_._1 == 9001L).get._2
+    val tb = txts.find(_._1 == 9002L).get._2
+    assert(got.exists(t => t._1 == 9001L && t._2 == 9002L && t._3 == 1.0),
+      "quotation pair must surface at containment 1.0")
+    assert(jac(tq, tb) < 0.6, "fixture broken: Jaccard should miss the pair")
   }
 
   test("embedding cosine: exact salted equi-join == brute force; approx is a high-recall subset") {

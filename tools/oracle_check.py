@@ -14,8 +14,11 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 sql = json.load(open(f"{out}/oracle_sql.json"))
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 fails = []
 for name, q in sorted(sql.items()):
+    if only and name not in only:
+        continue
     try:
         oracle = con.execute(q).df()
     except Exception as e:
