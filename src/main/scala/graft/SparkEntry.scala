@@ -505,6 +505,21 @@ object SparkEntry {
       graft.rel.Relational.snapshotDiff(old, neu, "doc_id", "fp")
         .orderBy(col("key"))
     }),
+    // Bloom runtime-filter semi join: lineitem rows whose order is in the
+    // urgent-orders key set — the big side is prefiltered during its scan
+    // by a codegen'd driver-built Bloom probe, then exactly semi-joined
+    // (output == plain semi join; the filter only cuts shuffle volume)
+    "q_bloom_semijoin" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 3 === 0)
+      graft.rel.Relational.bloomSemiJoin(li, "l_orderkey", ord, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
     // CDC merge (Iceberg/Delta MERGE INTO, latest-change-wins): events
     // replayed as a keyed changelog against a snapshot built from every
     // third event; deletes (event_id%10==0) drop keys, later changes
@@ -2250,6 +2265,16 @@ object SparkEntry {
                      ELSE 'changed' END AS status,
                 fp_old, fp_new
          FROM o FULL OUTER JOIN n ON o.key = n.key""",
+    // the Bloom prefilter is output-invisible (false positives die in the
+    // exact semi join), so the oracle is the plain semi join
+    "q_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT'
+                                AND o_orderkey % 3 = 0)
+         GROUP BY l_returnflag""",
     // arg_max replays max_by (event_id unique → no ties); the latest-op
     // dispatch and delete filter are the MERGE semantics verbatim
     "q_merge_upsert" ->

@@ -171,3 +171,42 @@ case class DiceSimilarityPre(first: Expression, second: Expression, third: Expre
     copy(first = f, second = s, third = t)
   override def prettyName: String = "dice_pre"
 }
+
+/** Build side of the Bloom runtime filter: the k probe positions of a
+  * 64-bit key hash in an m-bit filter (Kirsch–Mitzenmacher double
+  * hashing, graft.core.BloomOps). Exploded and bit_or-aggregated into
+  * filter words by [[graft.rel.Relational.bloomSemiJoin]]. */
+case class BloomPositions(child: Expression, k: Int, mBits: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(h: Any): Any =
+    graft.core.BloomOps.positions(h.asInstanceOf[Long], k, mBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.core.BloomOps.positions($h, $k, ${mBits}L)")
+  override protected def withNewChildInternal(newChild: Expression): BloomPositions =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_positions"
+}
+
+/** Probe side of the Bloom runtime filter: definite-no / maybe-yes
+  * membership of a 64-bit key hash in a driver-built filter word array.
+  * The words ride the plan as a reference object (serialized once per
+  * task via the closure broadcast), and the probe stays inside
+  * whole-stage codegen — the big side is filtered during its scan stage,
+  * before any shuffle write. */
+case class BloomMightContain(child: Expression, bits: Array[Long], k: Int,
+    mBits: Long) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(h: Any): Any =
+    graft.core.BloomOps.mightContain(h.asInstanceOf[Long], bits, k, mBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev,
+      h => s"graft.core.BloomOps.mightContain($h, $bitsRef, $k, ${mBits}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}

@@ -39,6 +39,16 @@ package object expr {
   def jaroWinkler(a: Column, b: Column): Column =
     col(JaroWinklerSimilarity(ex(a), ex(b)))
 
+  /** Bloom build side: k probe positions of a long hash column. */
+  def bloomPositions(h: Column, k: Int, mBits: Long): Column =
+    col(BloomPositions(ex(h), k, mBits))
+
+  /** Bloom probe side: membership of a long hash column in driver-built
+    * filter words (false = definitely absent). */
+  def bloomMightContain(h: Column, bits: Array[Long], k: Int,
+      mBits: Long): Column =
+    col(BloomMightContain(ex(h), bits, k, mBits))
+
   /** Register all SQL names on a live session (same surface as
     * [[GraftExtensions]] gives a session built `.withExtensions`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -226,6 +226,50 @@ object Relational {
           .otherwise(col(s"_cdc.$c")).as(c)): _*)
   }
 
+  /** Semi join with a Bloom runtime prefilter — the 100-TB shape for
+    * "keep the fact rows whose key appears in a (much smaller) key set"
+    * when the key set is too big for a broadcast HASH join but its BLOOM
+    * image still fits on the driver (10 bits/key ≈ 120 MB at 100M keys vs
+    * tens of GB for the exact set).
+    *
+    * Build: one pass over `small` computing each key's k probe positions
+    * ([[graft.expr.BloomPositions]]), bit_or-aggregated into 64-bit filter
+    * words (map-side combine; at most m/64 rows collected — the dense
+    * bitset, never the keys). Probe: the words ride a codegen'd
+    * [[graft.expr.BloomMightContain]] predicate applied during the big
+    * side's SCAN stage, so definite non-members never enter the semi-join
+    * shuffle. The exact semi join still runs on the survivors — Bloom
+    * false positives are pruned there, so the OUTPUT is exactly the plain
+    * semi join and the filter only cuts shuffle volume (expected pass-
+    * through ≈ sel + (1-sel)·fpp, fpp ≈ 0.8%^k at 10 bits/key).
+    *
+    * This is what Spark's AQE `InjectRuntimeFilter` does for equi-joins it
+    * can see through; expressing it as an operator keeps the plumbing
+    * available when the probe key is a derived expression or the join is
+    * assembled across checkpointed stages where AQE can't reach. */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, bitsPerKey: Int = 10): DataFrame = {
+    val keys = small.select(col(smallKey).as("_bf_k"))
+      .where(col("_bf_k").isNotNull)
+    val n = keys.count()
+    if (n == 0) return big.where(lit(false))
+    val mBits = math.max(64L, ((n * bitsPerKey + 63) / 64) * 64)
+    val k = math.max(1, math.round(bitsPerKey * math.log(2)).toInt)
+    val words = keys
+      .select(explode(graft.expr.bloomPositions(
+        xxhash64(col("_bf_k")), k, mBits)).as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("mask"))
+      .collect()
+    val bits = new Array[Long]((mBits / 64).toInt)
+    words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    val pre = big.where(graft.expr.bloomMightContain(
+      xxhash64(col(bigKey)), bits, k, mBits))
+    val dk = keys.distinct()
+    pre.join(dk, pre.col(bigKey) === dk.col("_bf_k"), "left_semi")
+  }
+
   /** Slowly-changing-dimension type-2 history from an append-only
     * changelog: every non-delete change becomes a validity interval
     * `[eff_from, eff_to)` in `seqCol` order; a delete closes the previous

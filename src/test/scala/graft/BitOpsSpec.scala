@@ -67,4 +67,29 @@ class BitOpsSpec extends AnyFunSuite {
       assert(BitOps.dicePre(a, b, pcs) == BitOps.dice(a, b))
     }
   }
+
+  test("BloomOps: zero false negatives; FP rate near the 10-bits/key theory") {
+    import graft.core.BloomOps
+    val n = 10000; val bpk = 10
+    val m = ((n.toLong * bpk + 63) / 64) * 64
+    val k = math.round(bpk * math.log(2)).toInt
+    val bits = new Array[Long]((m / 64).toInt)
+    val rnd = new Random(42)
+    val members = Array.fill(n)(rnd.nextLong())
+    members.foreach { h =>
+      val ps = BloomOps.positions(h, k, m)
+      (0 until k).foreach { i =>
+        val p = ps.getLong(i)
+        assert(p >= 0 && p < m, s"position $p out of [0,$m)")
+        bits((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+      }
+    }
+    // one-sided error: every inserted key must probe true
+    assert(members.forall(BloomOps.mightContain(_, bits, k, m)))
+    // FP rate on fresh randoms ~ (1-e^(-k n/m))^k ≈ 0.8%; allow 3x slack
+    val probes = 100000
+    val fps = (1 to probes).count(_ => BloomOps.mightContain(rnd.nextLong(), bits, k, m))
+    assert(fps < probes * 3 / 100, s"false-positive rate too high: $fps/$probes")
+    assert(fps > 0, "suspiciously perfect — filter likely broken")
+  }
 }
