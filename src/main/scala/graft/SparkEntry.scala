@@ -786,6 +786,28 @@ object SparkEntry {
       try q.awaitTermination() finally if (q.isActive) q.stop()
       s.table(qn).orderBy(col("dup_key"))
     }),
+    // STREAM-STREAM watermarked interval join through the real engine:
+    // events staged as a 4-file dir (4 micro-batches per side), views and
+    // clicks streamed as two independent sources, joined on user with
+    // click in [view_ts, view_ts+4h]. The watermark is wider than the
+    // replayed span so the join is exact and the batch-form SQL oracle
+    // must match bit-for-bit — the driver itself proves stream == batch
+    "q_stream_join" -> ((s, dir) => {
+      val qn = s"stream_join_q${streamQueryIds.incrementAndGet()}"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+      events(s, dir).repartition(4).write.mode("overwrite").parquet(tmp)
+      def side(t: String) = graft.streaming.EventStream
+        .parquetStream(s, tmp).where(col("event_type") === t)
+      val j = graft.streaming.EventStream.intervalJoinStream(
+        side("view"), side("click"), "user_id", "ts", "event_id",
+        windowSeconds = 14400, watermark = "60 days")
+      val q = j.writeStream.outputMode("append").format("memory")
+        .queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      s.table(qn).orderBy(col("key"), col("left_id"), col("right_id"))
+    }),
     // STREAMING linkage through the real engine: the dp=1 provider is
     // staged as a 4-file parquet dir and streamed (maxFilesPerTrigger=1,
     // so 4 micro-batches) against the static dp=0 side; stream-static
@@ -918,6 +940,10 @@ object SparkEntry {
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy(col("id"))
     }),
+    // collocation mining: adjacent word pairs ranked by lift (PMI without
+    // the log — same ranking, SQL-replayable); top 40 above count 5
+    "q_collocations" -> ((s, dir) =>
+      TextOps.collocations(docs(s, dir), "text", minCount = 5, k = 40)),
     // per-source boilerplate removal (CCNet domain rule): header/footer
     // lines injected into every doc of a source (and a 25% promo line)
     // — lines in ≥ ceil(0.5·source_docs) docs of the SAME source are
@@ -1256,6 +1282,24 @@ object SparkEntry {
                       chr(10) ORDER BY pos), '')) AS clean_md5
          FROM l JOIN f ON trim(l.line) = f.k
          GROUP BY doc_id""",
+    // same unigram/bigram counts; lift multiplies/divides in the same
+    // IEEE double order, rounded before the ordering so boundary ties
+    // resolve identically via the (w1, w2) tiebreak
+    "q_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         uni AS (SELECT unnest(ts) AS w FROM t),
+         u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+         bi AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+                FROM t, unnest(generate_series(1, len(ts)-1)) AS g(i)
+                WHERE len(ts) >= 2),
+         b AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2
+               HAVING count(*) >= 5)
+         SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+                round(CAST(b.c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
+                  / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)), 6) AS lift
+         FROM b JOIN u ux ON b.w1 = ux.w JOIN u uy ON b.w2 = uy.w, n
+         ORDER BY lift DESC, b.w1, b.w2 LIMIT 40""",
     // same injection; boilerplate = line in >= greatest(2,
     // ceil(0.5*source_docs)) distinct docs of its source
     "q_boilerplate" ->
@@ -2535,6 +2579,14 @@ object SparkEntry {
     "q_stream_first_seen" ->
       """SELECT DISTINCT array_to_string(str_split(text, ' ')[1:3], ' ') AS dup_key
          FROM documents""",
+    // batch form of the streaming interval join (wide watermark => exact)
+    "q_stream_join" ->
+      """SELECT v.user_id AS key, v.event_id AS left_id,
+                c.event_id AS right_id,
+                epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+         FROM events v JOIN events c ON v.user_id = c.user_id
+         WHERE v.event_type = 'view' AND c.event_type = 'click'
+           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 14400 SECOND""",
     // Spark's window('1 day') buckets are epoch-aligned in the session tz
     // (UTC here), so the streaming result's window_start equals the batch
     // day-truncation epoch — the driver itself verifies stream == batch

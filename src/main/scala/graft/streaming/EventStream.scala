@@ -127,6 +127,36 @@ object EventStream {
       .dropDuplicates("dp0", "rec0", "dp1", "rec1")
   }
 
+  /** Watermarked STREAM-STREAM interval join (view→click attribution):
+    * each left event pairs with every right event of the same key whose
+    * timestamp falls in `[left_ts, left_ts + windowSeconds]`. Both sides
+    * carry an event-time watermark plus the time-range join condition —
+    * exactly what Structured Streaming needs to bound join state: a
+    * buffered left row is dropped once the right watermark passes
+    * `left_ts + window`, so state is O(events per watermark horizon), not
+    * O(stream). With a watermark wider than the replayed data's span the
+    * join is exact (nothing is ever late), which is how the driver query
+    * proves stream == batch.
+    *
+    * Inputs may be streaming or batch (same plan works for backfill).
+    * Output: (key, left_id, right_id, lag_us). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, idCol: String, windowSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    // parquet event time is TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    val l = left.select(col(key).as("key"),
+        col(tsCol).cast("timestamp").as("l_ts"), col(idCol).as("left_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("r_key"),
+        col(tsCol).cast("timestamp").as("r_ts"), col(idCol).as("right_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSeconds SECOND"))
+      .select(col("key"), col("left_id"), col("right_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
+  }
+
   /** Stateful streaming first-seen dedup: emits each key exactly once
     * across the whole stream (the streaming analogue of
     * Dedup.exactGroups' keeper selection) via flatMapGroupsWithState —

@@ -224,6 +224,45 @@ object TextOps {
           x => x.getField("line")), "\n").as("clean_text"))
   }
 
+  /** Collocation mining: adjacent word pairs ranked by pointwise lift
+    * c(xy)·N / (c(x)·c(y)) — the PMI association score with the log
+    * dropped (log is monotone, so the RANKING is PMI's, and the raw ratio
+    * stays exactly replayable in SQL — the same engine-portability trade
+    * [[tfidfTopTerms]] makes; libm log differs across engines).
+    *
+    * Shape at 100 TB: one explode + hash agg for unigrams, one for
+    * bigrams (both map-side partial), two shuffle joins on the word key,
+    * a broadcast of the single total-count row, and a global top-k that
+    * Spark plans as TakeOrderedAndProject (per-partition heaps + driver
+    * merge of k rows — no global sort).
+    * Output: (w1, w2, c_xy, c_x, c_y, lift), top k by (lift desc, w1, w2),
+    * bigrams below minCount dropped before the joins. */
+  def collocations(df: DataFrame, text: String, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val toks = df.select(split(col(text), " ").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("long").as("n"))
+    val bi = toks.where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts)-1), " +
+          "i -> struct(element_at(ts, i) AS w1, element_at(ts, i+1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round(col("c_xy").cast("double") * col("n").cast("double") /
+          (col("c_x").cast("double") * col("c_y").cast("double")), 6)
+          .as("lift"))
+      .orderBy(desc("lift"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-group (domain/source) boilerplate removal: a line is boilerplate
     * within its group when it appears in ≥ max(minDocs, ceil(minFrac ·
     * group_docs)) DISTINCT documents of that group — the CCNet-style

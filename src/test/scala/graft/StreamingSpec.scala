@@ -56,6 +56,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((epoch(1), "a", 2L, 3.0), (epoch(2), "b", 1L, 3.0)), got.toString)
   }
 
+  test("stream-stream interval join over incremental batches == batch join") {
+    import spark.implicits._
+    // stage events as 4 files: both sides see 4 micro-batches, so joined
+    // pairs must survive cross-batch state (a view buffered in batch 1
+    // matching a click that only arrives in batch 4)
+    val dir = java.nio.file.Files.createTempDirectory("ssj").toString
+    spark.read.parquet(s"$sfTiny/events.parquet")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    def side(t: String) =
+      EventStream.parquetStream(spark, dir).where($"event_type" === t)
+    val q = EventStream.intervalJoinStream(side("view"), side("click"),
+        "user_id", "ts", "event_id", windowSeconds = 14400,
+        watermark = "60 days")
+      .writeStream.outputMode("append").format("memory").queryName("ssj")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val streamed = spark.table("ssj")
+      .select($"key".as[Long], $"left_id".as[Long], $"right_id".as[Long],
+        $"lag_us".as[Long]).collect().toSet
+    // batch oracle: same operator over the batch DataFrames
+    val ev = spark.read.parquet(s"$sfTiny/events.parquet")
+    val batch = EventStream.intervalJoinStream(
+        ev.where($"event_type" === "view"),
+        ev.where($"event_type" === "click"),
+        "user_id", "ts", "event_id", 14400)
+      .select($"key".as[Long], $"left_id".as[Long], $"right_id".as[Long],
+        $"lag_us".as[Long]).collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture yields no view→click pairs")
+    // every lag honors the [0, window] contract
+    assert(batch.forall(t => t._4 >= 0 && t._4 <= 14400L * 1000000))
+  }
+
   test("stateful first-seen dedup emits each key once across incremental batches") {
     import spark.implicits._
     // two parquet files with overlapping keys -> two micro-batches; keys

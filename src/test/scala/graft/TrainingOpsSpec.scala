@@ -62,6 +62,25 @@ class TextOpsSpec extends SparkSpec {
     assert(loose == "alpha\nboiler\ngamma")
   }
 
+  test("collocations: hand-computed lift table, ranking and tiebreak") {
+    import spark.implicits._
+    val df = Seq("a b a b", "a b c", "c c c c").toDF("text")
+    // c(a)=3 c(b)=3 c(c)=5 N=11; c(ab)=3 c(ba)=1 c(bc)=1 c(cc)=3
+    val got = TextOps.collocations(df, "text", minCount = 1, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    def r6(x: Double) =
+      BigDecimal(x.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == List(
+      ("a", "b", 3L, 3L, 3L, r6(3.0 * 11 / 9)),
+      ("c", "c", 3L, 5L, 5L, r6(3.0 * 11 / 25)),
+      ("b", "a", 1L, 3L, 3L, r6(1.0 * 11 / 9)),
+      ("b", "c", 1L, 3L, 5L, r6(1.0 * 11 / 15))))
+    // minCount prunes the singletons
+    val pruned = TextOps.collocations(df, "text", minCount = 2, k = 10)
+      .select($"w1".as[String], $"w2".as[String]).collect().toSet
+    assert(pruned == Set(("a", "b"), ("c", "c")))
+  }
+
   test("boilerplateStrip: per-group doc-frequency rule, order preserved") {
     import spark.implicits._
     // group A (4 docs): 'head' in all 4 (>= ceil(0.5*4)=2 -> boiler),
