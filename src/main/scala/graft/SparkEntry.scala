@@ -940,6 +940,34 @@ object SparkEntry {
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy(col("id"))
     }),
+    // Z-order layout: per-bucket min/max envelopes of the quantized
+    // (l_partkey, l_suppkey) plane — each bucket is a 16x16 rectangle
+    // (the bucket is a prefix of the Morton code), which IS the file-
+    // skipping stats envelope a scan planner prunes with. The oracle
+    // rebuilds the Morton code from the transparent per-bit sum formula
+    // against the engine's magic-number kernel — two independent
+    // constructions must agree bit-for-bit
+    "q_zorder" -> ((s, dir) =>
+      graft.rel.Layout.zorderStats(s.read.parquet(s"$dir/lineitem.parquet"),
+          "l_partkey", "l_suppkey", bucketBits = 8)
+        .orderBy(col("bucket"))),
+    // the two-level salting PLAN itself, driver-visible: per block, the
+    // (k1, k2) fan-out Salting.fanout picks at aim=50/maxK=16 plus the
+    // chunk-task and pair estimates — the skew-handling decision is
+    // oracle-checked, not just exercised (ceil/sqrt/div are IEEE-exact
+    // in both engines, so the replay is bit-for-bit)
+    "q_skew_plan" -> ((s, dir) => {
+      val b = docs(s, dir)
+        .groupBy(element_at(split(col("text"), " "), 1).as("block_key"))
+        .agg(count(lit(1)).as("n"))
+      val (k1, k2) = graft.link.Salting.fanout(col("n"), aim = 50L, maxK = 16)
+      b.select(col("block_key"), col("n"), k1.as("k1"), k2.as("k2"))
+        .withColumn("eff_k", (col("k1") * col("k2")).cast("long"))
+        .withColumn("n_chunk_tasks",
+          expr("CAST((eff_k * (eff_k + 1)) DIV 2 AS BIGINT)"))
+        .withColumn("est_pairs", expr("CAST((n * (n - 1)) DIV 2 AS BIGINT)"))
+        .orderBy(col("block_key"))
+    }),
     // collocation mining: adjacent word pairs ranked by lift (PMI without
     // the log — same ranking, SQL-replayable); top 40 above count 5
     "q_collocations" -> ((s, dir) =>
@@ -1282,6 +1310,45 @@ object SparkEntry {
                       chr(10) ORDER BY pos), '')) AS clean_md5
          FROM l JOIN f ON trim(l.line) = f.k
          GROUP BY doc_id""",
+    // Morton code via the per-bit sum (independent of the engine's
+    // magic-number spread); same exact-integer quantization
+    "q_zorder" ->
+      """WITH s AS (SELECT min(l_partkey) AS minx, max(l_partkey) AS maxx,
+                           min(l_suppkey) AS miny, max(l_suppkey) AS maxy
+                    FROM lineitem),
+         q AS (SELECT ((l_partkey - minx) * 256) // (maxx - minx + 1) AS qx,
+                      ((l_suppkey - miny) * 256) // (maxy - miny + 1) AS qy
+               FROM lineitem, s),
+         z AS (SELECT qx, qy,
+                 CAST(list_sum(list_transform(range(0, 8),
+                   i -> ((qx >> i) & 1) * (1 << (2*i + 1))
+                      + ((qy >> i) & 1) * (1 << (2*i)))) AS INT) AS z
+               FROM q)
+         SELECT CAST(z >> 8 AS INT) AS bucket, count(*) AS n,
+                CAST(min(qx) AS INT) AS min_qx, CAST(max(qx) AS INT) AS max_qx,
+                CAST(min(qy) AS INT) AS min_qy, CAST(max(qy) AS INT) AS max_qy
+         FROM z GROUP BY 1""",
+    // Salting.fanout replayed: needK = ceil(n/sqrt(aim)), k1 = min(needK,
+    // maxK), k2 = min(ceil(needK/k1), maxK) — same IEEE double ops
+    "q_skew_plan" ->
+      """WITH b AS (SELECT str_split(text, ' ')[1] AS block_key,
+                           count(*) AS n
+                    FROM documents GROUP BY 1),
+         f AS (SELECT block_key, n,
+                 greatest(CAST(ceil(CAST(n AS DOUBLE) / sqrt(50.0))
+                   AS BIGINT), 1) AS need_k FROM b),
+         k AS (SELECT block_key, n,
+                 CAST(least(need_k, 16) AS INT) AS k1,
+                 CAST(least(CAST(ceil(CAST(need_k AS DOUBLE)
+                     / CAST(least(need_k, 16) AS DOUBLE)) AS BIGINT), 16)
+                   AS INT) AS k2
+               FROM f)
+         SELECT block_key, n, k1, k2,
+                CAST(k1 AS BIGINT) * k2 AS eff_k,
+                (CAST(k1 AS BIGINT) * k2 * (CAST(k1 AS BIGINT) * k2 + 1)) // 2
+                  AS n_chunk_tasks,
+                (n * (n - 1)) // 2 AS est_pairs
+         FROM k""",
     // same unigram/bigram counts; lift multiplies/divides in the same
     // IEEE double order, rounded before the ordering so boundary ties
     // resolve identically via the (w1, w2) tiebreak

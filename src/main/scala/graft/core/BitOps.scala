@@ -92,4 +92,19 @@ object BitOps {
       len: Int, pcSum: Int): Double =
     if (pcSum <= 0) 0.0
     else 2.0 * andPopcountOff(a, aOff, b, bOff, len) / pcSum
+
+  /** Spread the low 8 bits of v to the even bit positions (0,2,...,14)
+    * — the magic-number Morton step. */
+  @inline private def spread8(v: Int): Int = {
+    var x = v & 0xff
+    x = (x | (x << 4)) & 0x0f0f
+    x = (x | (x << 2)) & 0x3333
+    (x | (x << 1)) & 0x5555
+  }
+
+  /** 16-bit Morton (Z-order) code interleaving the low 8 bits of x and y;
+    * x occupies the ODD bit positions (more significant within each
+    * pair), y the even ones. The oracle replays this with the transparent
+    * per-bit sum formula — two independent constructions agreeing. */
+  def morton16(x: Int, y: Int): Int = (spread8(x) << 1) | spread8(y)
 }

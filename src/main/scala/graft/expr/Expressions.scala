@@ -172,6 +172,25 @@ case class DiceSimilarityPre(first: Expression, second: Expression, third: Expre
   override def prettyName: String = "dice_pre"
 }
 
+/** 16-bit Morton (Z-order) code of two pre-quantized 8-bit coordinates —
+  * the clustering key for multi-dimensional data layout (Z-ordered file
+  * layout makes min/max file-skipping effective on BOTH dimensions at
+  * once). Codegen'd; see graft.core.BitOps.morton16. */
+case class MortonInterleave(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] =
+    Seq(IntegerType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    graft.core.BitOps.morton16(x.asInstanceOf[Int], y.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.core.BitOps.morton16($x, $y)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonInterleave =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "morton16"
+}
+
 /** Build side of the Bloom runtime filter: the k probe positions of a
   * 64-bit key hash in an m-bit filter (Kirsch–Mitzenmacher double
   * hashing, graft.core.BloomOps). Exploded and bit_or-aggregated into

@@ -39,6 +39,10 @@ package object expr {
   def jaroWinkler(a: Column, b: Column): Column =
     col(JaroWinklerSimilarity(ex(a), ex(b)))
 
+  /** 16-bit Morton code of two pre-quantized 8-bit int columns. */
+  def morton16(x: Column, y: Column): Column =
+    col(MortonInterleave(ex(x), ex(y)))
+
   /** Bloom build side: k probe positions of a long hash column. */
   def bloomPositions(h: Column, k: Int, mBits: Long): Column =
     col(BloomPositions(ex(h), k, mBits))

@@ -1,0 +1,58 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization: Z-order (Morton) clustering for multi-
+  * dimensional file skipping — the table-maintenance operation an
+  * Iceberg-style 100-TB corpus needs so that min/max file stats prune
+  * scans on BOTH of two frequently-filtered columns at once (a sort on
+  * one column gives perfect pruning on it and none on the other;
+  * Z-order trades a little of each for locality on both).
+  *
+  * Pipeline: global min/max per dimension (one tiny agg, broadcast) →
+  * quantize each value to 8 bits with exact integer arithmetic
+  * ((v-min)·256 DIV (max-min+1)) → 16-bit Morton code (codegen'd
+  * [[graft.expr.MortonInterleave]]) → bucket = top `bucketBits` bits.
+  * Because the bucket is a PREFIX of the interleaved code, every bucket
+  * covers an axis-aligned rectangle of side 2^(8-bucketBits/2) in
+  * quantized space — that rectangle IS the min/max stats envelope a
+  * scan planner would prune with.
+  *
+  * At scale the bucket column feeds `repartitionByRange`/bucketed writes
+  * (no global sort needed — the bucket is computed row-local after one
+  * broadcast); [[zorderStats]] returns the per-bucket envelope as the
+  * driver-visible readout.
+  */
+object Layout {
+
+  /** Row-level Z-order assignment: (x, y, qx, qy, z, bucket). */
+  def zorderAssign(df: DataFrame, xCol: String, yCol: String,
+      bucketBits: Int = 8): DataFrame = {
+    require(bucketBits >= 2 && bucketBits <= 16 && bucketBits % 2 == 0,
+      s"bucketBits must be even in [2,16]: $bucketBits")
+    val stats = df.agg(
+      min(col(xCol)).cast("long").as("minx"),
+      max(col(xCol)).cast("long").as("maxx"),
+      min(col(yCol)).cast("long").as("miny"),
+      max(col(yCol)).cast("long").as("maxy"))
+    df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .crossJoin(broadcast(stats))
+      .withColumn("qx",
+        expr("CAST(((x - minx) * 256) DIV (maxx - minx + 1) AS INT)"))
+      .withColumn("qy",
+        expr("CAST(((y - miny) * 256) DIV (maxy - miny + 1) AS INT)"))
+      .withColumn("z", graft.expr.morton16(col("qx"), col("qy")))
+      .withColumn("bucket", shiftright(col("z"), 16 - bucketBits))
+      .select("x", "y", "qx", "qy", "z", "bucket")
+  }
+
+  /** Per-bucket file-skipping envelope: (bucket, n, min/max of each
+    * quantized dimension). */
+  def zorderStats(df: DataFrame, xCol: String, yCol: String,
+      bucketBits: Int = 8): DataFrame =
+    zorderAssign(df, xCol, yCol, bucketBits)
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        min("qx").as("min_qx"), max("qx").as("max_qx"),
+        min("qy").as("min_qy"), max("qy").as("max_qy"))
+}

@@ -189,6 +189,33 @@ class RelationalSpec extends SparkSpec {
     assert(got.contains((6L, Some(60L), 6L, Some(7L), false)))
   }
 
+  test("morton16 == transparent per-bit formula; zorder buckets are 16x16 rectangles") {
+    import spark.implicits._
+    // kernel vs the per-bit definition on the full 8-bit plane corners +
+    // a random sample
+    def mortonRef(x: Int, y: Int): Int =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i + 1)) |
+        (((y >> i) & 1) << (2 * i))).sum
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0, 0), (255, 255), (255, 0), (0, 255), (1, 2)) ++
+      Seq.fill(500)((rnd.nextInt(256), rnd.nextInt(256)))
+    pts.foreach { case (x, y) =>
+      assert(graft.core.BitOps.morton16(x, y) == mortonRef(x, y), s"($x,$y)")
+    }
+    // locality contract: with bucketBits=8 each bucket fixes the top 4
+    // bits of qx and qy, so every bucket envelope is a 16x16 rectangle
+    val df = (0L until 4000L).map(i => (i * 37 % 1000, i * 91 % 517))
+      .toDF("x", "y")
+    val st = graft.rel.Layout.zorderStats(df, "x", "y", bucketBits = 8)
+      .as[(Int, Long, Int, Int, Int, Int)].collect()
+    assert(st.nonEmpty && st.map(_._2).sum == 4000L)
+    st.foreach { case (b, _, x0, x1, y0, y1) =>
+      assert(x1 - x0 <= 15 && y1 - y0 <= 15, s"bucket $b envelope too wide")
+      assert(x0 / 16 == x1 / 16 && y0 / 16 == y1 / 16,
+        s"bucket $b crosses a 16-cell boundary")
+    }
+  }
+
   test("bloomSemiJoin == exact semi join; empty build side; prefilter prunes") {
     import spark.implicits._
     val big = (0L until 5000L).map(i => (i, i % 97)).toDF("id", "key")
