@@ -940,6 +940,14 @@ object SparkEntry {
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy(col("id"))
     }),
+    // integer-exact k-means (k=8, 2 Lloyd iterations) over int8-shifted
+    // embeddings: bit-identical at any parallelism — the exact-integer-
+    // arithmetic pattern (PageRank) applied to clustering, so the whole
+    // iterative job replays in SQL
+    "q_kmeans_int" -> ((s, dir) =>
+      graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy(col("vec_id"))),
     // Z-order layout: per-bucket min/max envelopes of the quantized
     // (l_partkey, l_suppkey) plane — each bucket is a 16x16 rectangle
     // (the bucket is a prefix of the Morton code), which IS the file-
@@ -1310,6 +1318,44 @@ object SparkEntry {
                       chr(10) ORDER BY pos), '')) AS clean_md5
          FROM l JOIN f ON trim(l.line) = f.k
          GROUP BY doc_id""",
+    // full 2-iteration Lloyd replay in relational form: same int8+127
+    // quantization, same integer distances, same (dist, cid) tiebreak,
+    // same floored centroid division (non-negative domain), empty
+    // clusters keep their previous centroid
+    "q_kmeans_int" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         s0 AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc0
+                FROM v),
+         q AS (SELECT vec_id, list_transform(e, x -> CAST(round(
+                 x / (CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END)) AS INT)
+                 + 127) AS uv
+               FROM s0),
+         d AS (SELECT vec_id, unnest(uv) AS x,
+                      generate_subscripts(uv, 1) AS i FROM q),
+         c0 AS (SELECT vec_id AS cid, i, x AS cx FROM d
+                WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)),
+         a1d AS (SELECT d.vec_id, c0.cid,
+                   CAST(sum(CAST(d.x - c0.cx AS BIGINT) * (d.x - c0.cx))
+                     AS BIGINT) AS dist
+                 FROM d JOIN c0 ON d.i = c0.i GROUP BY 1, 2),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn FROM a1d) WHERE rn = 1),
+         c1u AS (SELECT a1.cid, d.i,
+                   CAST(sum(CAST(d.x AS BIGINT)) // count(*) AS INT) AS cx
+                 FROM a1 JOIN d ON a1.vec_id = d.vec_id GROUP BY 1, 2),
+         c1 AS (SELECT c0.cid, c0.i, COALESCE(c1u.cx, c0.cx) AS cx
+                FROM c0 LEFT JOIN c1u ON c0.cid = c1u.cid AND c0.i = c1u.i),
+         a2d AS (SELECT d.vec_id, c1.cid,
+                   CAST(sum(CAST(d.x - c1.cx AS BIGINT) * (d.x - c1.cx))
+                     AS BIGINT) AS dist
+                 FROM d JOIN c1 ON d.i = c1.i GROUP BY 1, 2),
+         a2 AS (SELECT vec_id, cid, dist FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rn FROM a2d) WHERE rn = 1)
+         SELECT vec_id, cid AS cluster, dist FROM a2""",
     // Morton code via the per-bit sum (independent of the engine's
     // magic-number spread); same exact-integer quantization
     "q_zorder" ->

@@ -62,6 +62,62 @@ object Ann {
             .cast("int")).as("qvec"))
   }
 
+  /** Integer-exact distributed k-means over int8-quantized vectors —
+    * bit-identical at ANY parallelism (the property that makes an
+    * iterative clustering job oracle-able, same pattern as the exact
+    * integer PageRank): all distances and centroid updates are integer
+    * arithmetic, ties break on centroid id, and the quantized domain is
+    * SHIFTED to [0,254] so centroid-update division never sees a
+    * negative numerator (floor-vs-truncate integer division semantics
+    * then agree across engines; squared distances are translation-
+    * invariant, so the shift changes nothing else).
+    *
+    * Init: the k lowest-id vectors (deterministic, replayable). Each
+    * iteration: one broadcast of the k×dim centroid table, one map-side-
+    * combining hash agg for the argmin (min over a (dist, cid) struct —
+    * no window sort), one posexplode + hash agg for the update; empty
+    * clusters keep their previous centroid. Centroids are collected
+    * (k·dim ints) and re-materialized per round so lineage stays flat —
+    * the same tiny-driver-state concession [[ivfTopK]] makes.
+    * Output: (id, cluster = seed id, dist = squared int distance). */
+  def kmeansInt(df: DataFrame, id: String, vec: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k=$k iters=$iters")
+    val spark = df.sparkSession
+    val q = graft.dedup.Dedup.persistLatestPublic("kmeans_uv",
+      quantizeInt8(df, id, vec)
+        .select(col(id).as("vid"),
+          transform(col("qvec"), x => x + lit(127)).as("uv")))
+    var cents = q.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"), col("uv").as("cv"))
+    var assign: DataFrame = null
+    val centSchema = cents.schema
+    for (_ <- 1 to iters) {
+      val dist = aggregate(
+        zip_with(col("uv"), col("cv"),
+          (a, b) => ((a - b) * (a - b)).cast("long")),
+        lit(0L), (s, x) => s + x)
+      assign = q.crossJoin(broadcast(cents))
+        .withColumn("dist", dist)
+        .groupBy("vid")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vid"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+      val upd = assign.join(q, "vid")
+        .select(col("cid"), posexplode(col("uv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(expr("CAST(sum(CAST(x AS BIGINT)) DIV count(1) AS INT)").as("cx"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("cv_new"))
+      val next = cents.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv_new"), col("cv")).as("cv"))
+        .collect()
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(next: _*), centSchema)
+    }
+    assign.select(col("vid").as(id), col("cid").as("cluster"), col("dist"))
+  }
+
   /** Exact-within-quantization top-k by cosine over int8-quantized
     * vectors: same shape as [[bruteForceTopK]] (broadcast queries,
     * per-query window) but the pair arithmetic is an integer dot over

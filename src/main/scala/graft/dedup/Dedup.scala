@@ -106,6 +106,11 @@ object Dedup {
     p
   }
 
+  /** [[persistLatest]] for other modules' multi-branch subtrees (e.g. the
+    * k-means quantized-vector table); same slot contract. */
+  def persistLatestPublic(slot: String, df: DataFrame): DataFrame =
+    persistLatest(slot, df)
+
   /** Project `score` then threshold-filter WITHOUT Catalyst re-evaluating
     * the scoring expression in both Filter and Project: PushDownPredicates
     * only pushes a filter through an all-deterministic projection, so the

@@ -473,6 +473,44 @@ class DedupSpec extends SparkSpec {
 class AnnSpec extends SparkSpec {
   private lazy val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet").cache()
 
+  test("kmeansInt: == local integer Lloyd; partition-invariant") {
+    import spark.implicits._
+    val got = Ann.kmeansInt(embeddings, "vec_id", "embedding", k = 8, iters = 2)
+      .select($"vec_id".as[Long], $"cluster".as[Long], $"dist".as[Long])
+      .collect().toSet
+    // local oracle over the operator's own quantizer output (quantization
+    // semantics are pinned separately in the int8 specs)
+    val uv: Map[Long, Array[Int]] = Ann.quantizeInt8(embeddings, "vec_id", "embedding")
+      .select($"vec_id".as[Long], $"qvec".as[Seq[Int]])
+      .collect().map { case (id, v) => id -> v.map(_ + 127).toArray }.toMap
+    def d2(a: Array[Int], b: Array[Int]): Long =
+      (0 until a.length).map(i => (a(i) - b(i)).toLong * (a(i) - b(i))).sum
+    var cents: Map[Long, Array[Int]] =
+      uv.keys.toSeq.sorted.take(8).map(id => id -> uv(id)).toMap
+    var assign: Map[Long, (Long, Long)] = Map.empty
+    for (_ <- 1 to 2) {
+      assign = uv.map { case (id, v) =>
+        val (dist, cid) = cents.toSeq.map { case (c, cv) => (d2(v, cv), c) }.min
+        id -> (cid, dist)
+      }
+      cents = cents.map { case (cid, old) =>
+        val members = assign.collect { case (id, (c, _)) if c == cid => uv(id) }
+        cid -> (if (members.isEmpty) old
+                else Array.tabulate(old.length)(i =>
+                  (members.map(_(i).toLong).sum / members.size).toInt))
+      }
+    }
+    val want = assign.map { case (id, (cid, dist)) => (id, cid, dist) }.toSet
+    assert(got == want)
+    assert(got.map(_._2).size > 1, "degenerate clustering")
+    // bit-identical under a different partitioning
+    val got2 = Ann.kmeansInt(embeddings.repartition(13), "vec_id",
+        "embedding", k = 8, iters = 2)
+      .select($"vec_id".as[Long], $"cluster".as[Long], $"dist".as[Long])
+      .collect().toSet
+    assert(got2 == got)
+  }
+
   test("brute-force top-k matches a local oracle") {
     import spark.implicits._
     val got = Ann.bruteForceTopK(embeddings,
