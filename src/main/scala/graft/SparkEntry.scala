@@ -940,6 +940,83 @@ object SparkEntry {
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy(col("id"))
     }),
+    // Pearson correlation (value vs hour-of-day per event type) from
+    // EXACT integer moments: fixed-point values, decimal-widened
+    // products, double only in the final ratio — engine-identical
+    "q_correlation" -> ((s, dir) => {
+      def d(c: Column) = c.cast("decimal(38,0)")
+      events(s, dir).select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("v"),
+          hour(col("ts")).cast("long").as("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"), sum(col("h")).as("sh"),
+          sum((col("v") * col("h")).cast("decimal(28,0)"))
+            .cast("decimal(38,0)").as("svh"),
+          sum((col("v") * col("v")).cast("decimal(28,0)"))
+            .cast("decimal(38,0)").as("svv"),
+          sum((col("h") * col("h")).cast("decimal(28,0)"))
+            .cast("decimal(38,0)").as("shh"))
+        .select(col("event_type"), col("n"),
+          round((d(col("n")) * col("svh") - d(col("sv")) * col("sh"))
+              .cast("double") /
+            sqrt((d(col("n")) * col("svv") - d(col("sv")) * col("sv"))
+                .cast("double") *
+              (d(col("n")) * col("shh") - d(col("sh")) * col("sh"))
+                .cast("double")), 6).as("r"))
+        .orderBy(col("event_type"))
+    }),
+    // INCREMENTAL connected components: cluster the co-purchase graph
+    // from 80% of the edges, then fold the remaining 20% in as a delta —
+    // touching only the delta and the label table, never the old edge
+    // set. The oracle closes over the FULL edge set, so the incremental
+    // path is checked against the from-scratch answer
+    "q_cc_delta" -> ((s, dir) => {
+      import s.implicits._
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      val isDelta = (col("u") + col("v")) % 5 === 0
+      val prev = graft.cluster.ConnectedComponents.run(
+        edges.where(!isDelta).as[(Long, Long)])
+      graft.cluster.ConnectedComponents.incrementalRun(
+          prev, edges.where(isDelta).as[(Long, Long)])
+        .orderBy(col("node"))
+    }),
+    // frequency-based (Winkler) agreement weights: agreeing on a rare
+    // nation outweighs agreeing on a common market segment — weights are
+    // exact fixed-point rarity ratios attached per RECORD (one agg+join
+    // per field), never computed on the pair set
+    "q_freq_weights" -> ((s, dir) =>
+      graft.link.FieldMatch.selfScoreFrequency(
+          s.read.parquet(s"$dir/customer.parquet"),
+          "c_custkey", col("c_custkey") % 50,
+          Seq("c_nationkey", "c_mktsegment"), scale = 1000L,
+          minScore = 20000L)
+        .orderBy(col("id0"), col("id1"))),
+    // daily distinct users: exact countDistinct is the oracle path;
+    // approx_count_distinct (HLL++, mergeable, no Expand blow-up) is the
+    // 100-TB path for the same number, spec-gated to <5% error in
+    // StreamingSpec — the q_quantiles exact/sketch pairing for
+    // cardinality estimation
+    "q_daily_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(unix_timestamp(date_trunc("day", col("ts")))
+          .as("day_epoch"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("day_epoch"))),
+    // per-user 3-sigma outlier events in exact integer arithmetic (the
+    // z-score test cleared of division and sqrt — pure fixed-point
+    // comparison, bit-stable at any partitioning)
+    "q_outliers" -> ((s, dir) =>
+      graft.streaming.EventStream.sigmaOutliers(events(s, dir),
+          "user_id", "event_id", "value", k = 2)
+        .select(col("key").as("user_id"), col("id").as("event_id"), col("v"))
+        .orderBy(col("user_id"), col("event_id"))),
     // integer-exact k-means (k=8, 2 Lloyd iterations) over int8-shifted
     // embeddings: bit-identical at any parallelism — the exact-integer-
     // arithmetic pattern (PageRank) applied to clustering, so the whole
@@ -1318,6 +1395,71 @@ object SparkEntry {
                       chr(10) ORDER BY pos), '')) AS clean_md5
          FROM l JOIN f ON trim(l.line) = f.k
          GROUP BY doc_id""",
+    // same integer moments in HUGEINT; same double ops in the ratio
+    "q_correlation" ->
+      """WITH b AS (SELECT event_type,
+                           CAST(floor(value * 100) AS BIGINT) AS v,
+                           CAST(hour(ts) AS BIGINT) AS h FROM events),
+         m AS (SELECT event_type, count(*) AS n,
+                      sum(v) AS sv, sum(h) AS sh, sum(v*h) AS svh,
+                      sum(v*v) AS svv, sum(h*h) AS shh
+               FROM b GROUP BY 1)
+         SELECT event_type, n,
+                round(CAST(n*svh - sv*sh AS DOUBLE)
+                  / sqrt(CAST(n*svv - sv*sv AS DOUBLE)
+                       * CAST(n*shh - sh*sh AS DOUBLE)), 6) AS r
+         FROM m""",
+    // from-scratch closure over the FULL edge set (recursive CTE, min
+    // reachable node id) — must equal the incremental result
+    "q_cc_delta" ->
+      """WITH RECURSIVE
+         li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                WHERE l_orderkey % 4 = 0 AND l_partkey % 2 = 0),
+         p AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+               FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         nodes AS (SELECT DISTINCT u AS id FROM e),
+         reach(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id)
+         SELECT id AS node, min(r) AS component FROM reach GROUP BY id""",
+    // same per-field frequency tables, same (n*scale) // freq weights
+    "q_freq_weights" ->
+      """WITH c AS (SELECT c_custkey AS id, c_custkey % 50 AS bk,
+                           c_nationkey, c_mktsegment FROM customer),
+         n AS (SELECT count(*) AS n FROM c),
+         fn AS (SELECT c_nationkey, count(*) AS cn FROM c GROUP BY 1),
+         fm AS (SELECT c_mktsegment, count(*) AS cm FROM c GROUP BY 1),
+         e AS (SELECT id, bk, c.c_nationkey, c.c_mktsegment,
+                      (n.n * 1000) // fn.cn AS wn,
+                      (n.n * 1000) // fm.cm AS wm
+               FROM c JOIN fn USING (c_nationkey)
+                      JOIN fm USING (c_mktsegment), n),
+         p AS (SELECT a.id AS id0, b.id AS id1,
+                 CASE WHEN a.c_nationkey = b.c_nationkey THEN a.wn
+                      ELSE 0 END AS w_c_nationkey,
+                 CASE WHEN a.c_mktsegment = b.c_mktsegment THEN a.wm
+                      ELSE 0 END AS w_c_mktsegment
+               FROM e a JOIN e b ON a.bk = b.bk AND a.id < b.id)
+         SELECT id0, id1, w_c_nationkey, w_c_mktsegment,
+                w_c_nationkey + w_c_mktsegment AS score
+         FROM p WHERE w_c_nationkey + w_c_mktsegment >= 20000""",
+    "q_daily_distinct" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY 1""",
+    // same fixed-point moments; the squared test replays in HUGEINT
+    "q_outliers" ->
+      """WITH b AS (SELECT user_id AS key, event_id AS id,
+                           CAST(floor(value * 100) AS BIGINT) AS v
+                    FROM events),
+         st AS (SELECT key, count(*) AS n, sum(v) AS s, sum(v*v) AS ss
+                FROM b GROUP BY key)
+         SELECT b.key AS user_id, b.id AS event_id, b.v AS v
+         FROM b JOIN st USING (key)
+         WHERE (CAST(n AS HUGEINT) * b.v - s) * (CAST(n AS HUGEINT) * b.v - s)
+               > 4 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)""",
     // full 2-iteration Lloyd replay in relational form: same int8+127
     // quantization, same integer distances, same (dist, cid) tiebreak,
     // same floored centroid division (non-negative domain), empty

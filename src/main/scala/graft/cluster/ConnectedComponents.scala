@@ -92,6 +92,51 @@ object ConnectedComponents {
     assign
   }
 
+  /** INCREMENTAL update: fold a delta edge set into an existing
+    * (node, component) assignment without re-solving the old graph —
+    * the shape an always-on crawl pipeline needs (a new snapshot adds
+    * edges; re-clustering 10^12 documents from scratch per batch is the
+    * thing this exists to avoid).
+    *
+    * Precondition: `prev` labels are component MINIMA, which is what
+    * [[run]] emits. Delta endpoints are mapped through their old labels
+    * (unseen nodes label themselves), CC runs on that COLLAPSED graph —
+    * its size is O(|delta|), independent of the old graph — and the
+    * merged labels propagate back through `prev` with one key join.
+    * Because an old label is the min of its members, the merged min over
+    * (labels ∪ new ids) equals the global min node id, so the output is
+    * bit-identical to [[run]] over the union graph.
+    *
+    * Cost: two joins over the delta, one CC on the collapsed graph, one
+    * join over `prev` — the old EDGE set is never touched. */
+  def incrementalRun(prev: DataFrame, deltaEdges: Dataset[(Long, Long)],
+      maxIterations: Int = 50,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
+    val spark = prev.sparkSession
+    import spark.implicits._
+    val p = prev.select(col("node"), col("component"))
+    val collapsed = deltaEdges.toDF("du", "dv")
+      .join(p.select(col("node").as("du"), col("component").as("cu")),
+        Seq("du"), "left")
+      .join(p.select(col("node").as("dv"), col("component").as("cv")),
+        Seq("dv"), "left")
+      .select(coalesce(col("cu"), col("du")).as("_1"),
+        coalesce(col("cv"), col("dv")).as("_2"))
+      .as[(Long, Long)]
+    val merged = run(collapsed, maxIterations, localSolveMaxEdges)
+    // relabel old components touched by the delta (old labels are prev
+    // NODES too, so the label domain and the new-node domain are
+    // disjoint); untouched components keep their labels
+    val relabeled = p
+      .join(merged.select(col("node").as("component"),
+        col("component").as("newc")), Seq("component"), "left")
+      .select(col("node"), coalesce(col("newc"), col("component"))
+        .as("component"))
+    // nodes introduced by the delta
+    val fresh = merged.join(p.select("node"), Seq("node"), "left_anti")
+    relabeled.unionByName(fresh)
+  }
+
   /** Driver-side union-find (path compression, union by min id — the
     * root of a set is always its minimum node id). */
   private[cluster] def localRun(spark: SparkSession,

@@ -58,4 +58,43 @@ object FieldMatch {
       .select(Seq(col("id0"), col("id1")) ++
         rules.map(r => col(s"agree_${r.field}")) :+ col("score"): _*)
   }
+
+  /** Frequency-based (value-specific) agreement weights — Winkler's
+    * refinement of Fellegi–Sunter: agreeing on a RARE value is stronger
+    * evidence than agreeing on a common one (two records sharing
+    * nationality "Nauru" are far likelier the same entity than two
+    * sharing "China"). Each field's agreement contributes the fixed-
+    * point rarity ratio `(n_rows·scale) DIV freq(value)` instead of a
+    * constant — exact integers, so the score is bit-stable and
+    * SQL-replayable; nulls never agree.
+    *
+    * Shape: one hash agg + one key join PER FIELD on the RECORD table
+    * (never on the quadratic pair set) to attach each record's
+    * would-be weight, then the usual salted pair generation; the pair
+    * stage just multiplies flags by pre-joined weights.
+    * Output: (id0, id1, w_<field>..., score). */
+  def selfScoreFrequency(df: DataFrame, id: String, blockCol: Column,
+      fields: Seq[String], scale: Long = 1000L,
+      minScore: Long = 1L): DataFrame = {
+    require(fields.nonEmpty && fields.distinct.size == fields.size, "fields")
+    val base = df.select(
+      Seq(col(id).cast("long").as("id"), blockCol.as("bk")) ++
+        fields.map(col): _*)
+    val n = base.count()
+    val enriched = fields.foldLeft(base) { (d, f) =>
+      val freq = base.groupBy(col(f)).agg(count(lit(1)).as(s"__c_$f"))
+      d.join(freq, Seq(f), "left")
+        .withColumn(s"w_$f",
+          expr(s"CAST((${n}L * ${scale}L) DIV __c_$f AS BIGINT)"))
+        .drop(s"__c_$f")
+    }
+    val pairs = graft.dedup.Dedup.saltedSelfPairs(enriched)
+    val terms = fields.map { f =>
+      when(col(f + "0").isNotNull && col(f + "0") === col(f + "1"),
+        col(s"w_${f}0")).otherwise(lit(0L)).as(s"w_$f")
+    }
+    pairs.select(Seq(col("id0"), col("id1")) ++ terms: _*)
+      .withColumn("score", fields.map(f => col(s"w_$f")).reduce(_ + _))
+      .where(col("score") >= minScore)
+  }
 }

@@ -127,6 +127,39 @@ object EventStream {
       .dropDuplicates("dp0", "rec0", "dp1", "rec1")
   }
 
+  /** Per-key k-sigma outlier detection in EXACT integer arithmetic — the
+    * event-monitoring readout (anomalous purchase amounts, runaway
+    * counters) made engine-reproducible: values are fixed-pointed with
+    * floor(value·scale) and the z-score test is cleared of both the
+    * division and the square root:
+    *
+    *   |v - s/n| > k·sqrt((n·ss - s²)/n²)  ⇔  (n·v - s)² > k²·(n·ss - s²)
+    *
+    * so the flag is a pure integer comparison (decimal-widened — ANSI-
+    * safe and exact at any magnitude), bit-identical at any partitioning
+    * and replayable in SQL (HUGEINT on the DuckDB side).
+    *
+    * Shape: one map-side-combining hash agg for the per-key moments, one
+    * join back on the key — no window, no second pass over values.
+    * Output: the outlier rows (key, id, v = fixed-point value). */
+  def sigmaOutliers(events: DataFrame, key: String, idCol: String,
+      valueCol: String, k: Int = 3, scale: Int = 100): DataFrame = {
+    val base = events.select(col(key).as("key"), col(idCol).as("id"),
+      floor(col(valueCol) * scale).cast("long").as("v"))
+    val stats = base.groupBy("key").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("v").cast("decimal(28,0)")).cast("decimal(38,0)").as("s"),
+      sum((col("v") * col("v")).cast("decimal(28,0)"))
+        .cast("decimal(38,0)").as("ss"))
+    val vv = col("v").cast("decimal(38,0)")
+    val lhs = (col("n") * vv - col("s")) * (col("n") * vv - col("s"))
+    val rhs = lit(k.toLong * k).cast("decimal(38,0)") *
+      (col("n") * col("ss") - col("s") * col("s"))
+    base.join(stats, "key")
+      .where(lhs > rhs)
+      .select("key", "id", "v")
+  }
+
   /** Watermarked STREAM-STREAM interval join (view→click attribution):
     * each left event pairs with every right event of the same key whose
     * timestamp falls in `[left_ts, left_ts + windowSeconds]`. Both sides

@@ -71,4 +71,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(runToMap(edges, localMax = Long.MaxValue) === Map(1L -> 1L, 2L -> 1L))
     assert(runToMap(edges, localMax = 0) === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("incrementalRun == from-scratch run over the union graph") {
+    import spark.implicits._
+    import graft.cluster.ConnectedComponents
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // random graph; the delta split exercises new nodes, edges inside
+      // one old component (collapse to self-loops), and merges ACROSS
+      // old components
+      val all = Seq.fill(400)(
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).distinct
+      val (delta, old) = all.partition(e => (e._1 + e._2) % 3 == 0)
+      val prev = ConnectedComponents.run(old.toDS())
+      val got = ConnectedComponents.incrementalRun(prev, delta.toDS())
+        .as[(Long, Long)].collect()
+      assert(got.map(_._1).distinct.length == got.length,
+        s"trial $trial: duplicate node assignments")
+      val want = ConnectedComponents.run(all.toDS())
+        .as[(Long, Long)].collect().toSet
+      assert(got.toSet == want, s"trial $trial")
+    }
+    // delta merging two previously separate components relabels BOTH
+    val prev = ConnectedComponents.run(Seq((1L, 2L), (10L, 11L)).toDS())
+    val got = ConnectedComponents.incrementalRun(prev, Seq((2L, 10L)).toDS())
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // empty delta is the identity
+    val same = ConnectedComponents.incrementalRun(prev,
+      spark.emptyDataset[(Long, Long)]).as[(Long, Long)].collect().toMap
+    assert(same == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }

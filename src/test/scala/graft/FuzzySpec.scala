@@ -95,4 +95,38 @@ class FuzzySpec extends SparkSpec {
       assert(got(in) == want, s"soundex($in) = ${got(in)}, want $want")
     }
   }
+
+  test("selfScoreFrequency: rarity weights == brute force; nulls never agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 12 records, one block; nation freq varies (rare=1, common=6),
+    // two null nations (must contribute nothing even to each other)
+    val rows: Seq[(Long, Option[String], String)] = Seq(
+      (1L, Some("NAURU"), "AUTO"), (2L, Some("NAURU"), "AUTO"),
+      (3L, Some("CHINA"), "AUTO"), (4L, Some("CHINA"), "BIKE"),
+      (5L, Some("CHINA"), "BIKE"), (6L, Some("CHINA"), "AUTO"),
+      (7L, Some("CHINA"), "AUTO"), (8L, Some("CHINA"), "AUTO"),
+      (9L, Some("PERU"), "BIKE"), (10L, None, "AUTO"),
+      (11L, None, "AUTO"), (12L, Some("PERU"), "AUTO"))
+    val df = rows.toDF("rid", "nat", "seg")
+    val got = graft.link.FieldMatch.selfScoreFrequency(df, "rid", lit("b"),
+        Seq("nat", "seg"), scale = 1000L, minScore = 1L)
+      .select($"id0".as[Long], $"id1".as[Long], $"w_nat".as[Long],
+        $"w_seg".as[Long]).collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val n = rows.size.toLong
+    val natFreq = rows.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val segFreq = rows.map(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val want = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      wn = if (a._2.isDefined && a._2 == b._2) n * 1000 / natFreq(a._2.get) else 0L
+      ws = if (a._3 == b._3) n * 1000 / segFreq(a._3) else 0L
+      if wn + ws >= 1
+    } yield (a._1, b._1) -> (wn, ws)).toMap
+    assert(got == want)
+    // the rare-nation pair outscores any common-nation pair
+    assert(got((1L, 2L))._1 == 6000L && got((3L, 6L))._1 == 2000L)
+    // null-null pairs carry no nation weight
+    assert(got.get((10L, 11L)).forall(_._1 == 0L))
+  }
 }

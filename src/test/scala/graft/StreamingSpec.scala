@@ -56,6 +56,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((epoch(1), "a", 2L, 3.0), (epoch(2), "b", 1L, 3.0)), got.toString)
   }
 
+  test("approx_count_distinct (HLL sketch path) tracks exact daily distincts") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfTiny/events.parquet")
+    val both = ev.groupBy(date_trunc("day", $"ts").as("d"))
+      .agg(countDistinct($"user_id").as("exact"),
+        approx_count_distinct($"user_id").as("approx"))
+      .select($"exact".as[Long], $"approx".as[Long]).collect()
+    assert(both.nonEmpty)
+    both.foreach { case (e, a) =>
+      assert(math.abs(a - e).toDouble <= math.max(1.0, e * 0.05),
+        s"sketch error too high: approx=$a exact=$e")
+    }
+  }
+
+  test("sigmaOutliers: integer test == local BigInt z-score brute force") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfTiny/events.parquet")
+    val got = EventStream.sigmaOutliers(ev, "user_id", "event_id", "value", k = 2)
+      .select($"key".as[Long], $"id".as[Long], $"v".as[Long]).collect().toSet
+    val rows = ev.select($"user_id".as[Long], $"event_id".as[Long],
+      $"value".as[Double]).collect()
+      .map { case (u, e, x) => (u, e, math.floor(x * 100).toLong) }
+    val want = rows.groupBy(_._1).values.flatMap { rs =>
+      val n = BigInt(rs.length)
+      val s = rs.map(r => BigInt(r._3)).sum
+      val ss = rs.map(r => BigInt(r._3) * r._3).sum
+      rs.filter { case (_, _, v) =>
+        val d = n * v - s
+        d * d > 4 * (n * ss - s * s)
+      }
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture yields no 2-sigma outliers")
+    assert(want.size < rows.length / 10, "outliers should be rare")
+  }
+
   test("stream-stream interval join over incremental batches == batch join") {
     import spark.implicits._
     // stage events as 4 files: both sides see 4 micro-batches, so joined
