@@ -786,6 +786,22 @@ object SparkEntry {
       try q.awaitTermination() finally if (q.isActive) q.stop()
       s.table(qn).orderBy(col("dup_key"))
     }),
+    // session windows through the REAL streaming engine (append mode):
+    // only watermark-finalized sessions emit — sessions whose end is
+    // still inside the gap horizon at end-of-stream are withheld, and
+    // the oracle replays exactly that finalization rule
+    "q_stream_sessions" -> ((s, dir) => {
+      val qn = s"stream_sessions_q${streamQueryIds.incrementAndGet()}"
+      val src = graft.streaming.EventStream
+        .parquetStream(s, s"$dir/events.parquet")
+      val q = graft.streaming.EventStream
+        .sessionWindows(src, gap = "30 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      s.table(qn).orderBy(col("user_id"), col("start_us"))
+    }),
     // STREAM-STREAM watermarked interval join through the real engine:
     // events staged as a 4-file dir (4 micro-batches per side), views and
     // clicks streamed as two independent sources, joined on user with
@@ -2834,6 +2850,27 @@ object SparkEntry {
     "q_stream_first_seen" ->
       """SELECT DISTINCT array_to_string(str_split(text, ' ')[1:3], ' ') AS dup_key
          FROM documents""",
+    // gap-merge sessions via lag-flag-cumsum (new session when the gap
+    // is >= 30 min — session_window treats an event AT the window end as
+    // outside it), finalization = end (last+gap) <= global max event time
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         mx AS (SELECT max(t) AS mt FROM e),
+         f AS (SELECT user_id, t,
+                 CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                        >= 1800000000 OR
+                      lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+               FROM e),
+         s AS (SELECT user_id, t,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS seq
+               FROM f),
+         g AS (SELECT user_id, seq, min(t) AS start_us,
+                      max(t) + 1800000000 AS end_us, count(*) AS n_events
+               FROM s GROUP BY 1, 2)
+         SELECT user_id, start_us, end_us, n_events
+         FROM g, mx WHERE end_us <= mt""",
     // batch form of the streaming interval join (wide watermark => exact)
     "q_stream_join" ->
       """SELECT v.user_id AS key, v.event_id AS left_id,

@@ -127,6 +127,24 @@ object EventStream {
       .dropDuplicates("dp0", "rec0", "dp1", "rec1")
   }
 
+  /** Session-window aggregation for the STREAMING engine: merge-gap
+    * session windows per user (the streaming counterpart of the batch
+    * [[sessionize]]). In append mode a session emits only once the
+    * event-time watermark passes its end (= last event + gap) — the
+    * exact finalization rule the driver query's oracle replays: sessions
+    * still inside the gap horizon at end-of-stream are withheld, which
+    * is correct streaming semantics, not data loss.
+    * Output: (user_id, start_us, end_us, n_events). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "0 seconds"): DataFrame =
+    events.select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"))
+
   /** Per-key k-sigma outlier detection in EXACT integer arithmetic — the
     * event-monitoring readout (anomalous purchase amounts, runaway
     * counters) made engine-reproducible: values are fixed-pointed with

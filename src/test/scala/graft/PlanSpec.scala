@@ -175,4 +175,52 @@ class PlanSpec extends SparkSpec {
     assert(r2.getDouble(2) == 11.0)
     assert(r2.getDouble(3) == 5.0)
   }
+
+  test("bloomSemiJoin: probe filter sits on the big side's scan stage") {
+    val big = spark.read.parquet(s"$sfSmall/lineitem.parquet")
+    val small = spark.read.parquet(s"$sfSmall/orders.parquet")
+      .where(col("o_orderkey") % 7 === 0)
+    val plan = executed(graft.rel.Relational.bloomSemiJoin(
+      big, "l_orderkey", small, "o_orderkey"))
+    // the bloom_might_contain predicate must appear in a Filter BELOW the
+    // join (pre-shuffle), and the join itself must still be there
+    val lines = plan.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("bloom_might_contain") && l.contains("Filter"))
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("LeftSemi") || l.contains("left_semi"))
+    assert(probeIdx >= 0, s"no bloom probe Filter in plan:\n$plan")
+    assert(joinIdx >= 0 && joinIdx < probeIdx,
+      s"probe not below the semi join:\n$plan")
+    // and the Filter sits DIRECTLY on the big side's FileScan
+    assert(lines.drop(probeIdx + 1).headOption.exists(_.contains("FileScan")),
+      s"probe filter not fused onto the scan:\n$plan")
+  }
+
+  test("zorder assignment plans no global sort and no extra shuffle") {
+    val df = spark.read.parquet(s"$sfSmall/lineitem.parquet")
+    val plan = executed(
+      graft.rel.Layout.zorderAssign(df, "l_partkey", "l_suppkey"))
+    // one broadcast of the min/max row; the bucket is row-local — any
+    // Sort or hash Exchange over the data would break the at-scale story
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortExec") && !plan.linesIterator.exists(l =>
+      l.trim.startsWith("Sort ")), plan)
+    val dataExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(dataExchanges == 0, s"unexpected data shuffle:\n$plan")
+  }
+
+  test("applyChanges: changelog agg is partial (map-side combine) and join is keyed") {
+    import spark.implicits._
+    val snap = (0L until 100L).map(i => (i, i * 2)).toDF("k", "v")
+    val chg = (0L until 50L).map(i => (i, i, "U", i * 3)).toDF("k", "seq", "op", "v")
+    val plan = executed(graft.rel.Relational.applyChanges(snap, chg, "k", "seq", "op"))
+    // max_by must run as a partial (map-side combining) aggregate below
+    // the exchange — struct buffers plan as SortAggregate, which is fine;
+    // a Window (full per-key sort of the raw changelog) would not be
+    assert(plan.contains("partial_max_by"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

@@ -56,6 +56,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((epoch(1), "a", 2L, 3.0), (epoch(2), "b", 1L, 3.0)), got.toString)
   }
 
+  test("streaming session windows: append emits exactly the finalized sessions") {
+    import spark.implicits._
+    val q = EventStream.sessionWindows(
+        EventStream.parquetStream(spark, s"$sfTiny/events.parquet"),
+        gap = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ssw")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val got = spark.table("ssw")
+      .select($"user_id".as[Long], $"start_us".as[Long], $"end_us".as[Long],
+        $"n_events".as[Long]).collect().toSet
+    // local rule: split per user on gaps >= 30 min; a session finalizes
+    // only when its end (last event + gap) <= the global max event time
+    val rows = spark.read.parquet(s"$sfTiny/events.parquet")
+      .select($"user_id".as[Long],
+        unix_micros($"ts".cast("timestamp")).as[Long]).collect()
+    val gapUs = 1800L * 1000000
+    val maxT = rows.map(_._2).max
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val ts = rs.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[List[Long]]) {
+        case (acc, t) if acc.nonEmpty && t - acc.head.head < gapUs =>
+          (t :: acc.head) :: acc.tail
+        case (acc, t) => List(t) :: acc
+      }
+      sessions.map(s => (u, s.min, s.max + gapUs, s.size.toLong))
+    }.filter(_._3 <= maxT).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("approx_count_distinct (HLL sketch path) tracks exact daily distincts") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sfTiny/events.parquet")
