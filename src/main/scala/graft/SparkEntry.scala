@@ -33,6 +33,14 @@ object SparkEntry {
 
   /** Auxiliary dumps written by Verify before the driver's oracle runs. */
   def oracleAux: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 8x8 aHash cells of the deterministic variant corpus: the oracle
+    // re-derives bits/mean/Hamming from the cells, so hashing + banding +
+    // pairing are value-checked (the decode itself is MultimodalSpec's)
+    "image_phash" -> ((s, _) =>
+      graft.multimodal.Multimodal.perceptualHashes(
+          graft.multimodal.Multimodal.synthPngVariants(s, 40),
+          "doc", "payload")
+        .toDF().where(col("ok")).select(col("doc"), col("cells"))),
     "minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")),
     "simhash_sig" -> ((s, dir) =>
@@ -1041,6 +1049,14 @@ object SparkEntry {
       graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy(col("vec_id"))),
+    // image near-dup pairs by perceptual aHash (REAL ImageIO decode):
+    // 4-band pigeonhole over the 64-bit hash (exact for dist<=3) + a
+    // bit_count(xor) confirm — the multimodal twin of q_simhash_pairs
+    "q_image_neardup" -> ((s, _) =>
+      graft.multimodal.Multimodal.imageNearDupPairs(
+          graft.multimodal.Multimodal.synthPngVariants(s, 40),
+          "doc", "payload", maxDist = 3)
+        .orderBy(col("id0"), col("id1"))),
     // Z-order layout: per-bucket min/max envelopes of the quantized
     // (l_partkey, l_suppkey) plane — each bucket is a 16x16 rectangle
     // (the bucket is a prefix of the Morton code), which IS the file-
@@ -1514,6 +1530,22 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn FROM a2d) WHERE rn = 1)
          SELECT vec_id, cid AS cluster, dist FROM a2""",
+    // all-pairs Hamming from the raw aHash cells (the banded Spark path
+    // is exact for dist<=3 by pigeonhole, so all-pairs must agree);
+    // bits re-derived from cells with the same floor-mean rule
+    "q_image_neardup" ->
+      s"""WITH c AS (SELECT doc, cells
+                     FROM '$OracleAuxDir/image_phash/*.parquet'),
+         b AS (SELECT doc, cells, list_sum(cells) // 64 AS mean FROM c),
+         bits AS (SELECT doc, list_transform(cells,
+                    x -> CASE WHEN x > mean THEN 1 ELSE 0 END) AS bv
+                  FROM b),
+         p AS (SELECT a.doc AS id0, b2.doc AS id1,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN a.bv[i] <> b2.bv[i] THEN 1 ELSE 0 END))
+                   AS INT) AS dist
+               FROM bits a JOIN bits b2 ON a.doc < b2.doc)
+         SELECT id0, id1, dist FROM p WHERE dist <= 3""",
     // Morton code via the per-bit sum (independent of the engine's
     // magic-number spread); same exact-integer quantization
     "q_zorder" ->

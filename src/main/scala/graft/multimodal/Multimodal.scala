@@ -185,6 +185,144 @@ object Multimodal {
       }
   }
 
+  /** Deterministic near-dup image corpus: `groups` base 64×64 grayscale
+    * PNGs, each a BIMODAL 8×8 cell mosaic (cells at 32 or 224, selected
+    * by a group-specific hashed bit pattern — every cell sits ~96 levels
+    * from the global mean, so small mean drift can never flip an
+    * unrelated bit), each with 3 variants: the base, one cell inverted,
+    * two cells inverted. Within-group aHash distance is exactly the
+    * number of inverted cells (≤ 2); across groups ~half the pattern
+    * bits differ. doc = group*3 + variant; content depends only on doc,
+    * so any consumer regenerates the same bytes at any partitioning. */
+  def synthPngVariants(spark: SparkSession, groups: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(groups * 3L).as[Long]
+      .mapPartitions { it =>
+        it.map { doc =>
+          val g = doc / 3
+          val v = (doc % 3).toInt
+          // splitmix64-style per-group pattern
+          var z = (g + 1) * -7046029254386353131L
+          z = (z ^ (z >>> 30)) * -4658895280553007687L
+          z = (z ^ (z >>> 27)) * -7723592293110705685L
+          val pattern = z ^ (z >>> 31)
+          val img = new java.awt.image.BufferedImage(
+            64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) {
+              val cell = (y / 8) * 8 + (x / 8)
+              val bright = (((pattern >>> cell) & 1L) == 1L) ^ (cell < v)
+              val lum = if (bright) 224 else 32
+              img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (doc, bos.toByteArray)
+        }
+      }
+      .toDF("doc", "payload")
+  }
+
+  case class PHash(doc: Long, ok: Boolean, cells: Array[Int], hash: Long)
+
+  /** 8×8 average-hash cells of a decoded image: integer block-mean
+    * luminance per cell (floor division throughout — deterministic and
+    * SQL-replayable), cell (by,bx) covering pixel rows
+    * [by·h/8, (by+1)·h/8) etc. Requires w,h ≥ 8. */
+  private[multimodal] def aHashCells(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    Array.tabulate(64) { c =>
+      val bx = c % 8
+      val by = c / 8
+      val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var sum = 0L
+      var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      (sum / math.max(n, 1)).toInt
+    }
+  }
+
+  /** Perceptual (average) hash per image: bit i set iff cell i's mean
+    * luminance exceeds the 64-cell mean — the classic aHash. REAL decode;
+    * undecodable payloads come back ok=false with hash 0. */
+  def perceptualHashes(df: DataFrame, idCol: String,
+      binCol: String): Dataset[PHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          val decoded =
+            if (!looksLikeImage(payload)) None
+            else try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)))
+            catch { case _: Throwable => None }
+          decoded.filter(i => i.getWidth >= 8 && i.getHeight >= 8) match {
+            case Some(img) =>
+              val cells = aHashCells(img)
+              val mean = cells.map(_.toLong).sum / 64
+              var hash = 0L
+              var i = 0
+              while (i < 64) {
+                if (cells(i) > mean) hash |= (1L << i)
+                i += 1
+              }
+              PHash(id, ok = true, cells, hash)
+            case None => PHash(id, ok = false, Array.fill(64)(0), 0L)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup pairs by perceptual-hash Hamming distance ≤ maxDist
+    * (≤ 3): the SimHash pigeonhole applied to images — 4 bands of 16
+    * bits, a pair within distance 3 shares at least one intact band, so
+    * candidates come from 4 equi-joins on 2-byte keys and only
+    * candidates pay the bit_count(xor) confirm. The heavy binary column
+    * dies at the hash stage; bands and pairs carry (id, 8-byte hash)
+    * only. Output: (id0, id1, dist). */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3, s"pigeonhole bands cover <= 3: $maxDist")
+    val spark = df.sparkSession
+    val ph = perceptualHashes(df, idCol, binCol).toDF()
+      .where(col("ok")).select(col("doc"), col("hash"))
+    val banded = ph.select(col("doc"), col("hash"),
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> struct(b AS band, shiftright(hash, b * 16) % 65536 AS key))"))
+          .as("bk"))
+      .select(col("doc"), col("hash"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id0"), col("b.doc").as("id1"),
+        col("a.hash").as("h0"), col("b.hash").as("h1"))
+      .distinct()
+    cand.select(col("id0"), col("id1"),
+        expr("CAST(bit_count(h0 ^ h1) AS INT)").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Frame sampling stub: split a binary "video" payload into fixed-size
     * frames and keep every `stride`-th — exercises the explode/slice
     * plumbing of per-frame rows. */

@@ -607,6 +607,43 @@ class AnnSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  test("perceptual hash: variants cluster, groups separate, banding exact <=3") {
+    import spark.implicits._
+    val media = Multimodal.synthPngVariants(spark, groups = 20)
+    val ph = Multimodal.perceptualHashes(media, "doc", "payload")
+      .collect().map(p => p.doc -> p).toMap
+    assert(ph.values.forall(_.ok), "all variant PNGs must decode")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // within-group variants differ by at most the flipped cells (+mean
+    // drift); across groups the gradient orientation differs
+    val within = for (g <- 0 until 20; v <- 1 to 2)
+      yield ham(ph(g * 3L).hash, ph(g * 3L + v).hash)
+    assert(within.max <= 3, s"variant drifted: ${within.max} bits")
+    // the banded pair path == brute-force Hamming <= 3 over all hashes
+    val got = Multimodal.imageNearDupPairs(media, "doc", "payload", 3)
+      .select($"id0".as[Long], $"id1".as[Long], $"dist".as[Int])
+      .collect().toSet
+    val want = (for {
+      a <- ph.values; b <- ph.values
+      if a.doc < b.doc
+      d = ham(a.hash, b.hash) if d <= 3
+    } yield (a.doc, b.doc, d)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the corpus is not one blob: most cross-group pairs are far
+    val cross = for (g <- 0 until 19)
+      yield ham(ph(g * 3L).hash, ph((g + 1) * 3L).hash)
+    assert(cross.count(_ > 3) >= 15, s"groups not separated: $cross")
+    // hash bits re-derive from cells exactly (the oracle's construction)
+    ph.values.foreach { p =>
+      val mean = p.cells.map(_.toLong).sum / 64
+      val rebuilt = p.cells.zipWithIndex
+        .collect { case (c, i) if c > mean => 1L << i }
+        .foldLeft(0L)(_ | _)
+      assert(rebuilt == p.hash)
+    }
+  }
+
   test("feature extraction: schema, determinism, partition invariance") {
     import spark.implicits._
     val pages = graft.ingest.PagesSynth.pages(spark, Seq(100, 100)).toDF()
