@@ -1049,6 +1049,21 @@ object SparkEntry {
       graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy(col("vec_id"))),
+    // 3-core of the (arithmetically thinned) co-purchase graph: peel to
+    // fixpoint; unique result regardless of peel order, so the oracle
+    // replays it as a fixed chain of 20 SQL rounds (no-ops past
+    // convergence). Output = surviving nodes with their in-core degree
+    "q_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        .where((col("u") * 1000003 + col("v")) % 17 === 0)
+      graft.cluster.KCore.run(edges.as[(Long, Long)], k = 3)
+        .orderBy(col("node"))
+    }),
     // image near-dup pairs by perceptual aHash (REAL ImageIO decode):
     // 4-band pigeonhole over the 64-bit hash (exact for dist<=3) + a
     // bit_count(xor) confirm — the multimodal twin of q_simhash_pairs
@@ -1530,6 +1545,25 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn FROM a2d) WHERE rn = 1)
          SELECT vec_id, cid AS cluster, dist FROM a2""",
+    // 20 generated peel rounds (the k-core is unique and rounds past
+    // convergence are identity, so a fixed chain replays the fixpoint)
+    "q_kcore" -> {
+      val steps = (1 to 20).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u
+                    HAVING count(*) >= 3),
+         e$i AS MATERIALIZED (SELECT c.u, c.v FROM e${i - 1} c
+                 WHERE c.u IN (SELECT u FROM k$i)
+                   AND c.v IN (SELECT u FROM k$i))"""
+      }.mkString(",\n         ")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                      FROM lineitem),
+         p AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+               FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         f AS (SELECT u, v FROM p WHERE (u * 1000003 + v) % 17 = 0),
+         e0 AS (SELECT u, v FROM f UNION SELECT v, u FROM f),
+         $steps
+         SELECT u AS node, count(*) AS deg FROM e20 GROUP BY u"""
+    },
     // all-pairs Hamming from the raw aHash cells (the banded Spark path
     // is exact for dist<=3 by pigeonhole, so all-pairs must agree);
     // bits re-derived from cells with the same floor-mean rule

@@ -72,6 +72,41 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(runToMap(edges, localMax = 0) === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("kCore: == local peel oracle; pendant structure peels away") {
+    import spark.implicits._
+    import graft.cluster.KCore
+    // triangle with a pendant chain: the triangle is the whole 2-core
+    val hand = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = KCore.run(hand.toDS(), k = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a pure path has NO 2-core (cascading peel to empty)
+    assert(KCore.run(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDS(), k = 2)
+      .count() == 0)
+    // random graphs vs a local peel oracle
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(300)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val k = 3
+      var cur: Set[(Long, Long)] =
+        edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        changed = next != cur
+        cur = next
+      }
+      val wantDeg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val g = KCore.run(edges.toDS(), k).as[(Long, Long)].collect().toMap
+      assert(g == wantDeg, s"trial $trial")
+    }
+  }
+
   test("incrementalRun == from-scratch run over the union graph") {
     import spark.implicits._
     import graft.cluster.ConnectedComponents
