@@ -1049,6 +1049,31 @@ object SparkEntry {
       graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy(col("vec_id"))),
+    // small-file compaction planning (Iceberg rewrite_data_files): files
+    // simulated as orders row-count groups; output group = running
+    // offset DIV target — a metadata-scale window, not a data shuffle
+    "q_compaction_plan" -> ((s, dir) => {
+      val files = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy((col("o_orderkey") % 64).as("file_id"))
+        .agg(count(lit(1)).as("size"))
+      graft.rel.Layout.compactionPlan(files, "file_id", "size",
+          targetBytes = 100L)
+        .orderBy(col("file_id"))
+    }),
+    // schema/distribution drift between two snapshots: the new snapshot
+    // deliberately nulls value for clicks and collapses props to one
+    // literal — those two columns must flag, the others must not
+    "q_schema_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val old = ev.where(col("event_id") % 2 === 0)
+      val neu = ev.where(col("event_id") % 2 === 1)
+        .withColumn("value", when(col("event_type") === "click",
+          lit(null).cast("double")).otherwise(col("value")))
+        .withColumn("props", lit("{}"))
+      graft.rel.Profile.drift(old, neu,
+          Seq("event_type", "value", "props", "user_id"))
+        .orderBy(col("column"))
+    }),
     // 3-core of the (arithmetically thinned) co-purchase graph: peel to
     // fixpoint; unique result regardless of peel order, so the oracle
     // replays it as a fixed chain of 20 SQL rounds (no-ops past
@@ -1545,6 +1570,75 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn FROM a2d) WHERE rn = 1)
          SELECT vec_id, cid AS cluster, dist FROM a2""",
+    "q_compaction_plan" ->
+      """WITH f AS (SELECT o_orderkey % 64 AS file_id, count(*) AS size
+                    FROM orders GROUP BY 1)
+         SELECT file_id, size,
+                COALESCE(sum(size) OVER (ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS start_off,
+                COALESCE(sum(size) OVER (ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 100 AS out_group
+         FROM f""",
+    // same per-column counts over both snapshots; drift = exact integer
+    // cross-multiplication (x2.0 factor in tenths)
+    "q_schema_drift" ->
+      """WITH o AS (SELECT * FROM events WHERE event_id % 2 = 0),
+         nn AS (SELECT event_id, ts, user_id, event_type,
+                  CASE WHEN event_type = 'click' THEN NULL
+                       ELSE value END AS value,
+                  '{}' AS props
+                FROM events WHERE event_id % 2 = 1),
+         po AS (
+           SELECT 'event_type' AS "column", count(*) AS n_old,
+                  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_old,
+                  count(DISTINCT event_type) AS dist_old FROM o
+           UNION ALL
+           SELECT 'value', count(*),
+                  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  count(DISTINCT value) FROM o
+           UNION ALL
+           SELECT 'props', count(*),
+                  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  count(DISTINCT props) FROM o
+           UNION ALL
+           SELECT 'user_id', count(*),
+                  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  count(DISTINCT user_id) FROM o),
+         pn AS (
+           SELECT 'event_type' AS "column", count(*) AS n_new,
+                  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_new,
+                  count(DISTINCT event_type) AS dist_new FROM nn
+           UNION ALL
+           SELECT 'value', count(*),
+                  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  count(DISTINCT value) FROM nn
+           UNION ALL
+           SELECT 'props', count(*),
+                  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  count(DISTINCT props) FROM nn
+           UNION ALL
+           SELECT 'user_id', count(*),
+                  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+                  count(DISTINCT user_id) FROM nn)
+         SELECT po."column", n_old, null_old, dist_old,
+                n_new, null_new, dist_new,
+                (CAST(null_new AS HUGEINT) * n_old * 10 > CAST(null_old AS HUGEINT) * n_new * 20
+                 OR CAST(null_old AS HUGEINT) * n_new * 10 > CAST(null_new AS HUGEINT) * n_old * 20)
+                  AS null_drift,
+                (CAST(dist_new AS HUGEINT) * n_old * 10 > CAST(dist_old AS HUGEINT) * n_new * 20
+                 OR CAST(dist_old AS HUGEINT) * n_new * 10 > CAST(dist_new AS HUGEINT) * n_old * 20)
+                  AS cardinality_drift
+         FROM po JOIN pn ON po."column" = pn."column"""",
     // 20 generated peel rounds (the k-core is unique and rounds past
     // convergence are identity, so a fixed chain replays the fixpoint)
     "q_kcore" -> {

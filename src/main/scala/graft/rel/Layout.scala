@@ -47,6 +47,29 @@ object Layout {
       .select("x", "y", "qx", "qy", "z", "bucket")
   }
 
+  /** Small-file compaction plan (Iceberg `rewrite_data_files` planning):
+    * assign each input file to an output group by the running byte
+    * offset — group = floor(offset_before_this_file / targetBytes), so
+    * consecutive files pack into ~target-sized rewrites and no group
+    * (except where one FILE alone exceeds the target) is more than one
+    * file past it. Deterministic in the file-id order, replayable as a
+    * window cumsum.
+    *
+    * The inventory is METADATA-scale (one row per file — ~10^5-10^6 rows
+    * for a 100-TB table), so the single global-order window is a
+    * planning step, not a data-path shuffle.
+    * Output: (file_id, size, start_off, out_group). */
+  def compactionPlan(files: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes: $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files.select(col(idCol).as("file_id"), col(sizeCol).cast("long").as("size"))
+      .withColumn("start_off", coalesce(sum(col("size")).over(w), lit(0L)))
+      .withColumn("out_group",
+        expr(s"CAST(start_off DIV ${targetBytes}L AS BIGINT)"))
+  }
+
   /** Per-bucket file-skipping envelope: (bucket, n, min/max of each
     * quantized dimension). */
   def zorderStats(df: DataFrame, xCol: String, yCol: String,

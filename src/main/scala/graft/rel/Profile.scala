@@ -21,6 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Schema/distribution drift between two snapshots of one table: per
+    * column, both profiles side by side plus drift flags — the check an
+    * ingest pipeline runs before promoting a new crawl (a column whose
+    * null rate doubles or whose cardinality collapses usually means an
+    * upstream extractor broke, not data).
+    *
+    * Flags are exact integer cross-multiplications (nullFracJump:
+    * n_null·n' > factor·n_null'·n and vice versa; cardinalityShift
+    * likewise on n_distinct), so the report replays value-exact in SQL.
+    * Cost: the two profiles (metadata-sized) + one tiny join. */
+  def drift(oldSnap: DataFrame, newSnap: DataFrame, columns: Seq[String],
+      factorTenths: Long = 20L): DataFrame = {
+    val o = profile(oldSnap, columns)
+      .select(col("column"), col("n").as("n_old"),
+        col("n_null").as("null_old"), col("n_distinct").as("dist_old"))
+    val n = profile(newSnap, columns)
+      .select(col("column"), col("n").as("n_new"),
+        col("n_null").as("null_new"), col("n_distinct").as("dist_new"))
+    def jump(a0: org.apache.spark.sql.Column, n0: org.apache.spark.sql.Column,
+        a1: org.apache.spark.sql.Column, n1: org.apache.spark.sql.Column) = {
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      (d(a1) * n0 * 10 > d(a0) * n1 * factorTenths) ||
+        (d(a0) * n1 * 10 > d(a1) * n0 * factorTenths)
+    }
+    o.join(n, "column")
+      .withColumn("null_drift",
+        jump(col("null_old"), col("n_old"), col("null_new"), col("n_new")))
+      .withColumn("cardinality_drift",
+        jump(col("dist_old"), col("n_old"), col("dist_new"), col("n_new")))
+  }
+
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty)
     val cached = df.select(columns.map(col): _*)

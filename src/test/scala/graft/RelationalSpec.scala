@@ -189,6 +189,35 @@ class RelationalSpec extends SparkSpec {
     assert(got.contains((6L, Some(60L), 6L, Some(7L), false)))
   }
 
+  test("compactionPlan: running-offset bin packing, oversize file isolated") {
+    import spark.implicits._
+    val files = Seq((1L, 60L), (2L, 60L), (3L, 250L), (4L, 10L), (5L, 95L))
+      .toDF("fid", "sz")
+    val got = graft.rel.Layout.compactionPlan(files, "fid", "sz", 100L)
+      .select($"file_id".as[Long], $"size".as[Long], $"start_off".as[Long],
+        $"out_group".as[Long]).collect().sortBy(_._1)
+    // offsets: 0, 60, 120, 370, 380 -> groups 0, 0, 1, 3, 3
+    assert(got.toList == List((1L, 60L, 0L, 0L), (2L, 60L, 60L, 0L),
+      (3L, 250L, 120L, 1L), (4L, 10L, 370L, 3L), (5L, 95L, 380L, 3L)))
+  }
+
+  test("drift: injected null/cardinality shifts flag, stable columns don't") {
+    import spark.implicits._
+    val old = (0L until 100L).map(i => (i, s"v$i", s"t${i % 5}"))
+      .toDF("id", "a", "b")
+    // new snapshot: 'a' nulled 30%, 'b' collapsed to one value, id stable
+    val neu = (0L until 100L).map(i =>
+        (i, if (i % 10 < 3) None else Some(s"v$i"), "t0"))
+      .toDF("id", "a", "b")
+    val got = graft.rel.Profile.drift(old, neu, Seq("id", "a", "b"))
+      .select($"column".as[String], $"null_drift".as[Boolean],
+        $"cardinality_drift".as[Boolean]).collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got("id") == ((false, false)))
+    assert(got("a")._1, "null jump on 'a' must flag")
+    assert(got("b")._2, "cardinality collapse on 'b' must flag")
+  }
+
   test("morton16 == transparent per-bit formula; zorder buckets are 16x16 rectangles") {
     import spark.implicits._
     // kernel vs the per-bit definition on the full 8-bit plane corners +
