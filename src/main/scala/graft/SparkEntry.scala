@@ -1049,6 +1049,22 @@ object SparkEntry {
       graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy(col("vec_id"))),
+    // spatial radius join via grid blocking (3x3 cell neighbourhood +
+    // exact integer planar distance): customers to suppliers within 10
+    // degrees on deterministically synthesized micro-degree coordinates
+    "q_geo_join" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("cust"),
+          ((col("c_custkey") * 2654435761L) % 180000000L - 90000000L).as("lat"),
+          ((col("c_custkey") * 96822197L) % 360000000L - 180000000L).as("lon"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").as("supp"),
+          ((col("s_suppkey") * 1885667511L) % 180000000L - 90000000L).as("lat"),
+          ((col("s_suppkey") * 472882049L) % 360000000L - 180000000L).as("lon"))
+      graft.rel.Spatial.gridJoin(cust, "cust", supp, "supp",
+          "lat", "lon", radius = 10000000L)
+        .orderBy(col("cust"), col("supp"))
+    }),
     // small-file compaction planning (Iceberg rewrite_data_files): files
     // simulated as orders row-count groups; output group = running
     // offset DIV target — a metadata-scale window, not a data shuffle
@@ -1570,6 +1586,23 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn FROM a2d) WHERE rn = 1)
          SELECT vec_id, cid AS cluster, dist FROM a2""",
+    // all-pairs with the same integer planar test (the 3x3 grid probe is
+    // lossless for dist <= radius, so all-pairs must agree)
+    "q_geo_join" ->
+      """WITH c AS (SELECT c_custkey AS cust,
+                (c_custkey * 2654435761) % 180000000 - 90000000 AS lat,
+                (c_custkey * 96822197) % 360000000 - 180000000 AS lon
+              FROM customer),
+         s AS (SELECT s_suppkey AS supp,
+                (s_suppkey * 1885667511) % 180000000 - 90000000 AS lat2,
+                (s_suppkey * 472882049) % 360000000 - 180000000 AS lon2
+              FROM supplier)
+         SELECT cust, supp,
+                (lat - lat2) * (lat - lat2) + (lon - lon2) * (lon - lon2)
+                  AS dist2
+         FROM c, s
+         WHERE (lat - lat2) * (lat - lat2) + (lon - lon2) * (lon - lon2)
+               <= 100000000000000""",
     "q_compaction_plan" ->
       """WITH f AS (SELECT o_orderkey % 64 AS file_id, count(*) AS size
                     FROM orders GROUP BY 1)

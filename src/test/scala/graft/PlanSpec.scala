@@ -176,6 +176,35 @@ class PlanSpec extends SparkSpec {
     assert(r2.getDouble(3) == 5.0)
   }
 
+  test("bucketed tables co-locate: the fact-dim join plans ZERO exchanges") {
+    // the 100-TB shuffle-elimination path: both sides bucketed by the
+    // join key at write time -> the join consumes bucket layout directly
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.read.parquet(s"$sfSmall/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("bkt_lineitem")
+    spark.read.parquet(s"$sfSmall/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("bkt_orders")
+    val j = spark.table("bkt_lineitem").join(
+      spark.table("bkt_orders").hint("merge"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = executed(j)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it actually returns the full join
+    assert(j.count() ==
+      spark.read.parquet(s"$sfSmall/lineitem.parquet")
+        .join(spark.read.parquet(s"$sfSmall/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    spark.sql("DROP TABLE bkt_lineitem")
+    spark.sql("DROP TABLE bkt_orders")
+  }
+
   test("bloomSemiJoin: probe filter sits on the big side's scan stage") {
     val big = spark.read.parquet(s"$sfSmall/lineitem.parquet")
     val small = spark.read.parquet(s"$sfSmall/orders.parquet")

@@ -189,6 +189,33 @@ class RelationalSpec extends SparkSpec {
     assert(got.contains((6L, Some(60L), 6L, Some(7L), false)))
   }
 
+  test("gridJoin: == all-pairs integer radius oracle, inclusive boundary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val R = 1000L
+    val ls = (1L to 150L).map(i =>
+      (i, rnd.nextLong(20000) - 10000, rnd.nextLong(20000) - 10000))
+    val rs = (1L to 150L).map(i =>
+      (i, rnd.nextLong(20000) - 10000, rnd.nextLong(20000) - 10000)) ++
+      // exact-boundary pair vs left point 1, plus a just-outside one
+      Seq((900L, ls.head._2 + R, ls.head._3),
+        (901L, ls.head._2 + R + 1, ls.head._3))
+    val got = graft.rel.Spatial.gridJoin(
+        ls.toDF("lid", "lat", "lon"), "lid",
+        rs.toDF("rid", "lat", "lon"), "rid", "lat", "lon", R)
+      .select($"lid".as[Long], $"rid".as[Long], $"dist2".as[Long])
+      .collect().toSet
+    val want = (for {
+      (li, la, lo) <- ls; (ri, ra, ro) <- rs
+      d2 = (la - ra) * (la - ra) + (lo - ro) * (lo - ro)
+      if d2 <= R * R
+    } yield (li, ri, d2)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 900L, R * R)), "inclusive boundary")
+    assert(!got.exists(t => t._2 == 901L && t._1 == 1L), "exclusive beyond")
+    assert(want.nonEmpty)
+  }
+
   test("compactionPlan: running-offset bin packing, oversize file isolated") {
     import spark.implicits._
     val files = Seq((1L, 60L), (2L, 60L), (3L, 250L), (4L, 10L), (5L, 95L))
