@@ -1049,6 +1049,15 @@ object SparkEntry {
       graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy(col("vec_id"))),
+    // Monge-Elkan aggregated Jaro-Winkler over brand-blocked part names
+    // (mean of best-match token scores, both directions) — fixed-point
+    // per-token maxima so the aggregate is float-order-independent
+    "q_monge_elkan" -> ((s, dir) =>
+      graft.link.Fuzzy.mongeElkanPairs(
+          s.read.parquet(s"$dir/part.parquet"),
+          "p_partkey", split(col("p_name"), " "), col("p_brand"),
+          threshold = 0.85)
+        .orderBy(col("id0"), col("id1"))),
     // spatial radius join via grid blocking (3x3 cell neighbourhood +
     // exact integer planar distance): customers to suppliers within 10
     // degrees on deterministically synthesized micro-degree coordinates
@@ -1586,6 +1595,31 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn FROM a2d) WHERE rn = 1)
          SELECT vec_id, cid AS cluster, dist FROM a2""",
+    // DuckDB's own jaro_winkler_similarity (semantics-equal, proven by
+    // q_jw_match) inside the same fixed-point best-match aggregation
+    "q_monge_elkan" ->
+      """WITH p AS (SELECT p_partkey AS id, p_brand AS bk,
+                           string_split(p_name, ' ') AS ts FROM part),
+         pr AS (SELECT a.id AS id0, b.id AS id1, a.ts AS ts0, b.ts AS ts1
+                FROM p a JOIN p b ON a.bk = b.bk AND a.id < b.id),
+         sc AS (SELECT id0, id1,
+                  list_sum(list_transform(ts0, t -> CAST(round(
+                    list_max(list_transform(ts1,
+                      u -> jaro_winkler_similarity(t, u))) * 1000000)
+                    AS BIGINT))) AS s01,
+                  len(ts0) AS n0,
+                  list_sum(list_transform(ts1, t -> CAST(round(
+                    list_max(list_transform(ts0,
+                      u -> jaro_winkler_similarity(t, u))) * 1000000)
+                    AS BIGINT))) AS s10,
+                  len(ts1) AS n1
+                FROM pr)
+         SELECT id0, id1,
+                round((CAST(s01 AS DOUBLE) / n0 + CAST(s10 AS DOUBLE) / n1)
+                  / 2000000.0, 6) AS me
+         FROM sc
+         WHERE round((CAST(s01 AS DOUBLE) / n0 + CAST(s10 AS DOUBLE) / n1)
+                 / 2000000.0, 6) >= 0.85""",
     // all-pairs with the same integer planar test (the 3x3 grid probe is
     // lossless for dist <= radius, so all-pairs must agree)
     "q_geo_join" ->

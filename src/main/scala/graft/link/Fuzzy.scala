@@ -26,6 +26,36 @@ object Fuzzy {
     * must be distinct on their own columns (the union dedup relies on
     * it) and their column names disjoint.
     */
+  /** Monge–Elkan aggregated similarity of two token arrays: the mean
+    * over `toks0` of each token's BEST Jaro-Winkler match in `toks1`
+    * (Monge & Elkan, KDD'96) — the standard comparator for multi-token
+    * names where token order and count differ ("J. W. Smith" vs "Smith,
+    * John"). Per-token maxima are rounded to 1e-6 FIXED POINT and summed
+    * as longs, so the aggregate is independent of float summation order
+    * and SQL-replayable; only the final mean divides in double. */
+  def mongeElkanScore(toks0: Column, toks1: Column): Column = {
+    val per = transform(toks0, t => round(array_max(
+      transform(toks1, u => graft.expr.jaroWinkler(t, u))) * 1000000)
+      .cast("long"))
+    val s = aggregate(per, lit(0L), (a, b) => a + b)
+    s.cast("double") / size(toks0)
+  }
+
+  /** Symmetric Monge-Elkan-JW pairs within blocks: score = the mean of
+    * both directed scores (each asymmetric), threshold inclusive. Same
+    * salted self-pair scale shape as every pair generator here.
+    * Output: (id0, id1, me). */
+  def mongeElkanPairs(df: DataFrame, id: String, toks: Column,
+      blockKey: Column, threshold: Double): DataFrame = {
+    val base = df.select(col(id).cast("long").as("id"), blockKey.as("bk"),
+      toks.as("ts"))
+    val pairs = graft.dedup.Dedup.saltedSelfPairs(base)
+    val me = round((mongeElkanScore(col("ts0"), col("ts1")) +
+      mongeElkanScore(col("ts1"), col("ts0"))) / 2000000.0, 6)
+    graft.dedup.Dedup.scoreAndFilter(pairs, "me", me, threshold,
+      "id0", "id1", "me")
+  }
+
   def fuzzyJoin(queries: DataFrame, qCol: String,
                 corpus: DataFrame, cCol: String,
                 maxDist: Int, affixLen: Int = 2): DataFrame = {

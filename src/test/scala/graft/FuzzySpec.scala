@@ -96,6 +96,36 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("mongeElkanPairs: == brute force; tolerates token order and count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val names = Seq(
+      (1L, "john w smith"), (2L, "smith john"), (3L, "jon smyth"),
+      (4L, "mary jane watson"), (5L, "watson mary"), (6L, "peter parker"),
+      (7L, "pete parker"), (8L, "completely different"))
+    val df = names.toDF("rid", "nm")
+    val got = graft.link.Fuzzy.mongeElkanPairs(df, "rid",
+        split(col("nm"), " "), lit("b"), threshold = 0.8)
+      .select($"id0".as[Long], $"id1".as[Long], $"me".as[Double])
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    def r6(x: Double) =
+      BigDecimal(x.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def jw(a: String, b: String) = graft.core.StringSim.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    def dir(a: Array[String], b: Array[String]): Double =
+      a.map(t => math.rint(b.map(u => jw(t, u)).max * 1e6)).sum / a.length
+    val want = (for {
+      (i, na) <- names; (j, nb) <- names if i < j
+      ta = na.split(" "); tb = nb.split(" ")
+      me = r6((dir(ta, tb) + dir(tb, ta)) / 2000000.0) if me >= 0.8
+    } yield (i, j) -> me).toMap
+    assert(got == want)
+    // order/count-insensitive name match survives; unrelated pair doesn't
+    assert(got.contains((1L, 2L)), "reordered name must match")
+    assert(!got.keySet.exists(k => k._1 == 8L || k._2 == 8L))
+  }
+
   test("selfScoreFrequency: rarity weights == brute force; nulls never agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
