@@ -1049,6 +1049,19 @@ object SparkEntry {
       graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy(col("vec_id"))),
+    // token-budget sequence packing (LLM training shards): shard =
+    // global token offset DIV budget, via the DISTRIBUTED two-phase
+    // prefix sum (range shuffle + tiny offsets collect — NOT a
+    // single-partition window)
+    "q_token_packing" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.rel.Relational.prefixSum(toks, "doc_id", "n_tokens")
+        .select(col("k").as("doc_id"), col("v").as("n_tokens"),
+          col("before"),
+          expr("CAST(before DIV 2000 AS BIGINT)").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
     // Monge-Elkan aggregated Jaro-Winkler over brand-blocked part names
     // (mean of best-match token scores, both directions) — fixed-point
     // per-token maxima so the aggregate is float-order-independent
@@ -1595,6 +1608,18 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn FROM a2d) WHERE rn = 1)
          SELECT vec_id, cid AS cluster, dist FROM a2""",
+    // exclusive window cumsum replays the two-phase prefix sum
+    "q_token_packing" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                    FROM documents)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS before,
+                COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 2000 AS shard
+         FROM t""",
     // DuckDB's own jaro_winkler_similarity (semantics-equal, proven by
     // q_jw_match) inside the same fixed-point best-match aggregation
     "q_monge_elkan" ->

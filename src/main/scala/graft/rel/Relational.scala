@@ -226,6 +226,51 @@ object Relational {
           .otherwise(col(s"_cdc.$c")).as(c)): _*)
   }
 
+  /** DISTRIBUTED prefix sum over a global order — the primitive behind
+    * token-budget sequence packing, quota assignment, and offset-based
+    * file layout. A plain `Window.orderBy(k)` computes this on ONE
+    * partition (the classic accidental serialization); this is the
+    * two-phase form that doesn't: range-partition + sort by the key,
+    * take each partition's total, cumulate the (numPartitions-sized)
+    * totals on the driver, and add each partition's exclusive offset
+    * back in a single mapPartitions pass. Cost: one range shuffle + one
+    * tiny collect — prefix sums at any scale.
+    *
+    * Output: (k, v, before) — `before` = sum of v over all rows with a
+    * strictly smaller position in the (k, then input order within equal
+    * k is partition-local) global order. Keys should be unique (the
+    * usual case: a row id); equal keys get an arbitrary but stable
+    * relative order. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = graft.dedup.Dedup.persistLatestPublic("prefix_sum",
+      df.select(col(orderCol).cast("long").as("k"),
+          col(valueCol).cast("long").as("v"))
+        .repartitionByRange(col("k"))
+        .sortWithinPartitions("k"))
+    val partTotals = ranged
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        col("v"))
+      .groupBy("pid").agg(sum("v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (partTotals.isEmpty) 0 else partTotals.keys.max + 1
+    val offsets = new Array[Long](nParts + 1)
+    (0 until nParts).foreach { p =>
+      offsets(p + 1) = offsets(p) + partTotals.getOrElse(p, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    ranged.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = bc.value(pid)
+      it.map { case (k, v) =>
+        val before = acc
+        acc += v
+        (k, v, before)
+      }
+    }.toDF("k", "v", "before")
+  }
+
   /** Semi join with a Bloom runtime prefilter — the 100-TB shape for
     * "keep the fact rows whose key appears in a (much smaller) key set"
     * when the key set is too big for a broadcast HASH join but its BLOOM

@@ -189,6 +189,24 @@ class RelationalSpec extends SparkSpec {
     assert(got.contains((6L, Some(60L), 6L, Some(7L), false)))
   }
 
+  test("prefixSum: two-phase distributed == local cumsum; no Window node") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val data = rnd.shuffle((0L until 5000L).toList)
+      .map(k => (k, rnd.nextInt(100).toLong))
+    val df = data.toDF("k", "v").repartition(16)
+    val res = Relational.prefixSum(df, "k", "v")
+    val got = res.as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    var acc = 0L
+    val want = data.sortBy(_._1).map { case (k, v) =>
+      val b = acc; acc += v; (k, v, b)
+    }
+    assert(got == want)
+    // the whole point: no single-partition global-order Window
+    assert(!res.queryExecution.executedPlan.toString.contains("Window"),
+      res.queryExecution.executedPlan.toString)
+  }
+
   test("gridJoin: == all-pairs integer radius oracle, inclusive boundary") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
