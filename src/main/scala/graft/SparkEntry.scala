@@ -1049,6 +1049,32 @@ object SparkEntry {
       graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy(col("vec_id"))),
+    // per-language percentile-rank normalization of a quality score —
+    // thresholds set on the normalized rank treat languages fairly
+    // (absolute TTR distributions differ by language); percent_rank is
+    // (rank-1)/(n-1) in both engines, ties broken by doc_id
+    "q_quality_norm" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val ttr = round(size(array_distinct(toks)).cast("double") /
+        size(toks), 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ttr"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("lang"), ttr.as("ttr"))
+        .withColumn("q_rank", round(percent_rank().over(w), 6))
+        .orderBy(col("doc_id"))
+    }),
+    // deterministic train/val/test split (80/10/10 by md5-hex threshold,
+    // the mix_sample rule) with per-(split, lang) counts — the
+    // reproducible-at-any-parallelism dataset split
+    "q_split_assign" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 8)
+            < "cccccccc", "train")
+            .when(substring(md5(col("doc_id").cast("string")), 1, 8)
+              < "e6666666", "val")
+            .otherwise("test").as("split"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
     // token-budget sequence packing (LLM training shards): shard =
     // global token offset DIV budget, via the DISTRIBUTED two-phase
     // prefix sum (range shuffle + tiny offsets collect — NOT a
@@ -1608,6 +1634,26 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, cid) AS rn FROM a2d) WHERE rn = 1)
          SELECT vec_id, cid AS cluster, dist FROM a2""",
+    "q_quality_norm" ->
+      """WITH t AS (SELECT doc_id, lang,
+                 round(CAST(len(list_distinct(string_split(text, ' ')))
+                     AS DOUBLE) / len(string_split(text, ' ')), 4) AS ttr
+               FROM documents)
+         SELECT doc_id, lang, ttr,
+                round(percent_rank() OVER (PARTITION BY lang
+                  ORDER BY ttr, doc_id), 6) AS q_rank
+         FROM t""",
+    // same md5-hex thresholds: floor(0.8*2^32)=0xcccccccc,
+    // floor(0.9*2^32)=0xe6666666; fixed-width lowercase hex compares
+    // numerically
+    "q_split_assign" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'val'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n
+         FROM documents GROUP BY 1, 2""",
     // exclusive window cumsum replays the two-phase prefix sum
     "q_token_packing" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
