@@ -49,6 +49,14 @@ object SparkEntry {
       Ann.signatures(embs(s, dir), "vec_id", "embedding")
         .select(col("vid"), col("v"), col("bks"))),
     "ivf_sig" -> ((s, dir) => ivfSig(s, dir)),
+    // PQ index state: globally-quantized vectors + per-subspace integer
+    // codebooks. Training is integer-exact (bit-identical at any
+    // parallelism), so the q_ann_pq_topk oracle re-derives CODE
+    // ASSIGNMENT and the full ADC search in SQL from these two dumps —
+    // only the Lloyd iterations themselves stay with PqSpec's local
+    // brute-force equality.
+    "pq_uv" -> ((s, dir) => pqModel(s, dir)._1),
+    "pq_codebook" -> ((s, dir) => pqModel(s, dir)._2),
     // per-record LSH block keys of the synthetic pages corpus (B1 explode
     // + B3 agg replayed by the er_pages_block_stats oracle)
     "pages_sig" -> ((s, _) => {
@@ -124,6 +132,24 @@ object SparkEntry {
       try k._1.sparkContext.isStopped catch { case _: Throwable => true })
     ivfSigCache.computeIfAbsent((spark, dir), { case (s, d) =>
       Ann.ivfAssignments(embs(s, d), "vec_id", "embedding").persist()
+    })
+  }
+
+  // PQ model (uv + codebook) — integer-exact and deterministic at any
+  // parallelism, so memoization is an efficiency choice (the aux dumps
+  // and the query would agree even recomputed), kept for the same
+  // session-cache discipline as ivfSig.
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    pqCache.keySet().removeIf(k =>
+      try k._1.sparkContext.isStopped catch { case _: Throwable => true })
+    pqCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val uv = graft.ann.Pq.quantizeGlobal(embs(s, d), "vec_id", "embedding")
+        .persist()
+      val book = graft.ann.Pq.train(uv, numSub = 8, subDim = 8, ksub = 16,
+        iters = 2).persist()
+      (uv, book)
     })
   }
 
@@ -1375,6 +1401,19 @@ object SparkEntry {
         embs(s, dir).where(col("vec_id") < 10)
           .select(col("vec_id").cast("long").as("query_id")), k = 5)
         .orderBy(col("query_id"), col("rank"))),
+    // product-quantization ANN (Jegou et al. 2011) — the memory-bound
+    // scale path: 8 one-byte codes per 64-dim vector, ADC table-lookup
+    // distances; integer-exact end to end, so the oracle re-derives code
+    // assignment AND the full search from the pq_uv + pq_codebook dumps
+    "q_ann_pq_topk" -> ((s, dir) => {
+      val (uv, book) = pqModel(s, dir)
+      graft.ann.Pq.adcTopK(uv, book,
+          graft.ann.Pq.codes(uv, book, numSub = 8, subDim = 8),
+          embs(s, dir).where(col("vec_id") < 10)
+            .select(col("vec_id").cast("long").as("query_id")),
+          k = 5, numSub = 8, subDim = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2524,6 +2563,40 @@ object SparkEntry {
                   CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM s)
          SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""",
+    // full PQ replay from the dumped quantized vectors + codebooks:
+    // code assignment (argmin integer subspace distance, (dist, cid)
+    // tie-break) and the ADC search (summed table distances, ascending
+    // (adist, neighbor) top-k) are both re-derived in SQL — every
+    // number is integer arithmetic, so the match is bit-for-bit
+    "q_ann_pq_topk" ->
+      s"""WITH u AS (SELECT vid, uv FROM '$OracleAuxDir/pq_uv/*.parquet'),
+         d AS (SELECT vid,
+                      CAST((generate_subscripts(uv, 1) - 1) // 8 AS INT) AS m,
+                      CAST((generate_subscripts(uv, 1) - 1) % 8 AS INT) AS pos,
+                      unnest(uv) AS x
+               FROM u),
+         cb AS (SELECT m, cid,
+                       CAST(generate_subscripts(cv, 1) - 1 AS INT) AS pos,
+                       unnest(cv) AS cx
+                FROM '$OracleAuxDir/pq_codebook/*.parquet'),
+         ad AS (SELECT d.vid, d.m, cb.cid,
+                       sum(CAST(d.x - cb.cx AS BIGINT) * (d.x - cb.cx)) AS dist
+                FROM d JOIN cb ON d.m = cb.m AND d.pos = cb.pos
+                GROUP BY 1, 2, 3),
+         codes AS (SELECT vid, m, cid AS code FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vid, m
+                       ORDER BY dist, cid) AS rn FROM ad) WHERE rn = 1),
+         dtab AS (SELECT vid AS query_id, m, cid AS code, dist AS pd
+                  FROM ad WHERE vid < 10),
+         s AS (SELECT t.query_id, c.vid AS neighbor_id,
+                      CAST(sum(t.pd) AS BIGINT) AS adist
+               FROM codes c JOIN dtab t ON c.m = t.m AND c.code = t.code
+               WHERE c.vid <> t.query_id GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, adist,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5""",
     "q_cosine_pairs_lsh" ->
       s"""WITH v AS (SELECT vid, v, bks FROM '$OracleAuxDir/ann_sig/*.parquet'),
          p AS (
