@@ -488,6 +488,15 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionize(events(s, dir), gapSeconds = 1800L)
         .orderBy(col("user_id"), col("session_seq"))),
+    // irregular events -> daily uniform timeline per user, gap-filled by
+    // last observation carried forward (state-at-time-T features); no
+    // value arithmetic, so the carried doubles hash exactly
+    "q_resample" -> ((s, dir) =>
+      graft.rel.Relational.resampleLocf(
+          events(s, dir).select(col("user_id"),
+            unix_timestamp(col("ts")).as("es"), col("value")),
+          "user_id", "es", "value", stepSec = 86400L)
+        .orderBy(col("user_id"), col("grid_t"))),
     // as-of join (purchase → latest prior click by the same user; the
     // classic attribution lookup): single-shuffle union-merge plan, no
     // join blow-up — oracle is DuckDB's native ASOF JOIN, a fully
@@ -2831,6 +2840,27 @@ object SparkEntry {
                 max(es) - min(es) AS duration_s,
                 round(sum(value), 4) AS sum_value
          FROM sq GROUP BY user_id, session_seq""",
+    // independent LOCF replay: same epoch-anchored daily grid (floored
+    // integer division on non-negative epochs == Spark DIV), same
+    // obs-before-grid tie order, same IGNORE NULLS running fill
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                           value FROM events),
+         obs AS (SELECT user_id, t, max(value) AS v FROM e GROUP BY 1, 2),
+         b AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax
+               FROM obs GROUP BY 1),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(
+                      (tmin + 86399) // 86400 * 86400,
+                      tmax // 86400 * 86400, 86400)) AS t FROM b),
+         u AS (SELECT user_id, t, v, 0 AS kind FROM obs
+               UNION ALL
+               SELECT user_id, t, NULL, 1 FROM grid),
+         f AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, kind
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+               FROM u)
+         SELECT user_id, t AS grid_t, fv AS value FROM f WHERE kind = 1""",
     "q_profile" ->
       """WITH p AS (SELECT * FROM orders)
          SELECT * FROM (

@@ -241,6 +241,51 @@ object Relational {
     * k is partition-local) global order. Keys should be unique (the
     * usual case: a row id); equal keys get an arbitrary but stable
     * relative order. */
+  /** Regular-grid resample with last-observation-carried-forward: for
+    * every key, emit one row per `stepSec` grid point between the key's
+    * first and last observation (grid anchored at epoch 0; the first
+    * grid point is the first multiple of `stepSec` >= min(t), so every
+    * emitted point has an observation at or before it — no null fills),
+    * carrying the value of the latest observation with t <= grid point.
+    * Multiple observations in one second reduce to max(value) first, so
+    * the result is deterministic at any parallelism.
+    *
+    * The irregular-events-to-uniform-timeline primitive (rate panels,
+    * state-at-time-T training features). Plan: one hash agg on (key, t),
+    * a tiny per-key bounds agg, `sequence`+explode for the grid, and ONE
+    * window over the key — observations and grid points are unioned and
+    * sorted together (obs sort before a same-second grid point), so the
+    * fill is a single `last(ignoreNulls)` running frame, not a per-grid-
+    * point probe join. A key's timeline lands in one task — the same
+    * single-key caveat as [[asofJoin]]; use coarser steps or key-splits
+    * for multi-year hot keys.
+    *
+    * Output: (key, grid_t, value) with the input value column's name. */
+  def resampleLocf(df: DataFrame, key: String, timeCol: String,
+      value: String, stepSec: Long): DataFrame = {
+    require(stepSec >= 1, s"stepSec=$stepSec")
+    val obs = df.groupBy(col(key).as("k"), col(timeCol).cast("long").as("t"))
+      .agg(max(col(value)).as("v"))
+    val vType = obs.schema("v").dataType.sql
+    val grid = obs.groupBy("k")
+      .agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+      .select(col("k"),
+        expr(s"CAST((tmin + ${stepSec - 1}) DIV $stepSec AS BIGINT) * $stepSec")
+          .as("gs"),
+        expr(s"CAST(tmax DIV $stepSec AS BIGINT) * $stepSec").as("ge"))
+      .where(col("gs") <= col("ge"))
+      .select(col("k"),
+        explode(sequence(col("gs"), col("ge"), lit(stepSec))).as("t"))
+    val tagged = obs.select(col("k"), col("t"), col("v"), lit(0).as("kind"))
+      .unionAll(grid.select(col("k"), col("t"),
+        lit(null).cast(vType).as("v"), lit(1).as("kind")))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("k").as(key), col("t").as("grid_t"), col("fv").as(value))
+  }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

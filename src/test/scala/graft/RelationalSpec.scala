@@ -322,4 +322,42 @@ class RelationalSpec extends SparkSpec {
     assert(passed <= members + (5000 - members) / 10,
       s"prefilter barely prunes: $passed passed vs $members members")
   }
+
+  test("resampleLocf: == local LOCF oracle; same-second ties; lone-obs key") {
+    import spark.implicits._
+    val step = 10L
+    // key 1: gaps + a same-second duplicate (max wins); key 2: single
+    // observation off-grid (no grid point in span -> no rows); key 3:
+    // observation exactly on a grid point (obs sorts before grid tag)
+    val rows = Seq(
+      (1L, 3L, 5.0), (1L, 3L, 7.0), (1L, 17L, 1.5), (1L, 41L, 2.5),
+      (2L, 15L, 9.0),
+      (3L, 20L, 4.0), (3L, 35L, 6.0))
+    val df = rows.toDF("k", "t", "v")
+    val got = graft.rel.Relational.resampleLocf(df, "k", "t", "v", step)
+      .select($"k".as[Long], $"grid_t".as[Long], $"v".as[Double])
+      .collect().toSet
+    // local oracle: dedup to max per (k,t), grid = multiples of step in
+    // [min, max], value = latest obs <= grid point
+    val obs = rows.groupBy(r => (r._1, r._2)).map { case ((k, t), g) =>
+      (k, t, g.map(_._3).max) }.toSeq
+    val want = obs.groupBy(_._1).flatMap { case (k, os) =>
+      val ts = os.map(_._2)
+      val gs = ((ts.min + step - 1) / step) * step
+      val ge = (ts.max / step) * step
+      (gs to ge by step).map { g =>
+        val (_, _, v) = os.filter(_._2 <= g).maxBy(_._2)
+        (k, g, v)
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.contains((1L, 10L, 7.0)), "same-second max must win")
+    assert(got.contains((3L, 20L, 4.0)), "on-grid observation is its own fill")
+    assert(!got.exists(_._1 == 2L), "span without grid points emits nothing")
+    // partition invariance
+    val got2 = graft.rel.Relational.resampleLocf(df.repartition(7), "k", "t", "v", step)
+      .select($"k".as[Long], $"grid_t".as[Long], $"v".as[Double])
+      .collect().toSet
+    assert(got2 == got)
+  }
 }
