@@ -401,6 +401,11 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // bigram LM quality score (one Markov order up: word salad whose
+    // tokens are common but never co-occur now scores low)
+    "q_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // deterministic stratified sample: the 30 smallest-hash docs per
     // language (hash-order sampling — reproducible at any parallelism);
     // the oracle replays quota + ordering from the dumped hashes
@@ -2624,6 +2629,24 @@ object SparkEntry {
                 round(avg(log10(CAST(f.cnt AS DOUBLE) / t.total)), 6) AS mean_logprob
          FROM tok JOIN freq f USING (token), tot t
          GROUP BY doc_id""",
+    // bigram replay via a positional self-join (Spark zips the token
+    // array with its own tail — same pairs); add-one smoothing over the
+    // same integer counts, one IEEE division per bigram
+    "q_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+                             generate_subscripts(str_split(text, ' '), 1) AS i
+                      FROM documents),
+         bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         v AS (SELECT count(DISTINCT w) AS v FROM tok)
+         SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(avg(log10(CAST(cb + 1 AS DOUBLE) /
+                  CAST(c1 + v.v AS DOUBLE))), 6) AS mean_logprob2
+         FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1), v
+         GROUP BY bg.doc_id""",
     "q_clean_corpus" ->
       """WITH q AS (
            SELECT doc_id, text,

@@ -114,6 +114,42 @@ object TextOps {
       .select(col("__id").as(id), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Bigram LM quality score — one Markov order above
+    * [[unigramLogProb]], the cheapest step toward the KenLM-style CCNet
+    * perplexity filter: mean log10 of add-one-smoothed conditional
+    * probabilities p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), with V the
+    * corpus vocabulary size. Word-salad documents whose tokens are
+    * individually common but never co-occur now score low, which the
+    * unigram filter cannot see.
+    *
+    * Plan shape: bigrams come from zipping the token array with its own
+    * tail (pure array exprs — no self-join on position), one hash agg
+    * for bigram counts, one for context counts, a broadcast scalar for
+    * V, then one join back to score; the bigram model table is joined,
+    * not force-broadcast (it grows with the corpus — AQE broadcasts it
+    * while it is small). Output: (id, n_bigrams, mean_logprob2). */
+  def bigramLogProb(df: DataFrame, id: String, text: String): DataFrame = {
+    val tk = split(col(text), " ")
+    val pairs = df.select(col(id).as("__id"), tk.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("__id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy("w1").agg(sum(col("cb")).as("c1"))
+    val vocab = df.select(explode(split(col(text), " ")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val model = big.join(ctx, "w1").crossJoin(broadcast(vocab))
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10((col("cb") + 1).cast("double") /
+          (col("c1") + col("v")))), 6).as("mean_logprob2"))
+      .select(col("__id").as(id), col("n_bigrams"), col("mean_logprob2"))
+  }
+
   /** Email pattern shared by the redactor and its oracle. Both patterns
     * are alternation-free with greedy quantifiers, so Java's
     * leftmost-first and RE2's leftmost-longest agree — the same

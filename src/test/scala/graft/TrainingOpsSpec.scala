@@ -230,6 +230,36 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - math.rint(math.log10(5.0 / 8) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("bigramLogProb: exact add-one values; word salad scores lower") {
+    import spark.implicits._
+    // corpus: "aa bb" occurs twice, "bb aa" never; V = 2; doc 3 is a
+    // single token (no bigrams -> no row)
+    val docs = Seq((1L, "aa bb aa bb"), (2L, "bb aa"), (3L, "aa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id".as[Long], $"n_bigrams".as[Long],
+        $"mean_logprob2".as[Double])
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(3L), "one-token doc has no bigrams")
+    assert(got(1L)._1 == 3 && got(2L)._1 == 1)
+    // bigram counts: (aa,bb)=2, (bb,aa)=1, (bb,bb)? no. c1: aa·=2, bb·=1? wait:
+    // doc1 bigrams: (aa,bb),(bb,aa),(aa,bb); doc2: (bb,aa)
+    // cb(aa,bb)=2, cb(bb,aa)=2; c1(aa)=2, c1(bb)=2; V=2
+    // p(bb|aa) = (2+1)/(2+2) = 0.75; p(aa|bb) = (2+1)/(2+2) = 0.75
+    val p = math.log10(3.0 / 4)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(math.abs(got(1L)._2 - r6(p)) < 1e-9)
+    assert(math.abs(got(2L)._2 - r6(p)) < 1e-9)
+    // word salad: common tokens, unseen combinations score lower than
+    // fluent text under the same model
+    val corpus = Seq((1L, "the cat sat on the mat"), (2L, "the cat sat"),
+      (3L, "mat the on sat")).toDF("doc_id", "text")
+    val s = TextOps.bigramLogProb(corpus, "doc_id", "text")
+      .select($"doc_id".as[Long], $"mean_logprob2".as[Double])
+      .collect().toMap
+    assert(s(3L) < s(2L), s"salad ${s(3L)} must score below fluent ${s(2L)}")
+  }
+
   test("fingerprint64: FNV-1a vectors + determinism") {
     // FNV-1a 64 known vectors
     assert(TextOps.fingerprint64("") == 0xcbf29ce484222325L)
