@@ -406,6 +406,21 @@ object SparkEntry {
     "q_bigram_logprob" -> ((s, dir) =>
       TextOps.bigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // ORC partitioned sink + source: documents written hive-partitioned
+    // by lang in Spark's second built-in columnar format, read back with
+    // a partition-PRUNED filter (PlanSpec gates PartitionFilters), then
+    // aggregated — the oracle computes the same aggregate from the
+    // original parquet, so the round-trip must be lossless to match
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val back = graft.io.Formats.roundTrip(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "/tmp/graft_orc_roundtrip", "orc", "lang")
+      back.where(col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    }),
     // deterministic stratified sample: the 30 smallest-hash docs per
     // language (hash-order sampling — reproducible at any parallelism);
     // the oracle replays quota + ordering from the dumped hashes
@@ -2647,6 +2662,14 @@ object SparkEntry {
                   CAST(c1 + v.v AS DOUBLE))), 6) AS mean_logprob2
          FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1), v
          GROUP BY bg.doc_id""",
+    // the oracle never sees the ORC layout — it aggregates the ORIGINAL
+    // parquet, so any loss/dup/type-drift in the write+read round trip
+    // breaks the match
+    "q_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents WHERE lang IN ('en', 'de') GROUP BY lang""",
     "q_clean_corpus" ->
       """WITH q AS (
            SELECT doc_id, text,

@@ -80,4 +80,19 @@ class ExportSpec extends SparkSpec {
     assert(perLeft.where($"count" > 1).count() == 0)
     assert(cappedRun.count() > 0)
   }
+
+  test("Formats round-trip: orc and json partitioned layouts are lossless") {
+    import spark.implicits._
+    val src = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select($"doc_id", $"lang", $"n_chars")
+    val want = src.as[(Long, String, Long)].collect().toSet
+    for (fmt <- Seq("orc", "json")) {
+      val back = graft.io.Formats.roundTrip(src,
+        s"/tmp/graft_fmt_rt_$fmt", fmt, "lang")
+      assert(back.columns.toSeq == src.columns.toSeq, fmt)
+      assert(back.schema == src.schema, s"$fmt schema drifted: ${back.schema}")
+      val got = back.as[(Long, String, Long)].collect().toSet
+      assert(got == want, s"$fmt round-trip lost rows")
+    }
+  }
 }

@@ -252,4 +252,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_max_by"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("partitioned ORC layout: lang filter prunes partitions, not rows") {
+    val path = "/tmp/graft_plan_orc"
+    val src = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    graft.io.Formats.writePartitioned(src, path, "orc", "lang")
+    val pruned = graft.io.Formats.read(spark, path, "orc")
+      .where(col("lang") === "en").select(col("doc_id"))
+    val plan = executed(pruned)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("lang"), s"lang filter not pruning partitions:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      .split("ReadSchema:").last
+    assert(!read.contains("lang"),
+      s"partition column must not be read from data files:\n$plan")
+    // and pruning kept the right rows
+    assert(pruned.count() == src.where(col("lang") === "en").count())
+  }
 }
