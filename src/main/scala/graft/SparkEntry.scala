@@ -57,6 +57,9 @@ object SparkEntry {
     // brute-force equality.
     "pq_uv" -> ((s, dir) => pqModel(s, dir)._1),
     "pq_codebook" -> ((s, dir) => pqModel(s, dir)._2),
+    // the deterministic link corpus (pure column algebra — replayable,
+    // but dumped so the oracle checks EXTRACTION, not generation)
+    "link_pages" -> ((s, _) => linkPages(s)),
     // per-record LSH block keys of the synthetic pages corpus (B1 explode
     // + B3 agg replayed by the er_pages_block_stats oracle)
     "pages_sig" -> ((s, _) => {
@@ -208,6 +211,24 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
+
+  /** Deterministic 300-page link corpus: every page links to its "next"
+    * page ((id*7+1) mod n), every third page adds a nofollow "see also"
+    * link ((id*3+5) mod n) — enough structure for extraction order,
+    * attribute tolerance, and in-degree skew to all be exercised. */
+  private def linkPages(s: SparkSession): DataFrame = {
+    val n = 300
+    val next = ((col("id") * 7 + 1) % n).cast("string")
+    val ref = ((col("id") * 3 + 5) % n).cast("string")
+    s.range(n).select(col("id").as("doc"),
+      concat(lit("<html><body><p>Page "), col("id").cast("string"),
+        lit(".</p><a href=\"https://site.example/p/"), next,
+        lit("\">next page "), next, lit("</a>"),
+        when(col("id") % 3 === 0,
+          concat(lit("<a href=\"https://site.example/p/"), ref,
+            lit("\" rel=\"nofollow\">see also</a>"))).otherwise(lit("")),
+        lit("</body></html>")).as("html"))
+  }
 
   /** documents modeled as a 2-provider corpus: dp = doc_id % 2, block key
     * = first token (a cheap SQL-replayable blocking for the oracle; the
@@ -411,6 +432,12 @@ object SparkEntry {
     // a partition-PRUNED filter (PlanSpec gates PartitionFilters), then
     // aggregated — the oracle computes the same aggregate from the
     // original parquet, so the round-trip must be lossless to match
+    // hyperlink extraction over the synthetic link corpus: the web-graph
+    // edge list (src, pos, href, anchor) — oracle replays the regex
+    // extraction in DuckDB from the link_pages dump (RE2-safe pattern)
+    "q_link_extract" -> ((s, _) =>
+      graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
+        .orderBy(col("src"), col("pos"))),
     "q_orc_roundtrip" -> ((s, dir) => {
       val back = graft.io.Formats.roundTrip(
         docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
@@ -2665,6 +2692,20 @@ object SparkEntry {
     // the oracle never sees the ORC layout — it aggregates the ORIGINAL
     // parquet, so any loss/dup/type-drift in the write+read round trip
     // breaks the match
+    // extraction replay: DuckDB's RE2 runs the same alternation-free
+    // pattern; parallel unnests zip positionally, matching Spark's
+    // posexplode over the zipped capture lists
+    "q_link_extract" ->
+      s"""WITH t AS (SELECT doc,
+              regexp_extract_all(html,
+                '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
+              regexp_extract_all(html,
+                '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS anchors
+            FROM '$OracleAuxDir/link_pages/*.parquet')
+         SELECT doc AS src,
+                CAST(generate_subscripts(hrefs, 1) - 1 AS INT) AS pos,
+                unnest(hrefs) AS href, unnest(anchors) AS anchor
+         FROM t""",
     "q_orc_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,

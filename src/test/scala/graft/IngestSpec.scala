@@ -114,4 +114,27 @@ class IngestSpec extends SparkSpec {
     // all block keys are 64-hex (BLAKE2b-256 parity)
     assert(blocked.where(not(col("block_key").rlike("^[0-9a-f]{64}$"))).count() == 0)
   }
+
+  test("LinkExtract: ordered out-edges, attrs tolerated, malformed skipped") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<p>x</p><a href="https://a/1">one</a> mid """ +
+        """<a href="https://a/2" rel="nofollow">two words</a>"""),
+      // unclosed anchor and a non-anchor tag: no match
+      (2L, """<a href="https://b/1">dangling <a name="x">none"""),
+      // empty anchor text and empty href both extract as empty strings
+      (3L, """<a href="">empty</a><a href="https://c/1"></a>"""),
+      (4L, "no links at all"))
+      .toDF("doc", "html")
+    val got = graft.ingest.LinkExtract.links(pages, "doc", "html")
+      .select($"src".as[Long], $"pos".as[Int], $"href".as[String],
+        $"anchor".as[String])
+      .collect().toSet
+    val want = Set(
+      (1L, 0, "https://a/1", "one"),
+      (1L, 1, "https://a/2", "two words"),
+      (3L, 0, "", "empty"),
+      (3L, 1, "https://c/1", ""))
+    assert(got == want)
+  }
 }
