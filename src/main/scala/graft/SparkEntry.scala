@@ -432,6 +432,25 @@ object SparkEntry {
     // a partition-PRUNED filter (PlanSpec gates PartitionFilters), then
     // aggregated — the oracle computes the same aggregate from the
     // original parquet, so the round-trip must be lossless to match
+    // WARC sink + source round-trip: serialize the link corpus as
+    // Common-Crawl-style WARC records, read the files back through the
+    // record-delimited text source, parse headers + Content-Length-framed
+    // payload. The oracle REGENERATES the corpus from its formula in SQL
+    // (never sees the files), so any framing/parse loss breaks the match
+    "q_warc_roundtrip" -> ((s, _) => {
+      val recs = linkPages(s).select(
+        concat(lit("https://site.example/p/"), col("doc").cast("string"))
+          .as("url"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        col("html").as("payload"))
+      graft.ingest.WarcIO.writeWarc(recs, "/tmp/graft_warc_roundtrip")
+      graft.ingest.WarcIO.readWarc(s, "/tmp/graft_warc_roundtrip")
+        .select(regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long")
+            .as("doc"),
+          col("url"), col("warc_type"), col("warc_date"),
+          col("content_length"), col("payload"))
+        .orderBy(col("doc"))
+    }),
     // hyperlink extraction over the synthetic link corpus: the web-graph
     // edge list (src, pos, href, anchor) — oracle replays the regex
     // extraction in DuckDB from the link_pages dump (RE2-safe pattern)
@@ -2692,6 +2711,26 @@ object SparkEntry {
     // the oracle never sees the ORC layout — it aggregates the ORIGINAL
     // parquet, so any loss/dup/type-drift in the write+read round trip
     // breaks the match
+    // independent regeneration of the link corpus from its arithmetic
+    // formula — the files the query wrote are never consulted
+    "q_warc_roundtrip" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 299)) AS doc),
+         h AS (SELECT doc,
+                 '<html><body><p>Page ' || doc ||
+                 '.</p><a href="https://site.example/p/' || ((doc*7+1)%300) ||
+                 '">next page ' || ((doc*7+1)%300) || '</a>' ||
+                 CASE WHEN doc % 3 = 0
+                   THEN '<a href="https://site.example/p/' || ((doc*3+5)%300)
+                     || '" rel="nofollow">see also</a>'
+                   ELSE '' END ||
+                 '</body></html>' AS payload
+               FROM g)
+         SELECT CAST(doc AS BIGINT) AS doc,
+                'https://site.example/p/' || doc AS url,
+                'response' AS warc_type,
+                '2026-01-01T00:00:00Z' AS warc_date,
+                CAST(length(payload) AS INT) AS content_length, payload
+         FROM h""",
     // extraction replay: DuckDB's RE2 runs the same alternation-free
     // pattern; parallel unnests zip positionally, matching Spark's
     // posexplode over the zipped capture lists

@@ -137,4 +137,35 @@ class IngestSpec extends SparkSpec {
       (3L, 1, "https://c/1", ""))
     assert(got == want)
   }
+
+  test("WarcIO: write -> read round-trip is exact, incl. CRLFs in payload") {
+    import spark.implicits._
+    val recs = Seq(
+      ("https://x/1", "2026-01-01T00:00:00Z", "<html>plain</html>"),
+      // Content-Length framing must preserve an interior double-CRLF
+      ("https://x/2", "2026-01-01T00:00:01Z", "head\r\n\r\nbody"),
+      ("https://x/3", "2026-01-01T00:00:02Z", ""))
+      .toDF("url", "date", "payload")
+    graft.ingest.WarcIO.writeWarc(recs, "/tmp/graft_warc_spec")
+    val back = graft.ingest.WarcIO.readWarc(spark, "/tmp/graft_warc_spec")
+      .select($"url".as[String], $"warc_type".as[String],
+        $"warc_date".as[String], $"content_length".as[Int],
+        $"payload".as[String])
+      .collect().toSet
+    val want = Seq(
+      ("https://x/1", "2026-01-01T00:00:00Z", "<html>plain</html>"),
+      ("https://x/2", "2026-01-01T00:00:01Z", "head\r\n\r\nbody"),
+      ("https://x/3", "2026-01-01T00:00:02Z", ""))
+      .map { case (u, d, p) => (u, "response", d, p.length, p) }.toSet
+    assert(back == want)
+    // record-aligned splits: a many-partition write still reads whole
+    val big = spark.range(500).select(
+      concat(lit("https://x/"), col("id")).as("url"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      concat(lit("<p>doc "), col("id"), lit("</p>")).as("payload"))
+    graft.ingest.WarcIO.writeWarc(big.repartition(7), "/tmp/graft_warc_spec2")
+    val n = graft.ingest.WarcIO.readWarc(spark, "/tmp/graft_warc_spec2")
+      .where($"warc_type" === "response").count()
+    assert(n == 500)
+  }
 }
