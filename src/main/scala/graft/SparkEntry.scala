@@ -457,6 +457,28 @@ object SparkEntry {
     "q_link_extract" -> ((s, _) =>
       graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
         .orderBy(col("src"), col("pos"))),
+    // per-target anchor profile of the extracted web graph: in-degree,
+    // distinct linking pages, dominant anchor text
+    "q_anchor_text" -> ((s, _) =>
+      graft.ingest.LinkExtract.anchorProfile(
+          graft.ingest.LinkExtract.links(linkPages(s), "doc", "html"))
+        .orderBy(col("href"))),
+    // robots-style longest-prefix URL filter (RFC 9309 most-specific-
+    // rule-wins, literal prefixes): /p/ allows, /p/1 and /p/2 carve out
+    // disallows, /p/13 re-allows inside /p/1 — the layered-rule case
+    "q_robots_filter" -> ((s, _) => {
+      import s.implicits._
+      val rules = Seq(
+        ("site.example", "/p/", true),
+        ("site.example", "/p/1", false),
+        ("site.example", "/p/13", true),
+        ("site.example", "/p/2", false)).toDF("host", "prefix", "allow")
+      graft.textops.UrlOps.robotsFilter(
+          linkPages(s).select(concat(lit("https://site.example/p/"),
+            col("doc").cast("string")).as("url")),
+          "url", rules)
+        .orderBy(col("url"))
+    }),
     "q_orc_roundtrip" -> ((s, dir) => {
       val back = graft.io.Formats.roundTrip(
         docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
@@ -2745,6 +2767,48 @@ object SparkEntry {
                 CAST(generate_subscripts(hrefs, 1) - 1 AS INT) AS pos,
                 unnest(hrefs) AS href, unnest(anchors) AS anchor
          FROM t""",
+    // anchor aggregation replay from the link_pages dump: Spark's
+    // max(struct(cnt, anchor)) == row_number ORDER BY cnt DESC,
+    // anchor DESC
+    "q_anchor_text" ->
+      s"""WITH t AS (SELECT doc,
+              regexp_extract_all(html,
+                '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
+              regexp_extract_all(html,
+                '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS anchors
+            FROM '$OracleAuxDir/link_pages/*.parquet'),
+         e AS (SELECT doc AS src, unnest(hrefs) AS href,
+                      unnest(anchors) AS anchor FROM t),
+         per AS (SELECT href, anchor, count(*) AS cnt FROM e GROUP BY 1, 2),
+         agg AS (SELECT href, CAST(sum(cnt) AS BIGINT) AS in_degree
+                 FROM per GROUP BY 1),
+         tp AS (SELECT href, anchor AS top_anchor, CAST(cnt AS BIGINT) AS top_cnt
+                FROM (SELECT *, row_number() OVER (PARTITION BY href
+                        ORDER BY cnt DESC, anchor DESC) AS rn FROM per)
+                WHERE rn = 1),
+         ns AS (SELECT href, CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+                FROM e GROUP BY 1)
+         SELECT href, in_degree, n_sources, top_anchor, top_cnt
+         FROM agg JOIN tp USING (href) JOIN ns USING (href)""",
+    // independent rule evaluation over the regenerated URL set: same
+    // longest-prefix / disallow-tie / default-allow semantics
+    "q_robots_filter" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 299)) AS doc),
+         u AS (SELECT 'https://site.example/p/' || doc AS url,
+                      'site.example' AS host, '/p/' || doc AS path FROM g),
+         r(host, prefix, allow) AS (VALUES
+           ('site.example', '/p/', true), ('site.example', '/p/1', false),
+           ('site.example', '/p/13', true), ('site.example', '/p/2', false)),
+         m AS (SELECT u.url, r.prefix, r.allow,
+                      row_number() OVER (PARTITION BY u.url
+                        ORDER BY length(r.prefix) DESC, r.allow, r.prefix) AS rn
+               FROM u JOIN r ON u.host = r.host
+                 AND starts_with(u.path, r.prefix)),
+         b AS (SELECT url, prefix AS rule_prefix, allow FROM m WHERE rn = 1)
+         SELECT u.url, u.host, u.path,
+                COALESCE(b.allow, true) AS allowed,
+                COALESCE(b.rule_prefix, '') AS rule_prefix
+         FROM u LEFT JOIN b USING (url)""",
     "q_orc_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -26,6 +26,27 @@ object LinkExtract {
     * position is unique in both regex dialects. */
   val AnchorRe = "<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
 
+  /** Per-target anchor profile over an extracted edge list: in-degree,
+    * distinct linking pages, and the dominant anchor text (highest
+    * count, ties to the lexicographically greatest anchor — a
+    * deterministic single max over (cnt, anchor) structs, no window).
+    * Anchor text is the classic external description of a page (the
+    * relevance signal crawl rankers and query-independent features use).
+    * Two hash aggs + one join on href; the distinct-source count keys on
+    * (href, src) in its partial phase, so a mega-hub target stays
+    * parallel. */
+  def anchorProfile(links: DataFrame): DataFrame = {
+    val per = links.groupBy("href", "anchor").agg(count(lit(1)).as("cnt"))
+    val top = per.groupBy("href")
+      .agg(sum(col("cnt")).as("in_degree"),
+        max(struct(col("cnt"), col("anchor"))).as("t"))
+      .select(col("href"), col("in_degree"),
+        col("t.anchor").as("top_anchor"), col("t.cnt").as("top_cnt"))
+    val srcs = links.groupBy("href").agg(countDistinct(col("src")).as("n_sources"))
+    top.join(srcs, "href")
+      .select("href", "in_degree", "n_sources", "top_anchor", "top_cnt")
+  }
+
   /** Out-edges of every page: (src, pos, href, anchor) with pos the
     * 0-based order of appearance within the page. */
   def links(df: DataFrame, id: String, html: String): DataFrame = {

@@ -79,6 +79,41 @@ object UrlOps {
     * key — Spark's two-phase distinct handles it without salting because
     * the first phase keys on (domain, value), which is high-cardinality.
     */
+  /** Robots-style URL filter with longest-prefix-match semantics (RFC
+    * 9309's most-specific-rule-wins, simplified to literal prefixes — no
+    * `*`/`$` wildcards): `rules` is (host, prefix, allow); a URL matches
+    * the rules of its host whose prefix starts its path, the LONGEST
+    * prefix decides, equal-length ties go to disallow (conservative),
+    * and an unmatched URL is allowed (robots default).
+    *
+    * Crawl hygiene at corpus scale: rules tables are per-host and tiny
+    * (robots.txt is capped at 500 KiB per RFC 9309), so the rules side
+    * is broadcast — the URL side never shuffles; the only wide op is a
+    * per-URL window over the handful of matching rules.
+    *
+    * Output: one row per input row — (url, host, path, allowed,
+    * rule_prefix; "" when no rule matched). */
+  def robotsFilter(urls: org.apache.spark.sql.DataFrame, urlCol: String,
+      rules: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hostEx = regexp_extract(col(urlCol), "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val pathEx = regexp_extract(col(urlCol), "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    val u = urls.select(col(urlCol), hostEx.as("host"),
+      when(pathEx === "", "/").otherwise(pathEx).as("path"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol))
+      .orderBy(length(col("prefix")).desc, col("allow").asc, col("prefix"))
+    val best = u.join(broadcast(rules), Seq("host"))
+      .where(col("path").startsWith(col("prefix")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(urlCol), col("prefix").as("rule_prefix"),
+        col("allow").as("__allow"))
+    u.join(best, Seq(urlCol), "left")
+      .select(col(urlCol), col("host"), col("path"),
+        coalesce(col("__allow"), lit(true)).as("allowed"),
+        coalesce(col("rule_prefix"), lit("")).as("rule_prefix"))
+  }
+
   def domainStats(df: org.apache.spark.sql.DataFrame, urlCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val canon = canonicalUrl(col(urlCol))

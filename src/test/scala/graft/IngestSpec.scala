@@ -138,6 +138,23 @@ class IngestSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("anchorProfile: in-degree, distinct sources, dominant anchor") {
+    import spark.implicits._
+    val links = Seq(
+      (1L, 0, "https://t/a", "alpha"),
+      (1L, 1, "https://t/a", "alpha"),  // same src twice
+      (2L, 0, "https://t/a", "beta"),
+      (3L, 0, "https://t/a", "beta"),   // tie 2-2 -> lexicographically greater "beta"
+      (2L, 1, "https://t/b", "only"))
+      .toDF("src", "pos", "href", "anchor")
+    val got = graft.ingest.LinkExtract.anchorProfile(links)
+      .select($"href".as[String], $"in_degree".as[Long],
+        $"n_sources".as[Long], $"top_anchor".as[String], $"top_cnt".as[Long])
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("https://t/a") == ((4L, 3L, "beta", 2L)))
+    assert(got("https://t/b") == ((1L, 1L, "only", 1L)))
+  }
+
   test("WarcIO: write -> read round-trip is exact, incl. CRLFs in payload") {
     import spark.implicits._
     val recs = Seq(

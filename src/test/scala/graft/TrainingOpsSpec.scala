@@ -260,6 +260,38 @@ class TextOpsSpec extends SparkSpec {
     assert(s(3L) < s(2L), s"salad ${s(3L)} must score below fluent ${s(2L)}")
   }
 
+  test("robotsFilter: longest prefix wins, ties disallow, unmatched allowed") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h.example", "/", true),
+      ("h.example", "/private", false),
+      ("h.example", "/private/pub", true),
+      // equal-length allow+disallow pair: disallow must win
+      ("h.example", "/tie", false),
+      ("h.example", "/tie", true),
+      ("other.example", "/", false))
+      .toDF("host", "prefix", "allow")
+    val urls = Seq(
+      "https://h.example/open/x",        // "/" allows
+      "https://h.example/private/y",     // "/private" blocks
+      "https://h.example/private/pub/z", // "/private/pub" re-allows
+      "https://h.example/tie/w",         // tie -> disallow
+      "https://h.example",               // empty path -> "/" allows
+      "https://unknown.example/a")       // no rules -> default allow
+      .toDF("url")
+    val got = graft.textops.UrlOps.robotsFilter(urls, "url", rules)
+      .select($"url".as[String], $"allowed".as[Boolean],
+        $"rule_prefix".as[String])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("https://h.example/open/x") == ((true, "/")))
+    assert(got("https://h.example/private/y") == ((false, "/private")))
+    assert(got("https://h.example/private/pub/z") == ((true, "/private/pub")))
+    assert(got("https://h.example/tie/w") == ((false, "/tie")))
+    assert(got("https://h.example") == ((true, "/")))
+    assert(got("https://unknown.example/a") == ((true, "")))
+    assert(got.size == 6)
+  }
+
   test("fingerprint64: FNV-1a vectors + determinism") {
     // FNV-1a 64 known vectors
     assert(TextOps.fingerprint64("") == 0xcbf29ce484222325L)
