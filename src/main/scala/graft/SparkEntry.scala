@@ -432,6 +432,36 @@ object SparkEntry {
     // a partition-PRUNED filter (PlanSpec gates PartitionFilters), then
     // aggregated — the oracle computes the same aggregate from the
     // original parquet, so the round-trip must be lossless to match
+    // checkpointed two-stage pipeline, driver-visible: stage 1 cleans
+    // documents into a checkpoint, a RERUN of stage 1 must serve from
+    // the manifest WITHOUT invoking compute (the compute thunk throws),
+    // stage 2 aggregates from the resumed table, and the per-partition
+    // lineage rows are summed into the output — so resume semantics AND
+    // the lineage counters are value-checked by the oracle, which
+    // recomputes the expected stats straight from the documents table
+    "q_checkpoint_resume" -> ((s, dir) => {
+      val root = "/tmp/graft_ckpt_driver"
+      graft.io.Checkpoint.invalidate(s, root, "clean")
+      graft.io.Checkpoint.invalidate(s, root, "stats")
+      val st1 = graft.io.Checkpoint.stage(s, root, "clean",
+        counters = d => Map("rows" -> d.count()))(
+        docs(s, dir).where(length(col("text")) >= 20)
+          .select(col("doc_id"), col("lang"), col("n_chars")))
+      val st1b = graft.io.Checkpoint.stage(s, root, "clean")(
+        sys.error("resume must not recompute"))
+      if (!st1b.resumed)
+        throw new IllegalStateException("committed stage did not resume")
+      val st2 = graft.io.Checkpoint.stage(s, root, "stats")(
+        st1b.df.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars")))
+      val lin = graft.io.Checkpoint.lineage(s, root)
+        .where(col("stage") === "clean")
+        .agg(sum(col("rows_out")).as("lineage_rows"))
+      st2.df.crossJoin(broadcast(lin))
+        .withColumn("computed_rows", lit(st1.rows))
+        .withColumn("resumed", lit(st1b.resumed))
+        .orderBy(col("lang"))
+    }),
     // WARC sink + source round-trip: serialize the link corpus as
     // Common-Crawl-style WARC records, read the files back through the
     // record-delimited text source, parse headers + Content-Length-framed
@@ -2733,6 +2763,18 @@ object SparkEntry {
     // the oracle never sees the ORC layout — it aggregates the ORIGINAL
     // parquet, so any loss/dup/type-drift in the write+read round trip
     // breaks the match
+    // expected stats recomputed straight from the source table: the
+    // query's numbers came through two checkpoints, a manifest resume,
+    // and the lineage sum — all must agree with direct SQL
+    "q_checkpoint_resume" ->
+      """WITH c AS (SELECT lang, n_chars FROM documents
+                    WHERE length(text) >= 20),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS lineage_rows FROM c)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                tot.lineage_rows, tot.lineage_rows AS computed_rows,
+                true AS resumed
+         FROM c, tot GROUP BY lang, tot.lineage_rows""",
     // independent regeneration of the link corpus from its arithmetic
     // formula — the files the query wrote are never consulted
     "q_warc_roundtrip" ->
