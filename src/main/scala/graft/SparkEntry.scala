@@ -60,6 +60,17 @@ object SparkEntry {
     // the deterministic link corpus (pure column algebra — replayable,
     // but dumped so the oracle checks EXTRACTION, not generation)
     "link_pages" -> ((s, _) => linkPages(s)),
+    // full anchor x pool pair-hash table for q_neg_sample: the oracle
+    // recomputes GROUPS from documents and replays exclusion + ranking
+    // itself; only the xxhash64 values come from this dump (the
+    // stratifiedSample division of labor, lifted to pairs)
+    "neg_hash" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id").cast("long").as("cand_id"))
+      ids.crossJoin(
+          ids.where(col("cand_id") < 20).select(col("cand_id").as("anchor_id")))
+        .select(col("anchor_id"), col("cand_id"),
+          xxhash64(lit(42L), col("anchor_id"), col("cand_id")).as("h"))
+    }),
     // per-record LSH block keys of the synthetic pages corpus (B1 explode
     // + B3 agg replayed by the er_pages_block_stats oracle)
     "pages_sig" -> ((s, _) => {
@@ -432,6 +443,15 @@ object SparkEntry {
     // a partition-PRUNED filter (PlanSpec gates PartitionFilters), then
     // aggregated — the oracle computes the same aggregate from the
     // original parquet, so the round-trip must be lossless to match
+    // contrastive negative sampling: 3 hash-drawn negatives per anchor
+    // doc, same-dup-group candidates (positives) excluded
+    "q_neg_sample" -> ((s, dir) =>
+      TextOps.negativeSample(docs(s, dir), "doc_id",
+          concat_ws(" ", slice(split(col("text"), " "), 1, 3)),
+          docs(s, dir).where(col("doc_id") < 20)
+            .select(col("doc_id").as("anchor_id")),
+          k = 3)
+        .orderBy(col("anchor_id"), col("rank"))),
     // checkpointed two-stage pipeline, driver-visible: stage 1 cleans
     // documents into a checkpoint, a RERUN of stage 1 must serve from
     // the manifest WITHOUT invoking compute (the compute thunk throws),
@@ -2763,6 +2783,24 @@ object SparkEntry {
     // the oracle never sees the ORC layout — it aggregates the ORIGINAL
     // parquet, so any loss/dup/type-drift in the write+read round trip
     // breaks the match
+    // exclusion (self + shared dup-group) and hash-order top-k replayed
+    // from first principles; groups recomputed from documents, hashes
+    // from the neg_hash dump
+    "q_neg_sample" ->
+      s"""WITH g AS (SELECT doc_id,
+                array_to_string(str_split(text, ' ')[1:3], ' ') AS gk
+              FROM documents),
+         hp AS (SELECT anchor_id, cand_id, h
+                FROM '$OracleAuxDir/neg_hash/*.parquet'),
+         c AS (SELECT hp.anchor_id, hp.cand_id, hp.h
+               FROM hp
+               JOIN g ga ON ga.doc_id = hp.anchor_id
+               JOIN g gc ON gc.doc_id = hp.cand_id
+               WHERE hp.cand_id <> hp.anchor_id AND ga.gk <> gc.gk),
+         r AS (SELECT anchor_id, cand_id, h,
+                      CAST(row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY h, cand_id) AS BIGINT) AS rank FROM c)
+         SELECT anchor_id, cand_id, rank, h FROM r WHERE rank <= 3""",
     // expected stats recomputed straight from the source table: the
     // query's numbers came through two checkpoints, a manifest resume,
     // and the lineage sum — all must agree with direct SQL

@@ -449,6 +449,39 @@ object TextOps {
       .where(col("sample_rank") <= k)
   }
 
+  /** Deterministic contrastive negative sampling: for every anchor row,
+    * the k pool rows with the smallest xxhash64(seed, anchor, candidate)
+    * among candidates that are not the anchor and do NOT share its group
+    * key (positives excluded — same dup-group documents must never be
+    * served as negatives). Hash-order sampling over PAIRS: the
+    * [[stratifiedSample]] rule lifted to (anchor, candidate), so the
+    * draw is uniform-ish, without replacement, and bit-reproducible at
+    * any parallelism with no RNG state.
+    *
+    * Scale shape: the anchor batch is broadcast (training batches are
+    * bounded — hundreds to thousands of anchors), so the pool side never
+    * shuffles for candidate generation; the only wide op is the per-
+    * anchor top-k window, hash-partitioned on anchor. For anchor sets
+    * too big to broadcast, run in batches — the draw for an anchor
+    * depends only on (seed, anchor, candidate), so batching never
+    * changes a result.
+    *
+    * Output: (anchor_id, cand_id, rank, h). */
+  def negativeSample(pool: DataFrame, id: String, group: Column,
+      anchorIds: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val p = pool.select(col(id).cast("long").as("cand_id"), group.as("__g"))
+    val a = pool.join(anchorIds, col(id) === col("anchor_id"))
+      .select(col("anchor_id").cast("long").as("anchor_id"), group.as("__ag"))
+    val cand = p.join(broadcast(a),
+        col("cand_id") =!= col("anchor_id") && col("__g") =!= col("__ag"))
+      .withColumn("h", xxhash64(lit(seed), col("anchor_id"), col("cand_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("h"), col("cand_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("anchor_id", "cand_id", "rank", "h")
+  }
+
   /** Deterministic weighted corpus mixing: keep each row with a
     * per-stratum probability (the domain/language re-weighting step of a
     * training-data pipeline — downsample over-represented strata to

@@ -260,6 +260,40 @@ class TextOpsSpec extends SparkSpec {
     assert(s(3L) < s(2L), s"salad ${s(3L)} must score below fluent ${s(2L)}")
   }
 
+  test("negativeSample: self+positives excluded, hash top-k, batch-invariant") {
+    import spark.implicits._
+    val pool = (0L until 20L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val anchors = Seq(0L, 1L, 2L).toDF("anchor_id")
+    val got = TextOps.negativeSample(pool, "id", col("grp"), anchors, k = 3)
+      .select($"anchor_id".as[Long], $"cand_id".as[Long], $"rank".as[Long])
+      .collect().toSet
+    // expected: rank the admissible candidates by Spark's own xxhash64
+    // (hash determinism is the engine's; exclusion + ordering are ours)
+    val hs = (for (a <- 0L to 2L; c <- 0L until 20L) yield (a, c))
+      .toDF("a", "c")
+      .select($"a", $"c", xxhash64(lit(42L), $"a", $"c").as("h"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, c, h) => (a, c) -> h }.toMap
+    val want = (0L to 2L).flatMap { a =>
+      (0L until 20L)
+        .filter(c => c != a && c % 4 != a % 4)
+        .sortBy(c => (hs((a, c)), c))
+        .take(3).zipWithIndex
+        .map { case (c, i) => (a, c, (i + 1).toLong) }
+    }.toSet
+    assert(got == want)
+    assert(got.forall { case (a, c, _) => c != a && c % 4 != a % 4 })
+    // batching anchors never changes any anchor's draw
+    val b1 = TextOps.negativeSample(pool, "id", col("grp"),
+      Seq(0L, 1L).toDF("anchor_id"), k = 3)
+    val b2 = TextOps.negativeSample(pool, "id", col("grp"),
+      Seq(2L).toDF("anchor_id"), k = 3)
+    val batched = b1.unionAll(b2)
+      .select($"anchor_id".as[Long], $"cand_id".as[Long], $"rank".as[Long])
+      .collect().toSet
+    assert(batched == want)
+  }
+
   test("robotsFilter: longest prefix wins, ties disallow, unmatched allowed") {
     import spark.implicits._
     val rules = Seq(
