@@ -1005,6 +1005,55 @@ object SparkEntry {
       try q.awaitTermination() finally if (q.isActive) q.stop()
       s.table(qn).orderBy(col("key"), col("left_id"), col("right_id"))
     }),
+    // TTL-bounded streaming dedup through the REAL engine: purchase
+    // events staged as one file per day (explicit ascending mtimes ->
+    // deterministic batch order), streamed with maxFilesPerTrigger=1 so
+    // batch N's watermark = max event time through batch N-1. With a
+    // 48h TTL and daily batches the refresh branch is always taken at a
+    // sighting batch (bmax_B + 48h > end of day B-1), so the operator's
+    // emission rule collapses to a pure window formula the oracle
+    // replays: emit at sighting day B iff no prior sighting, or the
+    // previous sighting's deadline passed the watermark in force at some
+    // intermediate batch — max event time through batch B-2 (timers fire
+    // only in batches where the key is absent, against the PREVIOUS
+    // batch's watermark). Output: per-key emission counts, re-emissions
+    // included (28 of 43 emissions at sf0.001 are TTL re-emissions).
+    "q_stream_ttl" -> ((s, dir) => {
+      val qn = s"stream_ttl_q${streamQueryIds.incrementAndGet()}"
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_ttl")
+      val in = root.resolve("stream")
+      java.nio.file.Files.createDirectories(in)
+      events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("k"),
+          col("ts").cast("timestamp").as("ts"),
+          date_format(col("ts"), "yyyyMMdd").as("d"))
+        .repartition(1)
+        .write.partitionBy("d").mode("overwrite").parquet(s"$root/staged")
+      val dayDirs = new java.io.File(s"$root/staged").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("d="))
+        .sortBy(_.getName)
+      dayDirs.zipWithIndex.foreach { case (dd, i) =>
+        val f = dd.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = in.resolve(f"batch$i%02d.parquet")
+        java.nio.file.Files.move(f.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val schema = s.read.parquet(in.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val keys = graft.streaming.EventStream.firstSeenKeysTtl(
+        stream, "k", "ts", ttlMs = 172800000L)
+      val q = keys.writeStream.outputMode("append").format("memory")
+        .queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      s.table(qn).groupBy(col("value").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n_emissions"))
+        .orderBy(col("user_id"))
+    }),
     // STREAMING linkage through the real engine: the dp=1 provider is
     // staged as a 4-file parquet dir and streamed (maxFilesPerTrigger=1,
     // so 4 micro-batches) against the static dp=0 side; stream-static
@@ -3521,6 +3570,29 @@ object SparkEntry {
     "q_stream_first_seen" ->
       """SELECT DISTINCT array_to_string(str_split(text, ' ')[1:3], ' ') AS dup_key
          FROM documents""",
+    // batch-mode replay of the TTL state machine under the query's
+    // deterministic daily batching: per sighting day B of a key, emit
+    // iff no prior sighting day P, or bmax(P) + 48h <= the max event
+    // time through batch B-2 (the watermark in force at the last
+    // intermediate batch — where the expiry timer could fire). epoch_ms
+    // floors microseconds exactly like java.sql.Timestamp.getTime.
+    "q_stream_ttl" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t,
+                           CAST(date_trunc('day', ts) AS DATE) AS d
+                    FROM events WHERE event_type = 'purchase'),
+         dm AS (SELECT d, max(t) AS dmax FROM e GROUP BY 1),
+         wm AS (SELECT d, COALESCE(max(dmax) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), 0)
+                  AS wm2 FROM dm),
+         kb AS (SELECT user_id, d, max(t) AS bmax FROM e GROUP BY 1, 2),
+         r AS (SELECT kb.user_id, kb.bmax, wm.wm2,
+                      lag(kb.bmax) OVER (PARTITION BY kb.user_id
+                        ORDER BY kb.d) AS prev
+               FROM kb JOIN wm USING (d))
+         SELECT user_id,
+                CAST(count(*) FILTER (WHERE prev IS NULL
+                  OR prev + 172800000 <= wm2) AS BIGINT) AS n_emissions
+         FROM r GROUP BY user_id""",
     // gap-merge sessions via lag-flag-cumsum (new session when the gap
     // is >= 30 min — session_window treats an event AT the window end as
     // outside it), finalization = end (last+gap) <= global max event time
