@@ -507,6 +507,27 @@ object SparkEntry {
     "q_link_extract" -> ((s, _) =>
       graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
         .orderBy(col("src"), col("pos"))),
+    // incremental-crawl frontier: pages 0..199 are "crawled"; the
+    // frontier is every linked-to uncrawled target with its in-degree
+    // (the next-fetch priority signal)
+    "q_crawl_frontier" -> ((s, _) => {
+      val crawledPages = linkPages(s).where(col("doc") < 200)
+      graft.ingest.LinkExtract.frontier(
+          graft.ingest.LinkExtract.links(crawledPages, "doc", "html"),
+          crawledPages.select(concat(lit("https://site.example/p/"),
+            col("doc").cast("string")).as("crawled_url")))
+        .orderBy(desc("in_degree"), col("href"))
+    }),
+    // politeness fetch scheduler: every host's URLs on one worker,
+    // URL-ordered and delayMs-spaced; md5-hash routing so the oracle
+    // replays worker assignment exactly
+    "q_fetch_schedule" -> ((s, dir) =>
+      graft.textops.UrlOps.fetchSchedule(
+          docs(s, dir).select(concat(lit("https://h"),
+            (col("doc_id") % 7).cast("string"), lit(".example/d/"),
+            col("doc_id").cast("string")).as("url")),
+          "url", workers = 5, delayMs = 200L)
+        .orderBy(col("host"), col("fetch_seq"))),
     // per-target anchor profile of the extracted web graph: in-degree,
     // distinct linking pages, dominant anchor text
     "q_anchor_text" -> ((s, _) =>
@@ -2896,6 +2917,34 @@ object SparkEntry {
                 CAST(generate_subscripts(hrefs, 1) - 1 AS INT) AS pos,
                 unnest(hrefs) AS href, unnest(anchors) AS anchor
          FROM t""",
+    // frontier replay from the link formula: edges of crawled pages
+    // (src < 200), targets outside the crawled range, grouped
+    "q_crawl_frontier" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 199)) AS src),
+         l AS (SELECT src, (src*7+1)%300 AS tgt FROM g
+               UNION ALL
+               SELECT src, (src*3+5)%300 FROM g WHERE src % 3 = 0),
+         f AS (SELECT src, tgt FROM l WHERE tgt >= 200)
+         SELECT 'https://site.example/p/' || tgt AS href,
+                CAST(count(*) AS BIGINT) AS in_degree,
+                CAST(count(DISTINCT src) AS BIGINT) AS n_referrers
+         FROM f GROUP BY 1""",
+    // independent schedule replay: same md5-prefix worker routing
+    // (CAST('0x…' AS BIGINT) == Spark's conv(…,16,10) for 8 hex digits),
+    // same per-host URL-ordered spacing
+    "q_fetch_schedule" ->
+      """WITH u AS (SELECT 'https://h' || (doc_id % 7) || '.example/d/'
+                             || doc_id AS url,
+                           'h' || (doc_id % 7) || '.example' AS host
+                    FROM documents),
+         r AS (SELECT url, host,
+                      CAST(CAST('0x' || substring(md5(host), 1, 8) AS BIGINT)
+                        % 5 AS INT) AS worker,
+                      CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY url) - 1 AS BIGINT) AS fetch_seq
+               FROM u)
+         SELECT url, host, worker, fetch_seq,
+                fetch_seq * 200 AS fetch_at_ms FROM r""",
     // anchor aggregation replay from the link_pages dump: Spark's
     // max(struct(cnt, anchor)) == row_number ORDER BY cnt DESC,
     // anchor DESC

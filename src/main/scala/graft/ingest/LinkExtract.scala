@@ -47,6 +47,19 @@ object LinkExtract {
       .select("href", "in_degree", "n_sources", "top_anchor", "top_cnt")
   }
 
+  /** Crawl frontier: the distinct link targets NOT in the crawled set,
+    * with their referrer counts — the next-fetch candidate list of an
+    * incremental crawl, priority-ordered downstream by in-degree (the
+    * classic frontier heuristic). `crawled` must have a single
+    * `crawled_url` column. One left-anti join (broadcast or shuffle as
+    * Catalyst sizes it) + one hash agg; no windows, so a mega-frontier
+    * stays fully parallel. Output: (href, in_degree, n_referrers). */
+  def frontier(links: DataFrame, crawled: DataFrame): DataFrame =
+    links.join(crawled, col("href") === col("crawled_url"), "left_anti")
+      .groupBy("href")
+      .agg(count(lit(1)).as("in_degree"),
+        countDistinct(col("src")).as("n_referrers"))
+
   /** Out-edges of every page: (src, pos, href, anchor) with pos the
     * 0-based order of appearance within the page. */
   def links(df: DataFrame, id: String, html: String): DataFrame = {

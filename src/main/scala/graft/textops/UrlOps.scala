@@ -114,6 +114,30 @@ object UrlOps {
         coalesce(col("rule_prefix"), lit("")).as("rule_prefix"))
   }
 
+  /** Politeness-aware fetch schedule: all URLs of one host go to ONE
+    * worker (so per-host rate limits are enforceable locally, no
+    * cross-worker coordination), ordered deterministically within the
+    * host (by URL) and spaced `delayMs` apart. Worker assignment hashes
+    * the host through md5 (not xxhash64) so the schedule is replayable
+    * in any engine — the md5-threshold split/mix rule applied to
+    * routing. The only wide op is a per-host window; a mega-host is one
+    * long queue BY DESIGN (that's what politeness means — throughput
+    * comes from host parallelism, not intra-host).
+    * Output: (url, host, worker, fetch_seq, fetch_at_ms). */
+  def fetchSchedule(urls: org.apache.spark.sql.DataFrame, urlCol: String,
+      workers: Int, delayMs: Long): org.apache.spark.sql.DataFrame = {
+    require(workers >= 1 && delayMs >= 0, s"workers=$workers delayMs=$delayMs")
+    val host = regexp_extract(col(urlCol), "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col(urlCol))
+    urls.select(col(urlCol), host.as("host"))
+      .withColumn("worker",
+        (conv(substring(md5(col("host")), 1, 8), 16, 10).cast("long")
+          % workers).cast("int"))
+      .withColumn("fetch_seq", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_at_ms", col("fetch_seq") * delayMs)
+  }
+
   def domainStats(df: org.apache.spark.sql.DataFrame, urlCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val canon = canonicalUrl(col(urlCol))

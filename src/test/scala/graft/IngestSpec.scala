@@ -155,6 +155,19 @@ class IngestSpec extends SparkSpec {
     assert(got("https://t/b") == ((1L, 1L, "only", 1L)))
   }
 
+  test("frontier: uncrawled targets only, referrer counts exact") {
+    import spark.implicits._
+    val links = Seq(
+      (1L, "https://t/a"), (2L, "https://t/a"), (2L, "https://t/a"),
+      (1L, "https://t/b"), (3L, "https://t/c"))
+      .toDF("src", "href")
+    val crawled = Seq("https://t/b").toDF("crawled_url")
+    val got = graft.ingest.LinkExtract.frontier(links, crawled)
+      .select($"href".as[String], $"in_degree".as[Long], $"n_referrers".as[Long])
+      .collect().toSet
+    assert(got == Set(("https://t/a", 3L, 2L), ("https://t/c", 1L, 1L)))
+  }
+
   test("WarcIO: write -> read round-trip is exact, incl. CRLFs in payload") {
     import spark.implicits._
     val recs = Seq(

@@ -260,6 +260,35 @@ class TextOpsSpec extends SparkSpec {
     assert(s(3L) < s(2L), s"salad ${s(3L)} must score below fluent ${s(2L)}")
   }
 
+  test("fetchSchedule: one worker per host, ordered spacing, md5 routing") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://a.example/2", "https://a.example/1", "https://a.example/3",
+      "https://b.example/x", "https://b.example/y")
+      .toDF("url")
+    val got = graft.textops.UrlOps.fetchSchedule(urls, "url",
+        workers = 4, delayMs = 500L)
+      .select($"url".as[String], $"host".as[String], $"worker".as[Int],
+        $"fetch_seq".as[Long], $"fetch_at_ms".as[Long])
+      .collect()
+    // one worker per host
+    val byHost = got.groupBy(_._2)
+    assert(byHost.forall { case (_, rs) => rs.map(_._3).toSet.size == 1 })
+    // deterministic md5 routing
+    got.foreach { r =>
+      val want = (java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(r._2.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 4).toInt
+      assert(r._3 == want, s"${r._2}: got worker ${r._3} want $want")
+    }
+    // URL-ordered spacing within a host
+    val a = got.filter(_._2 == "a.example").sortBy(_._4)
+    assert(a.map(_._1).toSeq == Seq("https://a.example/1",
+      "https://a.example/2", "https://a.example/3"))
+    assert(a.map(_._5).toSeq == Seq(0L, 500L, 1000L))
+  }
+
   test("negativeSample: self+positives excluded, hash top-k, batch-invariant") {
     import spark.implicits._
     val pool = (0L until 20L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
