@@ -507,6 +507,17 @@ object SparkEntry {
     "q_link_extract" -> ((s, _) =>
       graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
         .orderBy(col("src"), col("pos"))),
+    // multi-source 3-hop BFS over the link graph: hop distance from
+    // seed pages {0, 150} — the crawl-radius / neighborhood-expansion
+    // primitive; oracle = three chained level-set CTEs
+    "q_bfs_hops" -> ((s, _) => {
+      import s.implicits._
+      val edges = graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
+        .select(col("src"),
+          regexp_extract(col("href"), "/p/(\\d+)$", 1).cast("long").as("dst"))
+      graft.cluster.Bfs.run(edges, Seq(0L, 150L).toDF("node"), maxHops = 3)
+        .orderBy(col("dist"), col("node"))
+    }),
     // incremental-crawl frontier: pages 0..199 are "crawled"; the
     // frontier is every linked-to uncrawled target with its in-degree
     // (the next-fetch priority signal)
@@ -2917,6 +2928,32 @@ object SparkEntry {
                 CAST(generate_subscripts(hrefs, 1) - 1 AS INT) AS pos,
                 unnest(hrefs) AS href, unnest(anchors) AS anchor
          FROM t""",
+    // BFS level sets are unique, so three chained rounds replay the
+    // distances exactly (MATERIALIZED: chained CTEs referenced multiple
+    // times re-evaluate exponentially otherwise)
+    "q_bfs_hops" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 299)) AS src),
+         e AS MATERIALIZED (
+           SELECT src, (src*7+1)%300 AS dst FROM g
+           UNION ALL
+           SELECT src, (src*3+5)%300 FROM g WHERE src % 3 = 0),
+         d0 AS MATERIALIZED (SELECT unnest([0, 150]) AS node),
+         d1 AS MATERIALIZED (
+           SELECT DISTINCT e.dst AS node FROM d0 JOIN e ON d0.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM d0)),
+         d2 AS MATERIALIZED (
+           SELECT DISTINCT e.dst AS node FROM d1 JOIN e ON d1.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM d0)
+             AND e.dst NOT IN (SELECT node FROM d1)),
+         d3 AS MATERIALIZED (
+           SELECT DISTINCT e.dst AS node FROM d2 JOIN e ON d2.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM d0)
+             AND e.dst NOT IN (SELECT node FROM d1)
+             AND e.dst NOT IN (SELECT node FROM d2))
+         SELECT CAST(node AS BIGINT) AS node, CAST(0 AS INT) AS dist FROM d0
+         UNION ALL SELECT CAST(node AS BIGINT), 1 FROM d1
+         UNION ALL SELECT CAST(node AS BIGINT), 2 FROM d2
+         UNION ALL SELECT CAST(node AS BIGINT), 3 FROM d3""",
     // frontier replay from the link formula: edges of crawled pages
     // (src < 200), targets outside the crawled range, grouped
     "q_crawl_frontier" ->

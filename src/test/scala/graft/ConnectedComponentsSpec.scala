@@ -137,4 +137,40 @@ class ConnectedComponentsSpec extends SparkSpec {
       spark.emptyDataset[(Long, Long)]).as[(Long, Long)].collect().toMap
     assert(same == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("Bfs == local level-set oracle; radius bound; unreachable absent") {
+    import spark.implicits._
+    // deterministic directed graph on 40 nodes: i -> (i*3+1)%40, and
+    // i -> (i+7)%40 for even i; node 39 isolated from the seeds' reach?
+    // (the oracle decides — no hand-assumed structure)
+    val edgeSeq = (0L until 40L).flatMap { i =>
+      Seq((i, (i * 3 + 1) % 40)) ++
+        (if (i % 2 == 0) Seq((i, (i + 7) % 40)) else Nil)
+    }
+    val edges = edgeSeq.toDF("src", "dst")
+    val seeds = Seq(0L, 20L).toDF("node")
+    val maxHops = 3
+    val got = graft.cluster.Bfs.run(edges, seeds, maxHops)
+      .as[(Long, Int)].collect().toMap
+    // local BFS
+    val adj = edgeSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var want = Map(0L -> 0, 20L -> 0)
+    var frontier = Set(0L, 20L)
+    for (h <- 1 to maxHops) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(want.contains)
+      next.foreach(n => want += n -> h)
+      frontier = next
+    }
+    assert(got == want)
+    assert(got.values.max <= maxHops)
+    assert(want.size < 40 || got.size == 40)
+    // partition invariance
+    val got2 = graft.cluster.Bfs.run(edges.repartition(7), seeds, maxHops)
+      .as[(Long, Int)].collect().toMap
+    assert(got2 == got)
+    // maxHops = 0 returns just the seeds
+    assert(graft.cluster.Bfs.run(edges, seeds, 0)
+      .as[(Long, Int)].collect().toMap == Map(0L -> 0, 20L -> 0))
+  }
 }
