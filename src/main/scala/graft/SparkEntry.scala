@@ -846,6 +846,24 @@ object SparkEntry {
           minScore = 5L)
         .orderBy(col("id0"), col("id1"))
     }),
+    // Fellegi–Sunter EM over brand-blocked part pairs: the quadratic
+    // gamma computation is distributed (salted pair generator + banded
+    // levenshtein), EM runs on the <=2^3 pattern sufficient statistics in
+    // exact scaled-long arithmetic, so 2 full iterations + the final
+    // posterior replay in DuckDB as chained CTEs (HUGEINT // == BigInt /)
+    "q_fellegi_sunter" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+          .cast("int").as("g_name"),
+        (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
+        (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
+      graft.link.FellegiSunter
+        .emClassify(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
+        .orderBy("g_name", "g_type", "g_size")
+    }),
     "q_fuzzy_match" -> ((s, dir) => {
       val names = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_name")).distinct()
@@ -3547,6 +3565,77 @@ object SparkEntry {
          FROM c
          WHERE 4 * agree_p_name + 3 * agree_p_type + 2 * agree_p_size
                + 1 * agree_p_retailprice >= 5""",
+    // full EM replay: blocked pairs -> gamma patterns -> 2 E/M iterations
+    // + final E-step, all in floored fixed-point (HUGEINT // == the
+    // engine's BigInt floor-div; init lambda=0.1, m=0.9, u=0.1 at S=1e9)
+    "q_fellegi_sunter" ->
+      """WITH base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                              p_type, p_size FROM part),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_type, g_size, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         e1 AS (SELECT pc.*,
+           (((((CAST(100000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000 AS a,
+           (((((CAST(900000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000 AS b
+           FROM pc),
+         w1 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e1),
+         p1 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w1),
+         e2 AS (SELECT pc.*,
+           (((((p1.lam * (CASE WHEN g_name = 1 THEN p1.mn ELSE 1000000000 - p1.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.mt ELSE 1000000000 - p1.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.ms ELSE 1000000000 - p1.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p1.lam) * (CASE WHEN g_name = 1 THEN p1.un ELSE 1000000000 - p1.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.ut ELSE 1000000000 - p1.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.us ELSE 1000000000 - p1.us END)) // 1000000000 AS b
+           FROM pc, p1),
+         w2 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e2),
+         p2 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w2),
+         e3 AS (SELECT pc.*,
+           (((((p2.lam * (CASE WHEN g_name = 1 THEN p2.mn ELSE 1000000000 - p2.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.mt ELSE 1000000000 - p2.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.ms ELSE 1000000000 - p2.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p2.lam) * (CASE WHEN g_name = 1 THEN p2.un ELSE 1000000000 - p2.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.ut ELSE 1000000000 - p2.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.us ELSE 1000000000 - p2.us END)) // 1000000000 AS b
+           FROM pc, p2)
+         SELECT CAST(e3.g_name AS INT) AS g_name,
+                CAST(e3.g_type AS INT) AS g_type,
+                CAST(e3.g_size AS INT) AS g_size,
+                e3.c AS n_pairs,
+                CAST((e3.a * 1000000000) // (e3.a + e3.b) AS BIGINT) AS posterior,
+                ((e3.a * 1000000000) // (e3.a + e3.b)) * 2 > 1000000000 AS is_match,
+                p2.lam AS lambda,
+                p2.mn AS m_g_name, p2.mt AS m_g_type, p2.ms AS m_g_size,
+                p2.un AS u_g_name, p2.ut AS u_g_type, p2.us AS u_g_size
+         FROM e3, p2""",
     // DuckDB replays the typo synthesis, both blocking passes, and the
     // edit-distance confirm with its own levenshtein
     "q_fuzzy_match" ->

@@ -1,0 +1,154 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fellegi–Sunter probabilistic record linkage with EM-estimated
+  * parameters — the unsupervised counterpart of [[FieldMatch]]'s
+  * fixed-weight scoring (Fellegi & Sunter 1969; Winkler's EM formulation,
+  * as popularised by splink/fastLink). The reference service assumes
+  * weights are baked into the CLK encoding up front
+  * (`docs/concepts.rst` "comparison techniques"); this estimates the
+  * per-field agreement weights FROM the candidate pairs themselves, which
+  * is what a linkage run over an unlabeled web-scale corpus actually
+  * needs.
+  *
+  * Model: each candidate pair has a binary agreement vector γ ∈ {0,1}^K.
+  * A latent match indicator M with prior λ; P(γ_k=1 | M) = m_k and
+  * P(γ_k=1 | U) = u_k, fields conditionally independent. EM alternates
+  * the pair posterior w(γ) = λ·Π f_k / (λ·Π f_k + (1−λ)·Π g_k) with
+  * count-weighted maximisation of λ, m, u.
+  *
+  * Scale shape — the sufficient-statistics trick: the E/M steps only ever
+  * see the 2^K DISTINCT PATTERNS and their counts, never the pairs. The
+  * quadratic work (candidate generation + per-pair γ) is fully
+  * distributed (callers route pairs through
+  * [[graft.dedup.Dedup.saltedSelfPairs]]); one hash-aggregate collapses
+  * 10^12 pairs to ≤2^K rows (map-side combined — the shuffle carries at
+  * most 2^K rows per task), and the EM loop runs on those ≤2^K sufficient
+  * statistics on the driver — the same bounded-collect discipline as the
+  * IVF coarse quantizer's nlist centroids (K ≤ 16 enforced, so ≤65536
+  * rows regardless of corpus size).
+  *
+  * Arithmetic is EXACT fixed point: probabilities are scaled longs
+  * (`scale` = 1.0) and every division is floored (BigInt quotients of
+  * non-negative values == DuckDB HUGEINT `//`), so the fitted parameters
+  * and posteriors are bit-identical at any parallelism and replay in SQL
+  * as chained CTEs — floating-point EM would never hash-match across
+  * engines (same pattern as [[graft.cluster.PageRank]] /
+  * `Ann.kmeansInt`). Estimates are clamped to [1, scale−1] so no E-step
+  * product can hit a hard 0/1 and divide by zero.
+  */
+object FellegiSunter {
+
+  /** Default probability scale: 1e9 keeps every E-step product and every
+    * count-weighted sum inside a signed 64-bit long for corpora up to
+    * ~9e9 candidate pairs per pattern; the M-step numerators that exceed
+    * it (Σc·w · scale) are BigInt here / HUGEINT in a SQL replay. */
+  val Scale: Long = 1000000000L
+
+  /** Fitted model: λ and per-field m/u, all scaled by `scale`. */
+  final case class Params(lambda: Long, m: Array[Long], u: Array[Long])
+
+  /** Fit by EM over candidate pairs and classify each agreement pattern.
+    *
+    * @param pairs one row per candidate pair; `gammaCols` are 0/1 int
+    *              columns (any numeric type; nulls count as 0).
+    * @param iters full EM iterations (E+M) before the final E-step that
+    *              produces the reported posteriors.
+    * @return one row per OBSERVED pattern: the γ flags, `n_pairs`,
+    *         `posterior` (scaled P(M|γ)), `is_match` (posterior > 1/2),
+    *         and the fitted `lambda` / `m_<f>` / `u_<f>` columns
+    *         (constant across rows — included so one result row carries
+    *         the whole fitted model).
+    */
+  def emClassify(pairs: DataFrame, gammaCols: Seq[String], iters: Int = 2,
+      scale: Long = Scale): DataFrame = {
+    require(gammaCols.nonEmpty && gammaCols.size <= 16,
+      "1..16 gamma fields (2^K sufficient statistics must stay bounded)")
+    require(iters >= 1 && scale >= 1000L, "iters >= 1, scale >= 1000")
+    val spark = pairs.sparkSession
+    val K = gammaCols.size
+    val gs = gammaCols.map(c =>
+      coalesce(col(c).cast("int"), lit(0)).as(c))
+    // the ONE distributed aggregation: 10^12 pairs -> <=2^K rows
+    val counts = pairs.select(gs: _*)
+      .groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect()
+      .map(r => (gammaCols.indices.map(r.getInt).toArray,
+        r.getLong(K)))
+      .sortBy(_._1.toSeq.mkString) // deterministic EM input order
+    require(counts.nonEmpty, "no candidate pairs")
+
+    val (params, posts) = emFit(counts, K, iters, scale)
+
+    val schema = StructType(
+      gammaCols.map(c => StructField(c, IntegerType, nullable = false)) ++
+        Seq(StructField("n_pairs", LongType, nullable = false),
+          StructField("posterior", LongType, nullable = false),
+          StructField("is_match", BooleanType, nullable = false),
+          StructField("lambda", LongType, nullable = false)) ++
+        gammaCols.map(c => StructField(s"m_$c", LongType, nullable = false)) ++
+        gammaCols.map(c => StructField(s"u_$c", LongType, nullable = false)))
+    val rows = counts.zip(posts).map { case ((g, c), w) =>
+      Row.fromSeq(g.toSeq ++ Seq(c, w, w * 2 > scale, params.lambda) ++
+        params.m.toSeq ++ params.u.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** EM over pattern sufficient statistics, exact scaled-long fixed
+    * point. Exposed for the spec's independent-reimplementation gate. */
+  private[link] def emFit(counts: Array[(Array[Int], Long)], K: Int,
+      iters: Int, scale: Long): (Params, Array[Long]) = {
+    val S = BigInt(scale)
+    def clamp(x: BigInt): Long =
+      x.max(BigInt(1)).min(S - 1).toLong
+
+    // classical uninformative-ish starting point: λ=0.1, m=0.9, u=0.1
+    var lam = scale / 10L
+    var m = Array.fill(K)(scale * 9L / 10L)
+    var u = Array.fill(K)(scale / 10L)
+
+    /** posterior w(γ) for each pattern under the current params */
+    def eStep(): Array[Long] = counts.map { case (g, _) =>
+      var a = BigInt(lam)
+      var b = S - BigInt(lam)
+      var k = 0
+      while (k < K) {
+        a = a * (if (g(k) == 1) BigInt(m(k)) else S - BigInt(m(k))) / S
+        b = b * (if (g(k) == 1) BigInt(u(k)) else S - BigInt(u(k))) / S
+        k += 1
+      }
+      val den = a + b
+      if (den == 0) 0L else (a * S / den).toLong
+    }
+
+    for (_ <- 1 to iters) {
+      val w = eStep()
+      var sumCW = BigInt(0)
+      var sumC = BigInt(0)
+      var sumCV = BigInt(0) // Σ c·(S−w)
+      val numM = Array.fill(K)(BigInt(0))
+      val numU = Array.fill(K)(BigInt(0))
+      counts.indices.foreach { i =>
+        val (g, c) = counts(i)
+        val cw = BigInt(c) * BigInt(w(i))
+        val cv = BigInt(c) * (S - BigInt(w(i)))
+        sumCW += cw; sumC += BigInt(c); sumCV += cv
+        var k = 0
+        while (k < K) {
+          if (g(k) == 1) { numM(k) += cw; numU(k) += cv }
+          k += 1
+        }
+      }
+      lam = clamp(sumCW / sumC)
+      m = numM.map(n => clamp(if (sumCW == 0) BigInt(0) else n * S / sumCW))
+      u = numU.map(n => clamp(if (sumCV == 0) BigInt(0) else n * S / sumCV))
+    }
+    (Params(lam, m, u), eStep())
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.link.FellegiSunter
+
+class FellegiSunterSpec extends SparkSpec {
+
+  /** Independent EM reimplementation: same math, structurally different —
+    * posteriors/params as BigInt rationals carried explicitly, patterns
+    * processed via functional folds rather than the while-loop
+    * accumulator form in the library. */
+  private def referenceEm(counts: Seq[(Seq[Int], Long)], iters: Int,
+      scale: Long): (Long, Seq[Long], Seq[Long], Seq[Long]) = {
+    val S = BigInt(scale)
+    val K = counts.head._1.size
+    def clamp(x: BigInt) = x.max(1).min(S - 1).toLong
+    def post(lam: Long, m: Seq[Long], u: Seq[Long])(g: Seq[Int]): Long = {
+      val a = g.zipWithIndex.foldLeft(BigInt(lam)) { case (acc, (gi, k)) =>
+        acc * (if (gi == 1) BigInt(m(k)) else S - BigInt(m(k))) / S
+      }
+      val b = g.zipWithIndex.foldLeft(S - BigInt(lam)) { case (acc, (gi, k)) =>
+        acc * (if (gi == 1) BigInt(u(k)) else S - BigInt(u(k))) / S
+      }
+      if (a + b == 0) 0L else (a * S / (a + b)).toLong
+    }
+    var (lam, m, u) = (scale / 10, Seq.fill(K)(scale * 9 / 10),
+      Seq.fill(K)(scale / 10))
+    for (_ <- 1 to iters) {
+      val w = counts.map { case (g, _) => post(lam, m, u)(g) }
+      val cw = counts.zip(w).map { case ((_, c), wi) => BigInt(c) * wi }
+      val cv = counts.zip(w).map { case ((_, c), wi) =>
+        BigInt(c) * (S - wi) }
+      val sumCW = cw.sum
+      val sumCV = cv.sum
+      lam = clamp(sumCW / counts.map(c => BigInt(c._2)).sum)
+      m = (0 until K).map { k =>
+        val num = counts.indices.filter(i => counts(i)._1(k) == 1)
+          .map(cw).sum
+        clamp(if (sumCW == 0) BigInt(0) else num * S / sumCW)
+      }
+      u = (0 until K).map { k =>
+        val num = counts.indices.filter(i => counts(i)._1(k) == 1)
+          .map(cv).sum
+        clamp(if (sumCV == 0) BigInt(0) else num * S / sumCV)
+      }
+    }
+    (lam, m, u, counts.map { case (g, _) => post(lam, m, u)(g) })
+  }
+
+  private val scale = FellegiSunter.Scale
+
+  test("emClassify == independent EM reimplementation on a mixed corpus") {
+    import spark.implicits._
+    // 60 dup pairs (mostly-agreeing patterns) + 400 random pairs
+    val rnd = new scala.util.Random(7)
+    val dup = Seq.fill(60)((1, if (rnd.nextInt(10) < 9) 1 else 0,
+      if (rnd.nextInt(10) < 8) 1 else 0))
+    val non = Seq.fill(400)((if (rnd.nextInt(10) < 1) 1 else 0,
+      if (rnd.nextInt(10) < 2) 1 else 0, if (rnd.nextInt(10) < 1) 1 else 0))
+    val pairs = (dup ++ non).toDF("g_a", "g_b", "g_c")
+      .repartition(8) // partitioning must not change anything
+    val got = FellegiSunter
+      .emClassify(pairs, Seq("g_a", "g_b", "g_c"), iters = 3)
+      .orderBy("g_a", "g_b", "g_c")
+      .collect()
+
+    val counts = (dup ++ non)
+      .groupBy(identity).map { case (g, v) =>
+        (Seq(g._1, g._2, g._3), v.size.toLong) }
+      .toSeq.sortBy(_._1.mkString)
+    val (lam, m, u, posts) = referenceEm(counts, 3, scale)
+    val expect = counts.zip(posts).sortBy(_._1._1.mkString("", ",", ""))
+
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      val g = Seq(r.getInt(0), r.getInt(1), r.getInt(2))
+      val i = counts.indexWhere(_._1 == g)
+      assert(i >= 0, s"pattern $g missing from reference")
+      assert(r.getAs[Long]("n_pairs") == counts(i)._2)
+      assert(r.getAs[Long]("posterior") == posts(i), s"posterior @ $g")
+      assert(r.getAs[Long]("lambda") == lam)
+      assert(r.getAs[Long]("m_g_a") == m(0) && r.getAs[Long]("m_g_b") == m(1)
+        && r.getAs[Long]("m_g_c") == m(2))
+      assert(r.getAs[Long]("u_g_a") == u(0) && r.getAs[Long]("u_g_b") == u(1)
+        && r.getAs[Long]("u_g_c") == u(2))
+      assert(r.getAs[Boolean]("is_match") ==
+        (r.getAs[Long]("posterior") * 2 > scale))
+    }
+  }
+
+  test("EM separates planted duplicates: m>u per field, posterior ordering") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dup = Seq.fill(80)((1, 1, if (rnd.nextInt(4) < 3) 1 else 0))
+    val non = Seq.fill(800)((if (rnd.nextInt(20) == 0) 1 else 0,
+      if (rnd.nextInt(10) == 0) 1 else 0, if (rnd.nextInt(8) == 0) 1 else 0))
+    val out = FellegiSunter.emClassify(
+      (dup ++ non).toDF("g_a", "g_b", "g_c"), Seq("g_a", "g_b", "g_c"),
+      iters = 4).collect()
+    val r0 = out.head
+    Seq("a", "b", "c").foreach { f =>
+      assert(r0.getAs[Long](s"m_g_$f") > r0.getAs[Long](s"u_g_$f"),
+        s"m > u for $f")
+    }
+    // all-agree pattern must classify as match, all-disagree as non-match
+    val byG = out.map(r => (Seq(r.getInt(0), r.getInt(1), r.getInt(2)),
+      r.getAs[Long]("posterior"))).toMap
+    assert(byG(Seq(1, 1, 1)) * 2 > scale)
+    assert(byG(Seq(0, 0, 0)) * 2 < scale)
+    // posterior is monotone when adding agreements on informative fields
+    assert(byG(Seq(1, 1, 1)) > byG(Seq(0, 0, 0)))
+  }
+
+  test("determinism: same input twice, any partitioning → identical rows") {
+    import spark.implicits._
+    val data = Seq.tabulate(300)(i => (i % 2, (i / 2) % 2, (i / 4) % 2))
+    def run(parts: Int) = FellegiSunter
+      .emClassify(data.toDF("x", "y", "z").repartition(parts),
+        Seq("x", "y", "z"), iters = 2)
+      .orderBy("x", "y", "z").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+}
