@@ -518,6 +518,15 @@ object SparkEntry {
       graft.cluster.Bfs.run(edges, Seq(0L, 150L).toDF("node"), maxHops = 3)
         .orderBy(col("dist"), col("node"))
     }),
+    // HITS hubs/authorities over the link graph (2 iterations,
+    // max-normalised exact integer arithmetic — see cluster/Hits.scala);
+    // the crawl-prioritisation companion to q_pagerank
+    "q_hits" -> ((s, _) => {
+      val edges = graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
+        .select(col("src"),
+          regexp_extract(col("href"), "/p/(\\d+)$", 1).cast("long").as("dst"))
+      graft.cluster.Hits.run(edges, iters = 2).orderBy(col("node"))
+    }),
     // incremental-crawl frontier: pages 0..199 are "crawled"; the
     // frontier is every linked-to uncrawled target with its in-degree
     // (the next-fetch priority signal)
@@ -2972,6 +2981,47 @@ object SparkEntry {
          UNION ALL SELECT CAST(node AS BIGINT), 1 FROM d1
          UNION ALL SELECT CAST(node AS BIGINT), 2 FROM d2
          UNION ALL SELECT CAST(node AS BIGINT), 3 FROM d3""",
+    // HITS replay: same formula-derived edge list, two iterations of
+    // sum + max-normalise (floored //) per side, chained CTEs
+    "q_hits" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 299)) AS n),
+         e AS MATERIALIZED (
+           SELECT n AS src, (n*7+1)%300 AS dst FROM g
+           UNION ALL
+           SELECT n, (n*3+5)%300 FROM g WHERE n % 3 = 0),
+         nodes AS MATERIALIZED (
+           SELECT src AS node FROM e UNION SELECT dst FROM e),
+         ra1 AS MATERIALIZED (
+           SELECT e.dst AS node, SUM(CAST(1000000 AS BIGINT)) AS raw
+           FROM e GROUP BY 1),
+         a1 AS MATERIALIZED (
+           SELECT n.node,
+                  COALESCE((ra1.raw * 1000000) // (SELECT MAX(raw) FROM ra1), 0) AS v
+           FROM nodes n LEFT JOIN ra1 USING (node)),
+         rh1 AS MATERIALIZED (
+           SELECT e.src AS node, SUM(a1.v) AS raw
+           FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+         h1 AS MATERIALIZED (
+           SELECT n.node,
+                  COALESCE((rh1.raw * 1000000) // (SELECT MAX(raw) FROM rh1), 0) AS v
+           FROM nodes n LEFT JOIN rh1 USING (node)),
+         ra2 AS MATERIALIZED (
+           SELECT e.dst AS node, SUM(h1.v) AS raw
+           FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+         a2 AS MATERIALIZED (
+           SELECT n.node,
+                  COALESCE((ra2.raw * 1000000) // (SELECT MAX(raw) FROM ra2), 0) AS v
+           FROM nodes n LEFT JOIN ra2 USING (node)),
+         rh2 AS MATERIALIZED (
+           SELECT e.src AS node, SUM(a2.v) AS raw
+           FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+         h2 AS MATERIALIZED (
+           SELECT n.node,
+                  COALESCE((rh2.raw * 1000000) // (SELECT MAX(raw) FROM rh2), 0) AS v
+           FROM nodes n LEFT JOIN rh2 USING (node))
+         SELECT CAST(h2.node AS BIGINT) AS node,
+                CAST(h2.v AS BIGINT) AS hub, CAST(a2.v AS BIGINT) AS auth
+         FROM h2 JOIN a2 USING (node)""",
     // frontier replay from the link formula: edges of crawled pages
     // (src < 200), targets outside the crawled range, grouped
     "q_crawl_frontier" ->
