@@ -610,6 +610,12 @@ object SparkEntry {
         .orderBy(col("id0"), col("id1"))),
     // containment near-dup pairs (|A∩B|/min(|A|,|B|) — the subset/quote
     // duplication Jaccard misses; same hashed-set merge-scan kernel)
+    // weighted (bag) Jaccard: tf-profile min/max overlap — discriminates
+    // where token-set Jaccard saturates on the small-vocab corpus
+    "q_weighted_jaccard" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(docs(s, dir), "doc_id", "text",
+        element_at(split(col("text"), " "), 1), threshold = 0.5)
+        .orderBy(col("id0"), col("id1"))),
     "q_containment" -> ((s, dir) =>
       Dedup.containmentPairsHashed(docs(s, dir), "doc_id",
         Dedup.hashedSet(split(col("text"), " ")),
@@ -3191,6 +3197,30 @@ object SparkEntry {
                     4) AS jaccard
            FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // bag-jaccard replay: per-doc tf via unnest+count, min-sum over the
+    // pair's shared terms, den from the Σmax = totA+totB−Σmin identity;
+    // the threshold is the integer cross-multiply, never the double
+    "q_weighted_jaccard" ->
+      """WITH b AS (
+           SELECT str_split(text, ' ')[1] AS bk, doc_id AS id,
+                  str_split(text, ' ') AS ts FROM documents),
+         tfc AS (SELECT id, term, count(*) AS tf
+                 FROM (SELECT id, unnest(ts) AS term FROM b) GROUP BY 1, 2),
+         tot AS (SELECT id, CAST(len(ts) AS BIGINT) AS tot FROM b),
+         p AS (SELECT l.id AS id0, r.id AS id1
+               FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id),
+         ms AS (SELECT p.id0, p.id1,
+                       CAST(SUM(LEAST(a.tf, c.tf)) AS BIGINT) AS wj_num
+                FROM p JOIN tfc a ON a.id = p.id0
+                       JOIN tfc c ON c.id = p.id1 AND c.term = a.term
+                GROUP BY 1, 2)
+         SELECT ms.id0, ms.id1, ms.wj_num,
+                t0.tot + t1.tot - ms.wj_num AS wj_den,
+                round(CAST(ms.wj_num AS DOUBLE)
+                      / (t0.tot + t1.tot - ms.wj_num), 4) AS wjaccard
+         FROM ms JOIN tot t0 ON t0.id = ms.id0
+                 JOIN tot t1 ON t1.id = ms.id1
+         WHERE ms.wj_num * 1000000 >= 500000 * (t0.tot + t1.tot - ms.wj_num)""",
     "q_containment" ->
       """WITH b AS (
            SELECT str_split(text, ' ')[1] AS bk, doc_id AS id,

@@ -233,6 +233,53 @@ object Dedup {
       threshold, "id0", "id1", "containment")
   }
 
+  /** Weighted (multiset / bag) Jaccard near-dup pairs:
+    * Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) over term frequencies —
+    * catches copies that token-SET Jaccard overrates or underrates when
+    * frequencies differ (boilerplate-padded duplicates, repetition-
+    * inflated spam; the small-vocab failure mode where every doc's token
+    * set converges but tf profiles still discriminate).
+    *
+    * Exact integer identity: Σmax = tot_A + tot_B − Σmin, so only the
+    * shared-term min-sum and per-doc token totals are needed; the
+    * threshold test cross-multiplies (num·1e6 ≥ thr·den) so the cut is
+    * bit-exact and SQL-replayable, with the double ratio emitted only for
+    * reporting (round 4).
+    *
+    * Scale shape: tf vectors are computed ONCE per document as a sorted
+    * map column (O(distinct·len) codegen transform, no UDF) and ride the
+    * salted pair fan-out; the per-pair min-sum is a codegen
+    * map_zip_with + aggregate — no explode of the pair set, no
+    * per-term shuffle. Same salted-block discipline as
+    * [[jaccardPairsHashed]]. */
+  def weightedJaccardPairs(df: DataFrame, id: String, text: String,
+      blockKey: Column, threshold: Double, aim: Long = PairAim,
+      maxK: Int = 4096): DataFrame = {
+    val thr = math.round(threshold * 1000000L)
+    val base = df.select(blockKey.as("bk"), col(id).cast("long").as("id"),
+        split(col(text), " ").as("ts"))
+      .select(col("bk"), col("id"),
+        size(col("ts")).cast("long").as("tot"),
+        expr("""map_from_entries(transform(array_distinct(ts),
+                t -> struct(t, CAST(size(filter(ts, x -> x = t)) AS LONG))))""")
+          .as("m"))
+    val paired = saltedSelfPairs(base, aim, maxK)
+    val minSum = expr(
+      """aggregate(map_values(map_zip_with(m0, m1,
+           (k, v0, v1) -> least(coalesce(v0, 0L), coalesce(v1, 0L)))),
+         0L, (acc, x) -> acc + x)""")
+    // same filter-above-projection guard as scoreAndFilter (the
+    // threshold here is the two-column cross-multiply, not a scalar)
+    paired
+      .select(col("id0"), col("id1"), col("tot0"), col("tot1"),
+        when(monotonically_increasing_id() >= 0, minSum).as("wj_num"))
+      .withColumn("wj_den", col("tot0") + col("tot1") - col("wj_num"))
+      .where(col("wj_num") * lit(1000000L) >= lit(thr) * col("wj_den"))
+      .select(col("id0"), col("id1"), col("wj_num"), col("wj_den"),
+        round(col("wj_num").cast("double") / col("wj_den"), 4)
+          .as("wjaccard"))
+  }
+
   /** Word-bigram shingles of a text (deduplicated). Bigrams discriminate
     * documents whose unigram vocabularies overlap heavily (a small-vocab
     * corpus makes unigram MinHash buckets degenerate to all-pairs —

@@ -525,6 +525,38 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("weighted jaccard pairs: forced salting == bag brute force; integer num/den honest") {
+    import spark.implicits._
+    val docs = documents.limit(300)
+    val got = Dedup.weightedJaccardPairs(docs, "doc_id", "text", lit("hot"),
+        0.5, aim = 50L, maxK = 4)
+      .select($"id0".as[Long], $"id1".as[Long], $"wj_num".as[Long],
+        $"wj_den".as[Long], $"wjaccard".as[Double])
+      .collect()
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+      "duplicate pairs")
+    val txts = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+    def tf(s: String) = s.split(" ").groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val truth = (for {
+      (i, ti) <- txts.iterator; (j, tj) <- txts.iterator
+      if i < j
+      a = tf(ti); b = tf(tj)
+      num = (a.keySet intersect b.keySet).toSeq
+        .map(k => math.min(a(k), b(k))).sum
+      den = a.values.sum + b.values.sum - num
+      if num * 1000000L >= 500000L * den
+    } yield (i, j, num, den,
+      // HALF_UP like Spark's round() (rint is half-even: 0.53125 differs)
+      BigDecimal(num.toDouble / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got.toSet == truth)
+    assert(truth.nonEmpty)
+    // weighted must disagree with set jaccard somewhere on this corpus
+    // (tf profiles discriminate where token sets saturate)
+    assert(truth.exists { case (_, _, num, den, _) => num != den })
+  }
+
   test("containment pairs: == brute force under forced salting; catches the subset pair Jaccard misses") {
     import spark.implicits._
     // crafted quotation pair: doc B embeds ALL of doc A's tokens inside a
