@@ -836,6 +836,29 @@ object SparkEntry {
     // per-node triangle counts over a thinned co-purchase graph —
     // degree-oriented node-iterator (each triangle found exactly once,
     // wedge fan-out bounded by O(sqrt m))
+    // resource-allocation link prediction over the thinned co-purchase
+    // graph: non-adjacent pairs ranked by Σ scale DIV deg(common nbr),
+    // deterministic top-50 (integer scores, id tiebreak)
+    "q_link_predict" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      graft.cluster.LinkPredict.resourceAllocation(edges, topK = 50)
+    }),
+    // deterministic synchronous label propagation (3 rounds) on the same
+    // graph — community splits where CC would merge everything reachable
+    "q_label_prop" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      graft.cluster.LabelProp.run(edges, iters = 3).orderBy(col("node"))
+    }),
     "q_triangles" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
         .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
@@ -3597,6 +3620,58 @@ object SparkEntry {
          FROM r GROUP BY domain""",
     // degree-oriented node-iterator replay: orient low->high by
     // (degree, id), wedge join, closure check, exploded incidence count
+    // RA replay: symmetric edges, degree-capped pivots, wedge self-join,
+    // integer floored weights, anti-join vs the edge set, ordered top-50
+    "q_link_predict" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_orderkey % 4 = 0 AND l_partkey % 2 = 0),
+         e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                       greatest(a.l_partkey, b.l_partkey) AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey),
+         sym AS (SELECT u AS z, v AS n FROM e0
+                 UNION ALL SELECT v, u FROM e0),
+         deg AS (SELECT z, count(*) AS deg FROM sym GROUP BY 1),
+         pn AS (SELECT s.z, s.n, CAST(1000000 AS BIGINT) // d.deg AS w
+                FROM sym s JOIN deg d ON d.z = s.z WHERE d.deg <= 64),
+         wed AS (SELECT a.n AS x, b.n AS y, a.w
+                 FROM pn a JOIN pn b ON a.z = b.z AND a.n < b.n),
+         sc AS (SELECT x, y, CAST(SUM(w) AS BIGINT) AS ra_score
+                FROM wed GROUP BY 1, 2),
+         ne AS (SELECT sc.* FROM sc
+                LEFT JOIN e0 ON e0.u = sc.x AND e0.v = sc.y
+                WHERE e0.u IS NULL)
+         SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, ra_score
+         FROM ne ORDER BY ra_score DESC, x, y LIMIT 50""",
+    // three synchronous LPA rounds: neighbor-label counts + top-1 by
+    // (cnt DESC, label ASC) per round, chained MATERIALIZED CTEs
+    "q_label_prop" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_orderkey % 4 = 0 AND l_partkey % 2 = 0),
+         e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                       greatest(a.l_partkey, b.l_partkey) AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey),
+         sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e0
+                              UNION ALL SELECT v, u FROM e0),
+         l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM sym),
+         c1 AS MATERIALIZED (SELECT s.node, l.label, count(*) AS cnt
+                FROM sym s JOIN l0 l ON l.node = s.nbr GROUP BY 1, 2),
+         l1 AS MATERIALIZED (SELECT node, label FROM c1
+                QUALIFY row_number() OVER (PARTITION BY node
+                  ORDER BY cnt DESC, label ASC) = 1),
+         c2 AS MATERIALIZED (SELECT s.node, l.label, count(*) AS cnt
+                FROM sym s JOIN l1 l ON l.node = s.nbr GROUP BY 1, 2),
+         l2 AS MATERIALIZED (SELECT node, label FROM c2
+                QUALIFY row_number() OVER (PARTITION BY node
+                  ORDER BY cnt DESC, label ASC) = 1),
+         c3 AS MATERIALIZED (SELECT s.node, l.label, count(*) AS cnt
+                FROM sym s JOIN l2 l ON l.node = s.nbr GROUP BY 1, 2),
+         l3 AS MATERIALIZED (SELECT node, label FROM c3
+                QUALIFY row_number() OVER (PARTITION BY node
+                  ORDER BY cnt DESC, label ASC) = 1)
+         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+         FROM l3""",
     "q_triangles" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
                      WHERE l_orderkey % 4 = 0 AND l_partkey % 2 = 0),

@@ -1,0 +1,91 @@
+package graft
+
+import graft.cluster.{LabelProp, LinkPredict}
+
+class GraphOpsSpec extends SparkSpec {
+
+  private def undirect(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
+    edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+
+  test("resourceAllocation == scalar oracle; adjacent pairs excluded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val edges = (1 to 300).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val und = undirect(edges)
+    val adj = und.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val scale = 1000000L
+    val cand = (for {
+      x <- adj.keys; y <- adj.keys
+      if x < y && !und((x, y))
+      common = adj(x) intersect adj(y)
+      pivots = common.filter(z => adj(z).size <= 64)
+      if pivots.nonEmpty
+      s = pivots.toSeq.map(z => scale / adj(z).size).sum
+    } yield (x, y, s)).toSeq
+    val expect = cand.sortBy(t => (-t._3, t._1, t._2)).take(50)
+    val got = LinkPredict.resourceAllocation(
+        edges.toDF("src", "dst").repartition(7), topK = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+    got.foreach { case (x, y, _) => assert(!und((x, y)), "adjacent leaked") }
+  }
+
+  test("resourceAllocation drops pivots above maxPivotDeg") {
+    import spark.implicits._
+    // hub 0 joins every pair; spokes also chained so low-deg pivots exist
+    val hub = (1L to 20L).map(i => (0L, i))
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val got = LinkPredict.resourceAllocation(
+        (hub ++ chain).toDF("src", "dst"), maxPivotDeg = 5, topK = 1000)
+      .as[(Long, Long, Long)].collect()
+    // hub (deg 20) may never be a pivot: pairs whose ONLY common
+    // neighbor is the hub must be absent
+    assert(got.nonEmpty)
+    got.foreach { case (x, y, _) =>
+      val commonLow = (1L to 20L).filter(z =>
+        z != x && z != y && (math.abs(z - x) == 1 || (x == 0L)) &&
+          math.abs(z - y) == 1)
+      assert(x != 0L || commonLow.nonEmpty || y - x == 2,
+        s"($x,$y) must share a low-degree pivot")
+    }
+    // concretely: (1,3) share only node 2 (deg<=3) -> present;
+    // (1,20) share only hub -> absent
+    assert(got.exists(t => t._1 == 1L && t._2 == 3L))
+    assert(!got.exists(t => t._1 == 1L && t._2 == 20L))
+  }
+
+  test("labelProp == scalar synchronous oracle; partition-invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    // two dense 12-cliques plus sparse random noise between them
+    val cliqueA = for { i <- 0L to 11L; j <- 0L to 11L if i < j } yield (i, j)
+    val cliqueB = for { i <- 20L to 31L; j <- 20L to 31L if i < j } yield (i, j)
+    val noise = (1 to 8).map(_ =>
+      (rng.nextInt(12).toLong, rng.nextInt(12).toLong + 20L))
+    val edges = cliqueA ++ cliqueB ++ noise
+    val und = undirect(edges)
+    val adj = und.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (n, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    def run(parts: Int) = LabelProp.run(
+        edges.toDF("src", "dst").repartition(parts), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(run(1) == lab)
+    assert(run(11) == lab)
+    // communities recovered: each clique converges to one label,
+    // different between the cliques
+    val la = (0L to 11L).map(lab).distinct
+    val lb = (20L to 31L).map(lab).distinct
+    assert(la.size == 1 && lb.size == 1 && la != lb)
+  }
+}
