@@ -592,6 +592,11 @@ object SparkEntry {
       TextOps.invertedIndex(docs(s, dir), "doc_id", "text", minDf = 5L)
         .orderBy(col("token"))),
     // heuristic language ID
+    // BM25 ranked retrieval (exact-rational tf part, ratio idf — see
+    // TextOps.bm25TopK): top-20 docs for a mixed common/rare query
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "dup"), k = 20)),
     "q_lang_id" -> ((s, dir) => {
       val cols = TextOps.langIdColumns(col("text")).map { case (n, c) => c.as(n) }
       docs(s, dir).select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
@@ -999,6 +1004,10 @@ object SparkEntry {
       graft.streaming.EventStream.funnel(events(s, dir),
           Seq("signup", "click", "purchase"))
         .orderBy(col("user_id"))),
+    // weekly cohort retention matrix (first-active week × weeks-since)
+    "q_retention" -> ((s, dir) =>
+      graft.streaming.EventStream.retentionCohorts(events(s, dir))
+        .orderBy(col("cohort_week"), col("week_offset"))),
     // deterministic weighted corpus mixing (downsample en to 25%, es to
     // 75%): md5-hash-threshold keep rule, no rand(), map-side only
     "q_mix_sample" -> ((s, dir) =>
@@ -3182,6 +3191,27 @@ object SparkEntry {
                 round(CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE)
                       / len(str_split(text, ' ')), 4) AS mean_token_len
          FROM documents""",
+    // BM25 replay: same exact rationals — idf in fixed point, the
+    // idf·tfpart product widened to HUGEINT before its floored divide
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS ts
+                       FROM documents),
+         lens AS (SELECT id, CAST(len(ts) AS BIGINT) AS len FROM toks),
+         st AS (SELECT count(*) AS n_docs, SUM(len) AS tl FROM lens),
+         tfq AS (SELECT id, term, count(*) AS tf
+                 FROM (SELECT id, unnest(ts) AS term FROM toks)
+                 WHERE term IN ('spark', 'join', 'dup') GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         sc AS (SELECT tfq.id,
+                  SUM(CAST((CAST(1000000 AS BIGINT) * (2 * st.n_docs - 2 * dfq.df + 1))
+                           // (2 * dfq.df + 1) AS HUGEINT)
+                      * (44 * tfq.tf * st.tl)
+                      // (20 * st.tl * tfq.tf + 6 * st.tl + 18 * lens.len * st.n_docs))
+                    AS bm25
+                FROM tfq JOIN dfq USING (term) JOIN lens USING (id), st
+                GROUP BY 1)
+         SELECT CAST(id AS BIGINT) AS id, CAST(bm25 AS BIGINT) AS bm25
+         FROM sc ORDER BY bm25 DESC, id LIMIT 20""",
     "q_lang_id" ->
       """SELECT doc_id,
                 CAST(len(list_filter(str_split(text, ' '),
@@ -3448,6 +3478,17 @@ object SparkEntry {
                        min(CASE WHEN et = 'purchase' AND t >= t2 THEN t END) AS t3
                 FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
          SELECT user_id, t1, t2, t3 FROM s3""",
+    // both engines truncate weeks to ISO Monday; offsets are exact
+    // day-diff // 7; the (user, week) dedup makes count(*) distinct-safe
+    "q_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('week', ts) AS DATE) AS w
+                     FROM events),
+         cw AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY 1)
+         SELECT CAST(cw AS VARCHAR) AS cohort_week,
+                CAST(datediff('day', cw, w) // 7 AS INT) AS week_offset,
+                count(*) AS n_users
+         FROM ev JOIN cw USING (user_id) GROUP BY 1, 2""",
     // fixed-width lowercase hex compares numerically; thresholds are
     // floor(weight * 2^32) in hex
     "q_mix_sample" ->

@@ -79,6 +79,33 @@ object EventStream {
     acc
   }
 
+  /** Cohort retention matrix: users bucketed by their FIRST-active ISO
+    * week (the cohort), counted at each later week they were active —
+    * the standard activity-retention readout (row = cohort, column =
+    * weeks-since-signup, cell = distinct active users).
+    *
+    * week_offset 0 row of each cohort is its size; cells are exact
+    * distinct-user counts via the (user, week) dedup, so no
+    * countDistinct pass is needed. Cohort keys are emitted as
+    * 'yyyy-MM-dd' strings (cross-engine-stable date text).
+    *
+    * Scale shape: one (user, week) hash dedup, one per-user min agg,
+    * one key join, one count agg — all hash-partitioned by user/cohort
+    * keys, no windows. */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val ev = events.select(col(userCol).as("user_id"),
+        date_trunc("week", col(tsCol)).cast("date").as("w"))
+      .distinct()
+    val cohorts = ev.groupBy("user_id").agg(min(col("w")).as("cw"))
+    ev.join(cohorts, "user_id")
+      .select(col("cw"), expr("datediff(w, cw) DIV 7").cast("int")
+        .as("week_offset"))
+      .groupBy(col("cw").cast("string").as("cohort_week"),
+        col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Tumbling-window per-type counts + value sums with a watermark for
     * late data. Works over any source df (batch or streaming) — same plan
     * both ways, which is how the equivalence test pins semantics. */

@@ -367,6 +367,58 @@ object TextOps {
       .select("id", "term", "tf", "df", "score", "rank")
   }
 
+  /** BM25 top-k retrieval for a fixed query term set — the ranked-search
+    * readout over the corpus (find the documents most about a topic; the
+    * retrieval side of contamination checks and eval-set curation).
+    * Okapi BM25 with k1 = 6/5, b = 3/4 carried as EXACT RATIONALS: the
+    * tf saturation term clears all division by cross-multiplying through
+    * 20·total_len·n_docs —
+    *
+    *   tfpart = tf·(k1+1) / (tf + k1·(1−b + b·len/avgdl))
+    *          = 44·tf·TL / (20·TL·tf + 6·TL + 18·len·N)   exactly,
+    *
+    * and the idf uses the RATIO form (2N−2df+1)/(2df+1) (= the classic
+    * (N−df+0.5)/(df+0.5) with the log dropped) in fixed point — the same
+    * deliberate monotone-per-term substitution as [[tfidfTopTerms]]:
+    * libm log is not bit-stable across engines, and the ratio keeps each
+    * term's contribution exactly replayable. NOTE this changes the
+    * common/rare BALANCE across summed terms vs log-idf BM25 (rare terms
+    * weigh relatively more); it is this engine's documented exact-
+    * arithmetic variant, not a claim of score-identical Okapi.
+    *
+    * All integer arithmetic; the idf·tfpart product is widened to
+    * decimal(38,0) (HUGEINT in a SQL replay) before its floored divide.
+    * Scale shape: tf rows are filtered to the query's terms BEFORE any
+    * join (a query of q terms touches q·N rows, not the corpus × vocab),
+    * stats ride one broadcast 1-row table, df per query term another
+    * broadcast; deterministic top-k = TakeOrderedAndProject on
+    * (score desc, id). */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k: Int = 20,
+      scale: Long = 1000000L): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1)
+    val toks = docs.select(col(id).cast("long").as("id"),
+      split(col(text), " ").as("ts"))
+    val lens = toks.select(col("id"), size(col("ts")).cast("long").as("len"))
+    val tfq = toks
+      .select(col("id"), size(col("ts")).cast("long").as("len"),
+        explode(col("ts")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("id", "len", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("tl"))
+    tfq.join(broadcast(dfq), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        expr(s"(${scale}L * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
+      .withColumn("contrib",
+        expr("""CAST(idf AS DECIMAL(38,0)) * (44 * tf * tl)
+                DIV (20 * tl * tf + 6 * tl + 18 * len * n_docs)"""))
+      .groupBy("id").agg(sum(col("contrib")).as("bm25"))
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
+  }
+
   /** TF-IDF-weighted cosine pair scoring — the vector-space ER scorer
     * (Cohen's WHIRL / soft TF-IDF lineage): pairs score high when they
     * share RARE terms, so "the of and" overlap stops producing false

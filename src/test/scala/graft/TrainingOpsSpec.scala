@@ -148,6 +148,41 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) == List("cherry", "apple")) // cherry 1*3=3 > apple 1
   }
 
+  test("bm25TopK: == scalar rational-arithmetic oracle; rare term dominates") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark join join join pad pad pad pad"),
+      (2L, "spark dup"),
+      (3L, "join pad pad"),
+      (4L, "pad pad pad pad pad pad"),
+      (5L, "spark spark join dup dup"))
+    val got = TextOps.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", Seq("spark", "join", "dup"), k = 5)
+      .as[(Long, Long)].collect().toSeq
+    // scalar replication
+    val S = 1000000L
+    val toks = corpus.map { case (i, t) => i -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toLong
+    val tl = toks.values.map(_.size.toLong).sum
+    def df(term: String) = toks.values.count(_.contains(term)).toLong
+    val expect = corpus.map { case (i, _) =>
+      val len = toks(i).size.toLong
+      val score = Seq("spark", "join", "dup").map { q =>
+        val tf = toks(i).count(_ == q).toLong
+        if (tf == 0) BigInt(0)
+        else {
+          val idf = S * (2 * n - 2 * df(q) + 1) / (2 * df(q) + 1)
+          BigInt(idf) * (44 * tf * tl) /
+            (20 * tl * tf + 6 * tl + 18 * len * n)
+        }
+      }.sum
+      (i, score.toLong)
+    }.filter(_._2 > 0).sortBy(t => (-t._2, t._1))
+    assert(got == expect)
+    // doc 5 carries the rare 'dup' twice plus both common terms: top hit
+    assert(got.head._1 == 5L)
+  }
+
   test("repetitionScores: matches local computation; repeated text scores high") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
@@ -992,6 +1027,27 @@ class CurationOpsSpec extends SparkSpec {
       .select($"sample_docs".as[String]).head()
     assert(capped.split(",").length == 10)
     assert(capped == (1L to 10L).mkString(","))
+  }
+
+  test("retentionCohorts: hand-built cohort matrix; multi-event weeks count once") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 12:00:00")
+    // weeks (Mondays): 2024-01-01, -08, -15
+    // u1: w0 + w1 + w2 (twice in w1 -> still one)
+    // u2: w0 only; u3: w1 + w2 (cohort = second week)
+    val ev = Seq(
+      (1L, ts("2024-01-02")), (1L, ts("2024-01-09")), (1L, ts("2024-01-10")),
+      (1L, ts("2024-01-17")),
+      (2L, ts("2024-01-03")),
+      (3L, ts("2024-01-11")), (3L, ts("2024-01-16"))
+    ).toDF("user_id", "ts")
+    val got = graft.streaming.EventStream.retentionCohorts(ev)
+      .select($"cohort_week".as[String], $"week_offset".as[Int],
+        $"n_users".as[Long])
+      .collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
 
   test("funnel: ordered-stage minima, chain breaks null out") {
