@@ -265,6 +265,12 @@ object SparkEntry {
         .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
     "er_febrl4_clusters" -> ((s, _) =>
       febrl4Clusters(s).orderBy(col("clusterId"), col("dp"))),
+    // mutual-best 1:1 tier over the same scored edges: reciprocal top-1
+    // by (sim desc, partner asc) — the high-precision auto-accept band
+    "q_mutual_best" -> ((s, _) =>
+      graft.cluster.Solver.mutualBest(
+          Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8)).toDF())
+        .orderBy(col("rec0"))),
     // incremental linkage: only pairs touching the "new batch" (here the
     // deterministic 10% slice entity_id%10==7) are scored; the oracle
     // replays the FULL kernel and filters to touching-new — equality of
@@ -526,6 +532,17 @@ object SparkEntry {
         .select(col("src"),
           regexp_extract(col("href"), "/p/(\\d+)$", 1).cast("long").as("dst"))
       graft.cluster.Hits.run(edges, iters = 2).orderBy(col("node"))
+    }),
+    // personalized PageRank from the BFS seed set {0, 150}: restart mass
+    // lands only on seeds, ranks = proximity to the trusted list
+    "q_ppr" -> ((s, _) => {
+      import s.implicits._
+      val edges = graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
+        .select(col("src"),
+          regexp_extract(col("href"), "/p/(\\d+)$", 1).cast("long").as("dst"))
+      graft.cluster.PageRank.runPersonalized(edges,
+          Seq(0L, 150L).toDF("node"), iters = 3)
+        .orderBy(col("id"))
     }),
     // incremental-crawl frontier: pages 0..199 are "crawled"; the
     // frontier is every linked-to uncrawled target with its in-degree
@@ -1727,6 +1744,26 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // mutual-best replay: the same kernel-derived edge set, reciprocal
+    // top-1 via two QUALIFY windows ordered (sim DESC, partner ASC)
+    "q_mutual_best" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p0 AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         p AS (SELECT * FROM p0 WHERE sim >= 0.8),
+         b1 AS (SELECT dp0, rec0, dp1, rec1 FROM p
+                QUALIFY row_number() OVER (PARTITION BY dp0, rec0, dp1
+                  ORDER BY sim DESC, rec1 ASC) = 1),
+         b0 AS (SELECT dp0, rec0, dp1, rec1 FROM p
+                QUALIFY row_number() OVER (PARTITION BY dp1, rec1, dp0
+                  ORDER BY sim DESC, rec0 ASC) = 1)
+         SELECT p.sim, p.dp0, p.rec0, p.dp1, p.rec1
+         FROM p JOIN b1 USING (dp0, rec0, dp1, rec1)
+                JOIN b0 USING (dp0, rec0, dp1, rec1)""",
     // delta contract: the full kernel replay filtered to pairs touching
     // the new batch must equal the delta-only Spark run
     "q_link_delta" ->
@@ -3019,6 +3056,42 @@ object SparkEntry {
          UNION ALL SELECT CAST(node AS BIGINT), 1 FROM d1
          UNION ALL SELECT CAST(node AS BIGINT), 2 FROM d2
          UNION ALL SELECT CAST(node AS BIGINT), 3 FROM d3""",
+    // PPR replay: pagerank's chained CTEs with the restart term gated on
+    // the seed set and rank0 = scale only at seeds
+    "q_ppr" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 299)) AS n),
+         e0 AS MATERIALIZED (
+           SELECT n AS src, (n*7+1)%300 AS dst FROM g
+           UNION ALL
+           SELECT n, (n*3+5)%300 FROM g WHERE n % 3 = 0),
+         deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+         nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         r0 AS (SELECT id, CAST(CASE WHEN id IN (0, 150)
+                  THEN 1000000000000 ELSE 0 END AS BIGINT) AS rank
+                FROM nodes),
+         c1 AS (SELECT e0.dst AS id, CAST(sum(r0.rank // deg.deg) AS BIGINT) AS s
+                FROM e0 JOIN deg USING (src) JOIN r0 ON r0.id = e0.src
+                GROUP BY 1),
+         r1 AS (SELECT n.id,
+                  (CASE WHEN n.id IN (0, 150) THEN 150000000000 ELSE 0 END)
+                  + (COALESCE(c1.s, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN c1 USING (id)),
+         c2 AS (SELECT e0.dst AS id, CAST(sum(r1.rank // deg.deg) AS BIGINT) AS s
+                FROM e0 JOIN deg USING (src) JOIN r1 ON r1.id = e0.src
+                GROUP BY 1),
+         r2 AS (SELECT n.id,
+                  (CASE WHEN n.id IN (0, 150) THEN 150000000000 ELSE 0 END)
+                  + (COALESCE(c2.s, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN c2 USING (id)),
+         c3 AS (SELECT e0.dst AS id, CAST(sum(r2.rank // deg.deg) AS BIGINT) AS s
+                FROM e0 JOIN deg USING (src) JOIN r2 ON r2.id = e0.src
+                GROUP BY 1),
+         r3 AS (SELECT n.id,
+                  (CASE WHEN n.id IN (0, 150) THEN 150000000000 ELSE 0 END)
+                  + (COALESCE(c3.s, 0) * 85) // 100 AS rank
+                FROM nodes n LEFT JOIN c3 USING (id))
+         SELECT CAST(id AS BIGINT) AS id, CAST(rank AS BIGINT) AS rank
+         FROM r3""",
     // HITS replay: same formula-derived edge list, two iterations of
     // sum + max-normalise (floored //) per side, chained CTEs
     "q_hits" ->

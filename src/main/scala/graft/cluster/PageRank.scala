@@ -60,4 +60,41 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank (random walk with restart): the restart mass
+    * lands ONLY on the seed set, so ranks measure proximity TO THE SEEDS
+    * rather than global centrality — the crawl-frontier prioritiser
+    * ("how close is this unfetched page to my trusted seed list") and
+    * the seed-expansion primitive for growing a labeled dup-cluster.
+    * Same exact scaled-long arithmetic, floored divisions, and one-
+    * shuffle-join-per-iteration shape as [[run]]; seeds init at `scale`,
+    * everything else at 0, so unreachable nodes stay exactly 0. */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && scale >= 100L)
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = e0.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col("node").cast("long").as("id")).distinct()
+    val nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .join(seedSet.withColumn("isSeed", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("isSeed"), lit(0L)).as("isSeed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (scale * 15L) / 100L
+    var ranks = nodes.select(col("id"), (col("isSeed") * scale).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank DIV deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (col("isSeed") * base + expr("(coalesce(s, 0) * 85) DIV 100"))
+            .as("rank"))
+      if (i < iters) ranks = ranks.localCheckpoint(eager = false)
+    }
+    ranks
+  }
 }

@@ -123,6 +123,32 @@ object Solver {
   @inline private def ord(a: Long, b: Long): (Long, Long) =
     if (a <= b) (a, b) else (b, a)
 
+  /** Mutual-best (symmetric best-match) 1:1 assignment — the cheap
+    * alternative solver to greedy: keep a scored pair iff each endpoint
+    * is the other's highest-similarity candidate (ties broken by
+    * smallest partner id). Strictly more conservative than greedy
+    * matching (mutual-best ⊆ greedy's accepted set on two parties) and
+    * fully order-free, so it needs NO sequential consumption at all:
+    * two argmax aggregations + two key joins, each hash-partitioned on a
+    * record key — no component solve, no windows, no collects. The
+    * classic use: a high-precision auto-accept tier in front of the
+    * greedy solver's clerical band.
+    *
+    * Input/output schema = the Edge frame (sim, dp0, rec0, dp1, rec1),
+    * best-match computed per ORDERED provider pair (dp0, dp1). */
+  def mutualBest(edges: DataFrame): DataFrame = {
+    // deterministic argmax: min of (-sim, partner) == (sim DESC, id ASC)
+    val best1 = edges.groupBy("dp0", "rec0", "dp1")
+      .agg(min(struct((-col("sim")).as("ns"), col("rec1").as("r"))).as("t"))
+      .select(col("dp0"), col("rec0"), col("dp1"), col("t.r").as("rec1"))
+    val best0 = edges.groupBy("dp1", "rec1", "dp0")
+      .agg(min(struct((-col("sim")).as("ns"), col("rec0").as("r"))).as("t"))
+      .select(col("dp0"), col("t.r").as("rec0"), col("dp1"), col("rec1"))
+    edges.join(best1, Seq("dp0", "rec0", "dp1", "rec1"))
+      .join(best0, Seq("dp0", "rec0", "dp1", "rec1"))
+      .select(col("sim"), col("dp0"), col("rec0"), col("dp1"), col("rec1"))
+  }
+
   /** G2: expand clusters into implied cross-provider record pairs
     * (anonlink `pairs_from_groups`, used by the reference's e2e oracle at
     * `e2etests/tests/test_results_correctness.py:81`). */

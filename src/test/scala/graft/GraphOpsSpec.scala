@@ -58,6 +58,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(!got.exists(t => t._1 == 1L && t._2 == 20L))
   }
 
+  test("mutualBest == brute-force reciprocal top-1; subset of edges") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val edges = (for {
+      r0 <- 0L until 30L; r1 <- 0L until 30L
+      if rng.nextInt(5) == 0
+    } yield (math.rint(rng.nextDouble() * 100) / 100, 0, r0, 1, r1)).toSeq
+    val df = edges.toDF("sim", "dp0", "rec0", "dp1", "rec1")
+    val got = graft.cluster.Solver.mutualBest(df.repartition(9))
+      .as[(Double, Int, Long, Int, Long)].collect().toSet
+    def top1[K](g: Map[K, Seq[(Double, Long)]]): Map[K, Long] =
+      g.view.mapValues(_.minBy { case (s, p) => (-s, p) }._2).toMap
+    val b1 = top1(edges.groupBy(_._3).view
+      .mapValues(_.map(e => (e._1, e._5)).toSeq).toMap)
+    val b0 = top1(edges.groupBy(_._5).view
+      .mapValues(_.map(e => (e._1, e._3)).toSeq).toMap)
+    val expect = edges.filter(e =>
+      b1(e._3) == e._5 && b0(e._5) == e._3).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty)
+    // 1:1: no record appears twice on either side
+    assert(got.map(_._3).size == got.size && got.map(_._5).size == got.size)
+  }
+
   test("labelProp == scalar synchronous oracle; partition-invariant") {
     import spark.implicits._
     val rng = new scala.util.Random(9)

@@ -19,6 +19,40 @@ class PageRankSpec extends SparkSpec {
     assert(got == Map(1L -> 1127L, 2L -> 936L, 3L -> 936L))
   }
 
+  test("personalized: == scalar oracle; unreachable nodes stay exactly 0") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val reachable = (1 to 150).map(_ =>
+      (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+    // an isolated island the seeds can never reach
+    val island = Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val edges = (reachable ++ island).filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 5L)
+    val scale = 1000000000000L
+    // scalar replication
+    val e0 = edges.distinct
+    val outs = e0.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val nodes = (e0.map(_._1) ++ e0.map(_._2)).distinct
+    val base = scale * 15L / 100L
+    var r = nodes.map(n => n -> (if (seeds.contains(n)) scale else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = nodes.map(n => n -> BigInt(0)).to(collection.mutable.Map)
+      outs.foreach { case (s, ds) =>
+        val c = r(s) / ds.size
+        ds.foreach(d => in(d) += c)
+      }
+      r = nodes.map(n => n ->
+        ((if (seeds.contains(n)) base else 0L) +
+          (in(n) * 85 / 100).toLong)).toMap
+    }
+    val got = PageRank.runPersonalized(edges.toDF("src", "dst"),
+        seeds.toDF("node"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == r)
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 0L), "island must be 0")
+    assert(got(0L) >= base, "seed keeps restart mass")
+  }
+
   test("bit-identical across parallelism; hub outranks spokes") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
