@@ -1040,6 +1040,17 @@ object SparkEntry {
     // its error bound vs these exact values is spec-gated in
     // RelationalSpec rather than oracled (sketch internals are
     // engine-specific by nature)
+    // hierarchical rollup totals (flag × status → flag → grand total) —
+    // the OLAP readout over the fact table; quantities are integer-valued
+    // doubles (< 2^53) so every summation order is exact
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
     "q_quantiles" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -3572,6 +3583,12 @@ object SparkEntry {
            WHEN 'es' THEN
              substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
            ELSE TRUE END""",
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                SUM(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q_quantiles" ->
       """SELECT event_type, count(*) AS n,
                 round(quantile_cont(value, 0.25), 6) AS p25,
