@@ -1214,6 +1214,17 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
+    // incremental dedup: only pairs touching the "new batch" slice
+    // (doc_id%10==7) are generated — untouched buckets pay zero work;
+    // oracle = the FULL pairing replay filtered to touching-new (the
+    // delta contract, same shape as q_link_delta)
+    "q_minhash_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashLshPairsDelta(d.where(col("doc_id") % 10 =!= 7),
+          d.where(col("doc_id") % 10 === 7), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("id0"), col("id1"))
+    }),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy(col("id0"), col("id1"))),
@@ -2796,6 +2807,18 @@ object SparkEntry {
            FROM m a JOIN m b ON a.doc < b.doc
              AND len(list_intersect(a.bks, b.bks)) > 0)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // the delta contract stated as SQL: the full pairing replay
+    // restricted to pairs with >=1 endpoint in the new-batch slice
+    "q_minhash_delta" ->
+      s"""WITH m AS (SELECT doc, sh, bks FROM '$OracleAuxDir/minhash_sig/*.parquet'),
+         p AS (
+           SELECT a.doc AS id0, b.doc AS id1,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+           FROM m a JOIN m b ON a.doc < b.doc
+             AND len(list_intersect(a.bks, b.bks)) > 0)
+         SELECT id0, id1, jaccard FROM p
+         WHERE jaccard >= 0.5 AND (id0 % 10 = 7 OR id1 % 10 = 7)""",
     // LSH-eval replay: one all-pairs table over the even-doc signatures
     // yields both sides — exact = jaccard >= t, LSH = exact AND >=1
     // shared band key — so tp/precision/recall are filtered counts. The

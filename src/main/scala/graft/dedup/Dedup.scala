@@ -354,6 +354,54 @@ object Dedup {
       "id0", "id1", "jaccard")
   }
 
+  /** INCREMENTAL MinHash-LSH dedup: near-dup pairs of (old ∪ new) that
+    * TOUCH the new batch — the always-on corpus-ingest shape (a new crawl
+    * snapshot arrives; re-deduping 10^12 existing documents per batch is
+    * the thing this avoids; companion to
+    * [[graft.cluster.ConnectedComponents.incrementalRun]] which then
+    * folds these edges into the standing groups).
+    *
+    * Contract (the delta contract, same as the linkage path's
+    * q_link_delta): output == [[minhashLshPairs]] over the UNION corpus
+    * filtered to pairs with ≥1 new endpoint — gated by spec equality and
+    * replayed by the driver oracle as exactly that filter.
+    *
+    * Scale shape: signatures are computed for the union (the old side's
+    * signatures would be served from the checkpoint store in production —
+    * the expensive stage here is pair generation, not signing); buckets
+    * containing NO new document are dropped by a semi join on bucket key
+    * BEFORE pair generation, so untouched buckets pay zero quadratic
+    * work; old×old pairs inside touched buckets die on a bare-int filter
+    * before the confirm joins. */
+  def minhashLshPairsDelta(oldDf: DataFrame, newDf: DataFrame, id: String,
+      text: String, threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
+      seed: Int = 0xd5ed, aim: Long = PairAim): DataFrame = {
+    val all = oldDf.select(col(id).as("__id"), col(text).as("__t"),
+        lit(0).as("nw"))
+      .unionByName(newDf.select(col(id).as("__id"), col(text).as("__t"),
+        lit(1).as("nw")))
+    val sig = persistLatest("minhash_delta",
+      minhashSignatures(all, "__id", "__t", bands, rowsPerBand, seed)
+        .join(all.select(col("__id").as("doc"), col("nw")), "doc")
+        .withColumn("shh", hashedSet(col("sh"))))
+    val ids = sig.select(explode(col("bks")).as("bk"), col("doc").as("id"),
+      col("nw"))
+    val touched = ids.where(col("nw") === 1).select("bk").distinct()
+    val pairs = saltedSelfPairs(ids.join(touched, Seq("bk"), "left_semi"), aim)
+      .where(col("nw0") + col("nw1") >= 1)
+      .select("id0", "id1")
+      .dropDuplicates("id0", "id1")
+    val inter = graft.expr.sortedIntersectCount(col("sh0"), col("sh1"))
+      .cast("double")
+    scoreAndFilter(
+      pairs
+        .join(sig.select(col("doc").as("id0"), col("shh").as("sh0")), "id0")
+        .join(sig.select(col("doc").as("id1"), col("shh").as("sh1")), "id1"),
+      "jaccard",
+      round(inter / (size(col("sh0")) + size(col("sh1")) - inter), 4),
+      threshold, "id0", "id1", "jaccard")
+  }
+
   /** 64-bit SimHash over word tokens (sign-sum of per-token hash bits). */
   def simhash64(text: String): Long = {
     val toks = graft.ingest.ClkEncoder.tokens(text)

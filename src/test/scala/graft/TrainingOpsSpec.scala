@@ -436,6 +436,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall")
   }
 
+  test("minhashLshPairsDelta == full-union run filtered to touching-new") {
+    import spark.implicits._
+    val all = documents.limit(400)
+    val newDf = all.where(col("doc_id") % 10 === 7)
+    val oldDf = all.where(col("doc_id") % 10 =!= 7)
+    val delta = Dedup.minhashLshPairsDelta(oldDf, newDf, "doc_id", "text", 0.5)
+      .select($"id0".as[Long], $"id1".as[Long], $"jaccard".as[Double])
+      .collect().toSet
+    val full = Dedup.minhashLshPairs(all, "doc_id", "text", 0.5)
+      .select($"id0".as[Long], $"id1".as[Long], $"jaccard".as[Double])
+      .collect().toSet
+    val expect = full.filter(p => p._1 % 10 == 7 || p._2 % 10 == 7)
+    assert(delta == expect)
+    assert(expect.nonEmpty, "slice must contain near-dup pairs")
+    assert(full.exists(p => p._1 % 10 != 7 && p._2 % 10 != 7),
+      "old-only pairs must exist and be excluded")
+  }
+
   test("nearDupGroups: matches local union-find over the emitted pairs; canonical = min id") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(documents, "doc_id", "text", 0.5)
