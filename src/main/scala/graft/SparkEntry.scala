@@ -924,6 +924,25 @@ object SparkEntry {
         .emClassify(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
         .orderBy("g_name", "g_type", "g_size")
     }),
+    // multi-level FS (splink-style comparison levels): graded name
+    // (exact-ish / close / different) and size (equal / within-3 / far)
+    // gammas, level-EM on the <=9 pattern sufficient statistics
+    "q_fs_levels" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_size"))
+      val p = graft.dedup.Dedup.saltedSelfPairs(base)
+      val lv = levenshtein(col("p_name0"), col("p_name1"), 5)
+      val pairs = p.select(
+        when(lv >= 0 && lv <= 2, 2).when(lv >= 0, 1).otherwise(0)
+          .as("g_name"),
+        when(col("p_size0") === col("p_size1"), 2)
+          .when(abs(col("p_size0") - col("p_size1")) <= 3, 1).otherwise(0)
+          .as("g_size"))
+      graft.link.FellegiSunter.emClassifyLevels(pairs,
+          Seq(("g_name", 3), ("g_size", 3)), iters = 2)
+        .orderBy("g_name", "g_size")
+    }),
     "q_fuzzy_match" -> ((s, dir) => {
       val names = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_name")).distinct()
@@ -3874,6 +3893,85 @@ object SparkEntry {
          FROM c
          WHERE 4 * agree_p_name + 3 * agree_p_type + 2 * agree_p_size
                + 1 * agree_p_retailprice >= 5""",
+    // level-EM replay: 3-level gammas; init m=(.15,.15,.7)/u=(.7,.15,.15)
+    // per field, lambda=0.1; per-(field,level) M-step shares; same
+    // HUGEINT floored fixed point as q_fellegi_sunter
+    "q_fs_levels" ->
+      """WITH base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                              p_size FROM part),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 2 THEN 2
+                           WHEN levenshtein(a.p_name, b.p_name) <= 5 THEN 1
+                           ELSE 0 END AS g_name,
+                      CASE WHEN a.p_size = b.p_size THEN 2
+                           WHEN abs(a.p_size - b.p_size) <= 3 THEN 1
+                           ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_size, count(*) AS c FROM g GROUP BY 1, 2),
+         e1 AS (SELECT pc.*,
+           (((CAST(100000000 AS BIGINT)
+              * (CASE g_name WHEN 2 THEN 700000000 ELSE 150000000 END)) // 1000000000)
+              * (CASE g_size WHEN 2 THEN 700000000 ELSE 150000000 END)) // 1000000000 AS a,
+           (((CAST(900000000 AS BIGINT)
+              * (CASE g_name WHEN 0 THEN 700000000 ELSE 150000000 END)) // 1000000000)
+              * (CASE g_size WHEN 0 THEN 700000000 ELSE 150000000 END)) // 1000000000 AS b
+           FROM pc),
+         w1 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e1),
+         p1 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_name = 0 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn0,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_name = 1 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn1,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_name = 2 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn2,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_size = 0 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms0,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_size = 1 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms1,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_size = 2 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms2,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_name = 0 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un0,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_name = 1 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un1,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_name = 2 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un2,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_size = 0 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us0,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_size = 1 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us1,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_size = 2 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us2
+           FROM w1),
+         e2 AS (SELECT pc.*,
+           (((p1.lam * (CASE g_name WHEN 0 THEN p1.mn0 WHEN 1 THEN p1.mn1 ELSE p1.mn2 END)) // 1000000000
+              * (CASE g_size WHEN 0 THEN p1.ms0 WHEN 1 THEN p1.ms1 ELSE p1.ms2 END)) // 1000000000) AS a,
+           ((((1000000000 - p1.lam) * (CASE g_name WHEN 0 THEN p1.un0 WHEN 1 THEN p1.un1 ELSE p1.un2 END)) // 1000000000
+              * (CASE g_size WHEN 0 THEN p1.us0 WHEN 1 THEN p1.us1 ELSE p1.us2 END)) // 1000000000) AS b
+           FROM pc, p1),
+         w2 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e2),
+         p2 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_name = 0 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn0,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_name = 1 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn1,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_name = 2 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn2,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_size = 0 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms0,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_size = 1 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms1,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * (CASE WHEN g_size = 2 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms2,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_name = 0 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un0,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_name = 1 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un1,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_name = 2 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un2,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_size = 0 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us0,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_size = 1 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us1,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * (CASE WHEN g_size = 2 THEN 1 ELSE 0 END)) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us2
+           FROM w2),
+         e3 AS (SELECT pc.*,
+           (((p2.lam * (CASE g_name WHEN 0 THEN p2.mn0 WHEN 1 THEN p2.mn1 ELSE p2.mn2 END)) // 1000000000
+              * (CASE g_size WHEN 0 THEN p2.ms0 WHEN 1 THEN p2.ms1 ELSE p2.ms2 END)) // 1000000000) AS a,
+           ((((1000000000 - p2.lam) * (CASE g_name WHEN 0 THEN p2.un0 WHEN 1 THEN p2.un1 ELSE p2.un2 END)) // 1000000000
+              * (CASE g_size WHEN 0 THEN p2.us0 WHEN 1 THEN p2.us1 ELSE p2.us2 END)) // 1000000000) AS b
+           FROM pc, p2)
+         SELECT CAST(e3.g_name AS INT) AS g_name,
+                CAST(e3.g_size AS INT) AS g_size,
+                e3.c AS n_pairs,
+                CAST((e3.a * 1000000000) // (e3.a + e3.b) AS BIGINT) AS posterior,
+                ((e3.a * 1000000000) // (e3.a + e3.b)) * 2 > 1000000000 AS is_match,
+                p2.lam AS lambda,
+                p2.mn0 AS m_g_name_0, p2.un0 AS u_g_name_0,
+                p2.mn1 AS m_g_name_1, p2.un1 AS u_g_name_1,
+                p2.mn2 AS m_g_name_2, p2.un2 AS u_g_name_2,
+                p2.ms0 AS m_g_size_0, p2.us0 AS u_g_size_0,
+                p2.ms1 AS m_g_size_1, p2.us1 AS u_g_size_1,
+                p2.ms2 AS m_g_size_2, p2.us2 AS u_g_size_2
+         FROM e3, p2""",
     // full EM replay: blocked pairs -> gamma patterns -> 2 E/M iterations
     // + final E-step, all in floored fixed-point (HUGEINT // == the
     // engine's BigInt floor-div; init lambda=0.1, m=0.9, u=0.1 at S=1e9)

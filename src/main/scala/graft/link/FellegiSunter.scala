@@ -100,6 +100,120 @@ object FellegiSunter {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
+  /** Multi-LEVEL Fellegi–Sunter (splink-style comparison levels): each
+    * field's agreement is GRADED, γ_k ∈ {0..L_k−1} (e.g. exact / close /
+    * different), with per-level probabilities m_k[l] = P(γ_k=l | M) and
+    * u_k[l] = P(γ_k=l | U) — binary agree/disagree loses exactly the
+    * signal a graded comparator (edit-distance band, numeric window)
+    * carries, which is why production FS implementations are
+    * level-based. Same EM, same sufficient-statistics collapse (≤ Π L_k
+    * patterns, capped), same exact fixed-point arithmetic as
+    * [[emClassify]].
+    *
+    * @param levelCols (column, numLevels) per field; values outside
+    *                  [0, numLevels) are clamped into range.
+    * @return one row per observed pattern: the level flags, `n_pairs`,
+    *         `posterior`, `is_match`, `lambda`, and `m_<col>_<l>` /
+    *         `u_<col>_<l>` for every field × level. */
+  def emClassifyLevels(pairs: DataFrame, levelCols: Seq[(String, Int)],
+      iters: Int = 2, scale: Long = Scale): DataFrame = {
+    require(levelCols.nonEmpty && levelCols.forall(_._2 >= 2), "levels >= 2")
+    require(levelCols.map(_._2.toLong).product <= 65536L,
+      "pattern space must stay bounded (<= 65536 sufficient statistics)")
+    require(iters >= 1 && scale >= 1000L)
+    val spark = pairs.sparkSession
+    val K = levelCols.size
+    val gs = levelCols.map { case (c, l) =>
+      greatest(lit(0), least(lit(l - 1),
+        coalesce(col(c).cast("int"), lit(0)))).as(c)
+    }
+    val names = levelCols.map(_._1)
+    val counts = pairs.select(gs: _*)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect()
+      .map(r => (names.indices.map(r.getInt).toArray, r.getLong(K)))
+      .sortBy(_._1.toSeq.mkString)
+    require(counts.nonEmpty, "no candidate pairs")
+
+    val (lam, m, u, posts) = emFitLevels(counts, levelCols.map(_._2), iters, scale)
+
+    val paramCols = levelCols.zipWithIndex.flatMap { case ((c, l), k) =>
+      (0 until l).flatMap(lv => Seq(
+        (s"m_${c}_$lv", m(k)(lv)), (s"u_${c}_$lv", u(k)(lv))))
+    }
+    val schema = StructType(
+      names.map(c => StructField(c, IntegerType, nullable = false)) ++
+        Seq(StructField("n_pairs", LongType, nullable = false),
+          StructField("posterior", LongType, nullable = false),
+          StructField("is_match", BooleanType, nullable = false),
+          StructField("lambda", LongType, nullable = false)) ++
+        paramCols.map(p => StructField(p._1, LongType, nullable = false)))
+    val rows = counts.zip(posts).map { case ((g, c), w) =>
+      Row.fromSeq(g.toSeq ++ Seq(c, w, w * 2 > scale, lam) ++
+        paramCols.map(_._2))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** Level-aware EM core; exposed for the spec gate. Returns
+    * (lambda, m[k][l], u[k][l], posteriors). */
+  private[link] def emFitLevels(counts: Array[(Array[Int], Long)],
+      levels: Seq[Int], iters: Int,
+      scale: Long): (Long, Array[Array[Long]], Array[Array[Long]], Array[Long]) = {
+    val S = BigInt(scale)
+    val K = levels.size
+    def clamp(x: BigInt): Long = x.max(BigInt(1)).min(S - 1).toLong
+
+    var lam = scale / 10L
+    // start: highest level likely under M, lowest under U — uniform
+    // inside each hypothesis would be a saddle point (every pattern gets
+    // the same posterior and the field params never move)
+    var m = levels.map(l =>
+      Array.tabulate(l)(lv => if (lv == l - 1) scale * 7L / 10L
+        else scale * 3L / (10L * (l - 1))).map(math.max(_, 1L))).toArray
+    var u = levels.map(l =>
+      Array.tabulate(l)(lv => if (lv == 0) scale * 7L / 10L
+        else scale * 3L / (10L * (l - 1))).map(math.max(_, 1L))).toArray
+
+    def eStep(): Array[Long] = counts.map { case (g, _) =>
+      var a = BigInt(lam)
+      var b = S - BigInt(lam)
+      var k = 0
+      while (k < K) {
+        a = a * BigInt(m(k)(g(k))) / S
+        b = b * BigInt(u(k)(g(k))) / S
+        k += 1
+      }
+      val den = a + b
+      if (den == 0) 0L else (a * S / den).toLong
+    }
+
+    for (_ <- 1 to iters) {
+      val w = eStep()
+      var sumCW = BigInt(0)
+      var sumCV = BigInt(0)
+      var sumC = BigInt(0)
+      val numM = levels.map(l => Array.fill(l)(BigInt(0))).toArray
+      val numU = levels.map(l => Array.fill(l)(BigInt(0))).toArray
+      counts.indices.foreach { i =>
+        val (g, c) = counts(i)
+        val cw = BigInt(c) * BigInt(w(i))
+        val cv = BigInt(c) * (S - BigInt(w(i)))
+        sumCW += cw; sumCV += cv; sumC += BigInt(c)
+        var k = 0
+        while (k < K) { numM(k)(g(k)) += cw; numU(k)(g(k)) += cv; k += 1 }
+      }
+      lam = clamp(sumCW / sumC)
+      m = numM.map(_.map(n =>
+        clamp(if (sumCW == 0) BigInt(0) else n * S / sumCW)))
+      u = numU.map(_.map(n =>
+        clamp(if (sumCV == 0) BigInt(0) else n * S / sumCV)))
+    }
+    (lam, m, u, eStep())
+  }
+
   /** EM over pattern sufficient statistics, exact scaled-long fixed
     * point. Exposed for the spec's independent-reimplementation gate. */
   private[link] def emFit(counts: Array[(Array[Int], Long)], K: Int,

@@ -110,6 +110,66 @@ class FellegiSunterSpec extends SparkSpec {
     assert(byG(Seq(1, 1, 1)) > byG(Seq(0, 0, 0)))
   }
 
+  test("emClassifyLevels == independent level-EM reimplementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // dups: mostly level-2 name, level-2 size; non: mostly level 0
+    val dup = Seq.fill(70)((2 - rnd.nextInt(10) / 9, 2 - rnd.nextInt(10) / 8))
+    val non = Seq.fill(600)((rnd.nextInt(10) / 8, rnd.nextInt(10) / 7))
+    val pairs = (dup ++ non).toDF("g_a", "g_b").repartition(6)
+    val got = FellegiSunter
+      .emClassifyLevels(pairs, Seq(("g_a", 3), ("g_b", 3)), iters = 3)
+      .collect()
+
+    // independent reimplementation: BigInt rationals, functional folds
+    val S = BigInt(scale)
+    val counts = (dup ++ non).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .map { case (g, c) => (Seq(g._1, g._2), c) }
+      .sortBy(_._1.mkString)
+    def clamp(x: BigInt) = x.max(1).min(S - 1).toLong
+    var lam = scale / 10
+    var m = Seq(Seq(150000000L, 150000000L, 700000000L),
+      Seq(150000000L, 150000000L, 700000000L))
+    var u = Seq(Seq(700000000L, 150000000L, 150000000L),
+      Seq(700000000L, 150000000L, 150000000L))
+    def post(g: Seq[Int]): Long = {
+      val a = g.zipWithIndex.foldLeft(BigInt(lam)) { case (acc, (gi, k)) =>
+        acc * m(k)(gi) / S }
+      val b = g.zipWithIndex.foldLeft(S - BigInt(lam)) { case (acc, (gi, k)) =>
+        acc * u(k)(gi) / S }
+      if (a + b == 0) 0L else (a * S / (a + b)).toLong
+    }
+    for (_ <- 1 to 3) {
+      val w = counts.map { case (g, _) => post(g) }
+      val cw = counts.zip(w).map { case ((_, c), wi) => BigInt(c) * wi }
+      val cv = counts.zip(w).map { case ((_, c), wi) => BigInt(c) * (S - wi) }
+      val (sw, sv) = (cw.sum, cv.sum)
+      lam = clamp(sw / counts.map(c => BigInt(c._2)).sum)
+      m = (0 until 2).map(k => (0 until 3).map(lv =>
+        clamp(counts.indices.filter(i => counts(i)._1(k) == lv)
+          .map(cw).sum * S / sw)).toSeq).toSeq
+      u = (0 until 2).map(k => (0 until 3).map(lv =>
+        clamp(counts.indices.filter(i => counts(i)._1(k) == lv)
+          .map(cv).sum * S / sv)).toSeq).toSeq
+    }
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      val g = Seq(r.getInt(0), r.getInt(1))
+      val i = counts.indexWhere(_._1 == g)
+      assert(r.getAs[Long]("posterior") == post(g), s"posterior @ $g")
+      assert(r.getAs[Long]("lambda") == lam)
+      (0 until 3).foreach { lv =>
+        assert(r.getAs[Long](s"m_g_a_$lv") == m(0)(lv))
+        assert(r.getAs[Long](s"u_g_b_$lv") == u(1)(lv))
+      }
+    }
+    // levels informative: the all-level-2 pattern beats all-level-0
+    val byG = got.map(r => (Seq(r.getInt(0), r.getInt(1)),
+      r.getAs[Long]("posterior"))).toMap
+    assert(byG(Seq(2, 2)) > byG(Seq(0, 0)))
+  }
+
   test("determinism: same input twice, any partitioning → identical rows") {
     import spark.implicits._
     val data = Seq.tabulate(300)(i => (i % 2, (i / 2) % 2, (i / 4) % 2))
