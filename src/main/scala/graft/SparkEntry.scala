@@ -43,6 +43,8 @@ object SparkEntry {
         .toDF().where(col("ok")).select(col("doc"), col("cells"))),
     "minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")),
+    "wminhash_sig" -> ((s, dir) =>
+      Dedup.weightedMinhashSignatures(docs(s, dir), "doc_id", "text")),
     "simhash_sig" -> ((s, dir) =>
       Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")),
     "ann_sig" -> ((s, dir) =>
@@ -1233,6 +1235,11 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
+    // weighted-minhash LSH: bag-similarity blocking WITHOUT a block key
+    // (multiset-expansion minhash); exact capped-tf confirm
+    "q_wjaccard_lsh" -> ((s, dir) =>
+      Dedup.weightedMinhashLshPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.7).orderBy(col("id0"), col("id1"))),
     // incremental dedup: only pairs touching the "new batch" slice
     // (doc_id%10==7) are generated — untouched buckets pay zero work;
     // oracle = the FULL pairing replay filtered to touching-new (the
@@ -2826,6 +2833,21 @@ object SparkEntry {
            FROM m a JOIN m b ON a.doc < b.doc
              AND len(list_intersect(a.bks, b.bks)) > 0)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // weighted-LSH replay from the wminhash_sig dump: candidates share a
+    // band key; mem entries are unique ("tok§i"), so list_intersect IS
+    // the capped Σmin and the integer cut replays exactly
+    "q_wjaccard_lsh" ->
+      s"""WITH m AS (SELECT doc, mem, bks FROM '$OracleAuxDir/wminhash_sig/*.parquet'),
+         p AS (
+           SELECT a.doc AS id0, b.doc AS id1,
+                  CAST(len(list_intersect(a.mem, b.mem)) AS BIGINT) AS wj_num,
+                  CAST(len(a.mem) + len(b.mem)
+                       - len(list_intersect(a.mem, b.mem)) AS BIGINT) AS wj_den
+           FROM m a JOIN m b ON a.doc < b.doc
+             AND len(list_intersect(a.bks, b.bks)) > 0)
+         SELECT id0, id1, wj_num, wj_den,
+                round(CAST(wj_num AS DOUBLE) / wj_den, 4) AS wjaccard
+         FROM p WHERE wj_num * 1000000 >= 700000 * wj_den""",
     // the delta contract stated as SQL: the full pairing replay
     // restricted to pairs with >=1 endpoint in the new-batch slice
     "q_minhash_delta" ->

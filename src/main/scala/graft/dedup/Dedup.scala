@@ -354,6 +354,73 @@ object Dedup {
       "id0", "id1", "jaccard")
   }
 
+  /** Weighted-MinHash LSH near-dup pairs — the SCALE PATH for
+    * [[weightedJaccardPairs]] (which needs a caller-supplied block key):
+    * classic integer weighted MinHash by multiset expansion (Haveliwala
+    * et al.'s replication trick): token t with frequency f expands to
+    * members "t§0".."t§min(f,cap)-1", so plain MinHash over the expanded
+    * set estimates J_w = Σmin/Σmax over capped tfs, and band-bucket
+    * collisions recall high-J_w pairs without any blocking key. The tf
+    * cap bounds expansion (spam with one token repeated 10^6 times costs
+    * cap members, not 10^6) and is part of the documented semantics: the
+    * CONFIRM score is the exact capped-tf weighted Jaccard.
+    *
+    * Same scale shape as [[minhashLshPairs]]: signatures persisted once,
+    * pair generation carries bare (bucket, id), salted fan-out, exact
+    * min-sum confirm via the same sorted-long merge kernel over the
+    * expanded-member hash sets (member multiplicity is capped-tf by
+    * construction, so set intersection == Σmin exactly). */
+  /** (doc, mem, bks) weighted-minhash signature table: `mem` is the
+    * capped multiset expansion, `bks` its MinHash band keys. Public so
+    * the driver's oracle-aux dump replays the pairing independently. */
+  def weightedMinhashSignatures(df: DataFrame, id: String, text: String,
+      tfCap: Int = 8, bands: Int = 8, rowsPerBand: Int = 4,
+      seed: Int = 0xd5ed): DataFrame = {
+    val expandUdf = udf((t: String) => {
+      val toks = (if (t == null) "" else t).split(" ")
+      val tf = new java.util.HashMap[String, Int]()
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      toks.foreach { tok =>
+        val n = tf.merge(tok, 1, (a, b) => a + b)
+        if (n <= tfCap) out += (tok + "§" + (n - 1))
+      }
+      out.toArray
+    })
+    val keysUdf = udf((sh: Seq[String]) =>
+      minhashBandKeys(if (sh == null) Array.empty else sh.toArray,
+        bands, rowsPerBand, seed))
+    df.select(col(id).as("doc"), expandUdf(col(text)).as("mem"))
+      .withColumn("bks", keysUdf(col("mem")))
+  }
+
+  def weightedMinhashLshPairs(df: DataFrame, id: String, text: String,
+      threshold: Double, tfCap: Int = 8, bands: Int = 8,
+      rowsPerBand: Int = 4, seed: Int = 0xd5ed,
+      aim: Long = PairAim): DataFrame = {
+    val thr = math.round(threshold * 1000000L)
+    val sig = persistLatest("wminhash",
+      weightedMinhashSignatures(df, id, text, tfCap, bands, rowsPerBand, seed)
+        .withColumn("memh", hashedSet(col("mem")))
+        .withColumn("sz", size(col("mem")).cast("long")))
+    val ids = sig.select(explode(col("bks")).as("bk"), col("doc").as("id"))
+    val pairs = saltedSelfPairs(ids, aim)
+      .select("id0", "id1")
+      .dropDuplicates("id0", "id1")
+    val minSum = graft.expr.sortedIntersectCount(col("m0"), col("m1"))
+    pairs
+      .join(sig.select(col("doc").as("id0"), col("memh").as("m0"),
+        col("sz").as("sz0")), "id0")
+      .join(sig.select(col("doc").as("id1"), col("memh").as("m1"),
+        col("sz").as("sz1")), "id1")
+      .select(col("id0"), col("id1"), col("sz0"), col("sz1"),
+        when(monotonically_increasing_id() >= 0, minSum).as("wj_num"))
+      .withColumn("wj_den", col("sz0") + col("sz1") - col("wj_num"))
+      .where(col("wj_num") * lit(1000000L) >= lit(thr) * col("wj_den"))
+      .select(col("id0"), col("id1"), col("wj_num"), col("wj_den"),
+        round(col("wj_num").cast("double") / col("wj_den"), 4)
+          .as("wjaccard"))
+  }
+
   /** INCREMENTAL MinHash-LSH dedup: near-dup pairs of (old ∪ new) that
     * TOUCH the new batch — the always-on corpus-ingest shape (a new crawl
     * snapshot arrives; re-deduping 10^12 existing documents per batch is

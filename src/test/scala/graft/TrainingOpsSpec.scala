@@ -436,6 +436,34 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall")
   }
 
+  test("weighted minhash LSH: subset of bag brute force, exact values, high recall") {
+    import spark.implicits._
+    val docs = documents.limit(300)
+    val got = Dedup.weightedMinhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select($"id0".as[Long], $"id1".as[Long], $"wj_num".as[Long],
+        $"wj_den".as[Long], $"wjaccard".as[Double])
+      .collect().toSet
+    val txts = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+    def ctf(s: String) = s.split(" ").groupBy(identity).view
+      .mapValues(v => math.min(v.length, 8).toLong).toMap
+    val brute = (for {
+      (i, ti) <- txts.iterator; (j, tj) <- txts.iterator
+      if i < j
+      a = ctf(ti); b = ctf(tj)
+      num = (a.keySet intersect b.keySet).toSeq
+        .map(k => math.min(a(k), b(k))).sum
+      den = a.values.sum + b.values.sum - num
+      if num * 1000000L >= 500000L * den
+    } yield (i, j, num, den,
+      BigDecimal(num.toDouble / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got.subsetOf(brute), "LSH pairs must be a subset of brute force")
+    val hi = brute.filter(_._5 >= 0.8)
+    assert(hi.nonEmpty)
+    val recall = hi.count(got).toDouble / hi.size
+    assert(recall >= 0.8, s"recall@0.8-sim = $recall")
+  }
+
   test("minhashLshPairsDelta == full-union run filtered to touching-new") {
     import spark.implicits._
     val all = documents.limit(400)
