@@ -102,6 +102,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("eighth-session operators: no cartesians; broadcasts where intended") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val part = spark.read.parquet(s"$sfTiny/part.parquet")
+
+    // weighted jaccard: salted equi-join pair gen, no cartesian
+    val wj = graft.dedup.Dedup.weightedJaccardPairs(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.lit("hot"), 0.5, aim = 50L)
+    val wjPlan = executed(wj)
+    assert(!wjPlan.contains("CartesianProduct"), wjPlan)
+    assert(wjPlan.contains("salt0") && wjPlan.contains("salt1"), wjPlan)
+
+    // bm25: df + stats ride broadcasts; never a shuffle of the corpus
+    // against the 1-row stats
+    val bm = graft.textops.TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join", "dup"), k = 10)
+    val bmPlan = executed(bm)
+    assert(!bmPlan.contains("CartesianProduct"), bmPlan)
+    assert(bmPlan.contains("BroadcastNestedLoopJoin") ||
+      bmPlan.contains("BroadcastHashJoin"), bmPlan)
+    // deterministic top-k compiles to TakeOrderedAndProject, not a
+    // global Sort
+    assert(bmPlan.contains("TakeOrderedAndProject"), bmPlan)
+
+    // fellegi-sunter gamma aggregation is partially aggregated
+    // (map-side combine before the one pattern shuffle)
+    val base = part.select(col("p_partkey").cast("long").as("id"),
+      col("p_brand").as("bk"), col("p_name"), col("p_type"), col("p_size"))
+    val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+      (col("p_type0") === col("p_type1")).cast("int").as("g_t"),
+      (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_s"))
+    val agg = pairs.groupBy("g_t", "g_s").agg(count(lit(1)))
+    val aggPlan = executed(agg)
+    assert(aggPlan.contains("partial_count") || aggPlan.contains("partial"),
+      aggPlan)
+
+    // resource allocation: wedge join is keyed on the pivot, no cartesian
+    val ra = graft.cluster.LinkPredict.resourceAllocation(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst"),
+      topK = 10)
+    val raPlan = executed(ra)
+    assert(!raPlan.contains("CartesianProduct"), raPlan)
+    assert(raPlan.contains("TakeOrderedAndProject"), raPlan)
+  }
+
   test("salted dedup self-join fans out a hot block across salt keys") {
     import spark.implicits._
     // one hot block key, aim forced tiny -> the physical join must be an
