@@ -1,6 +1,7 @@
 package graft
 
 import graft.link.FellegiSunter
+import org.apache.spark.sql.functions.{col, split}
 
 class FellegiSunterSpec extends SparkSpec {
 
@@ -168,6 +169,41 @@ class FellegiSunterSpec extends SparkSpec {
     val byG = got.map(r => (Seq(r.getInt(0), r.getInt(1)),
       r.getAs[Long]("posterior"))).toMap
     assert(byG(Seq(2, 2)) > byG(Seq(0, 0)))
+  }
+
+  test("emClassify == reference across 25 random seeded pattern tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    for (case_ <- 1 to 25) {
+      val k = 1 + rnd.nextInt(3)
+      val nPat = 1 + rnd.nextInt((1 << k))
+      val pats = rnd.shuffle((0 until (1 << k)).toList).take(nPat)
+      val rows = pats.flatMap { p =>
+        val g = (0 until k).map(b => (p >> b) & 1)
+        Seq.fill(1 + rnd.nextInt(40))(g)
+      }
+      val cols = (0 until k).map(i => s"g$i")
+      val df = rows.map(g => (g :+ 0).mkString(","))
+        .toDF("s")
+        .select((0 until k).map(i =>
+          split(col("s"), ",").getItem(i).cast("int").as(s"g$i")): _*)
+      val iters = 1 + rnd.nextInt(3)
+      val got = FellegiSunter.emClassify(df, cols, iters).collect()
+      val counts = rows.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+        .map { case (g, c) => (g, c) }.sortBy(_._1.mkString)
+      val (lam, m, u, posts) = referenceEm(counts, iters, scale)
+      assert(got.length == counts.size, s"case $case_")
+      got.foreach { r =>
+        val g = (0 until k).map(r.getInt)
+        val i = counts.indexWhere(_._1 == g)
+        assert(i >= 0 && r.getAs[Long]("posterior") == posts(i) &&
+          r.getAs[Long]("lambda") == lam &&
+          (0 until k).forall(kk => r.getAs[Long](s"m_g$kk") == m(kk) &&
+            r.getAs[Long](s"u_g$kk") == u(kk)),
+          s"case $case_ pattern $g mismatch")
+      }
+    }
   }
 
   test("determinism: same input twice, any partitioning → identical rows") {
