@@ -253,6 +253,27 @@ object SparkEntry {
       element_at(split(col("text"), " "), 1).as("block_key"),
       col("text"))
 
+  /** Thinned co-purchase graph (l_orderkey%4=0, l_partkey%2=0) shared by
+    * q_triangles / q_link_predict / q_label_prop — their oracles replay
+    * this same filter + self-join edge formula, so the three queries
+    * must stay in lockstep by construction. */
+  private def coPurchaseEdgesThinned(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+  }
+
+  /** Long-id edge list of the formula link graph (see [[linkPages]]),
+    * parsed back out of the html — shared by q_bfs_hops / q_hits /
+    * q_ppr (oracles regenerate the same formula edges). */
+  private def linkGraphEdges(s: SparkSession): DataFrame =
+    graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
+      .select(col("src"),
+        regexp_extract(col("href"), "/p/(\\d+)$", 1).cast("long").as("dst"))
+
   /** Flagship: the full record-linkage run (encode fixtures → block →
     * dice-score → threshold → dedup → CC → greedy solve → clusters).
     * Driver smoke-checks rows>0. */
@@ -520,29 +541,21 @@ object SparkEntry {
     // primitive; oracle = three chained level-set CTEs
     "q_bfs_hops" -> ((s, _) => {
       import s.implicits._
-      val edges = graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
-        .select(col("src"),
-          regexp_extract(col("href"), "/p/(\\d+)$", 1).cast("long").as("dst"))
-      graft.cluster.Bfs.run(edges, Seq(0L, 150L).toDF("node"), maxHops = 3)
+      graft.cluster.Bfs.run(linkGraphEdges(s), Seq(0L, 150L).toDF("node"),
+          maxHops = 3)
         .orderBy(col("dist"), col("node"))
     }),
     // HITS hubs/authorities over the link graph (2 iterations,
     // max-normalised exact integer arithmetic — see cluster/Hits.scala);
     // the crawl-prioritisation companion to q_pagerank
-    "q_hits" -> ((s, _) => {
-      val edges = graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
-        .select(col("src"),
-          regexp_extract(col("href"), "/p/(\\d+)$", 1).cast("long").as("dst"))
-      graft.cluster.Hits.run(edges, iters = 2).orderBy(col("node"))
-    }),
+    "q_hits" -> ((s, _) =>
+      graft.cluster.Hits.run(linkGraphEdges(s), iters = 2)
+        .orderBy(col("node"))),
     // personalized PageRank from the BFS seed set {0, 150}: restart mass
     // lands only on seeds, ranks = proximity to the trusted list
     "q_ppr" -> ((s, _) => {
       import s.implicits._
-      val edges = graft.ingest.LinkExtract.links(linkPages(s), "doc", "html")
-        .select(col("src"),
-          regexp_extract(col("href"), "/p/(\\d+)$", 1).cast("long").as("dst"))
-      graft.cluster.PageRank.runPersonalized(edges,
+      graft.cluster.PageRank.runPersonalized(linkGraphEdges(s),
           Seq(0L, 150L).toDF("node"), iters = 3)
         .orderBy(col("id"))
     }),
@@ -610,12 +623,12 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(docs(s, dir), "doc_id", "text", minDf = 5L)
         .orderBy(col("token"))),
-    // heuristic language ID
     // BM25 ranked retrieval (exact-rational tf part, ratio idf — see
     // TextOps.bm25TopK): top-20 docs for a mixed common/rare query
     "q_bm25" -> ((s, dir) =>
       TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "join", "dup"), k = 20)),
+    // heuristic language ID
     "q_lang_id" -> ((s, dir) => {
       val cols = TextOps.langIdColumns(col("text")).map { case (n, c) => c.as(n) }
       docs(s, dir).select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
@@ -632,14 +645,14 @@ object SparkEntry {
         graft.expr.hashedCharNgrams(col("text"), 3),
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
-    // containment near-dup pairs (|A∩B|/min(|A|,|B|) — the subset/quote
-    // duplication Jaccard misses; same hashed-set merge-scan kernel)
     // weighted (bag) Jaccard: tf-profile min/max overlap — discriminates
     // where token-set Jaccard saturates on the small-vocab corpus
     "q_weighted_jaccard" -> ((s, dir) =>
       Dedup.weightedJaccardPairs(docs(s, dir), "doc_id", "text",
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
+    // containment near-dup pairs (|A∩B|/min(|A|,|B|) — the subset/quote
+    // duplication Jaccard misses; same hashed-set merge-scan kernel)
     "q_containment" -> ((s, dir) =>
       Dedup.containmentPairsHashed(docs(s, dir), "doc_id",
         Dedup.hashedSet(split(col("text"), " ")),
@@ -863,35 +876,17 @@ object SparkEntry {
     // resource-allocation link prediction over the thinned co-purchase
     // graph: non-adjacent pairs ranked by Σ scale DIV deg(common nbr),
     // deterministic top-50 (integer scores, id tiebreak)
-    "q_link_predict" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      graft.cluster.LinkPredict.resourceAllocation(edges, topK = 50)
-    }),
+    "q_link_predict" -> ((s, dir) =>
+      graft.cluster.LinkPredict.resourceAllocation(
+        coPurchaseEdgesThinned(s, dir), topK = 50)),
     // deterministic synchronous label propagation (3 rounds) on the same
     // graph — community splits where CC would merge everything reachable
-    "q_label_prop" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      graft.cluster.LabelProp.run(edges, iters = 3).orderBy(col("node"))
-    }),
-    "q_triangles" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_orderkey") % 4 === 0 && col("l_partkey") % 2 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      graft.cluster.Triangles.perNode(edges).orderBy(col("id"))
-    }),
+    "q_label_prop" -> ((s, dir) =>
+      graft.cluster.LabelProp.run(coPurchaseEdgesThinned(s, dir), iters = 3)
+        .orderBy(col("node"))),
+    "q_triangles" -> ((s, dir) =>
+      graft.cluster.Triangles.perNode(coPurchaseEdgesThinned(s, dir))
+        .orderBy(col("id"))),
     // Fellegi-Sunter-style multi-field agreement scoring: brand-blocked
     // part pairs, integer weights per agreeing field (banded Levenshtein
     // name, exact type, +/-2 size, +/-5.0 price), threshold on the exact

@@ -268,17 +268,24 @@ object Dedup {
       """aggregate(map_values(map_zip_with(m0, m1,
            (k, v0, v1) -> least(coalesce(v0, 0L), coalesce(v1, 0L)))),
          0L, (acc, x) -> acc + x)""")
-    // same filter-above-projection guard as scoreAndFilter (the
-    // threshold here is the two-column cross-multiply, not a scalar)
-    paired
-      .select(col("id0"), col("id1"), col("tot0"), col("tot1"),
+    wjThresholded(paired, minSum, col("tot0"), col("tot1"), thr)
+  }
+
+  /** Shared weighted-jaccard tail: guard-projected Σmin (the same
+    * filter-above-projection trick as [[scoreAndFilter]] — the cut here
+    * is a two-column cross-multiply, not a scalar), den from the
+    * Σmax = totA+totB−Σmin identity, integer threshold, round-4 report
+    * ratio. One encoding of the cut for the keyed AND keyless paths. */
+  private def wjThresholded(pairs: DataFrame, minSum: Column,
+      tot0: Column, tot1: Column, thr: Long): DataFrame =
+    pairs
+      .select(col("id0"), col("id1"), tot0.as("__t0"), tot1.as("__t1"),
         when(monotonically_increasing_id() >= 0, minSum).as("wj_num"))
-      .withColumn("wj_den", col("tot0") + col("tot1") - col("wj_num"))
+      .withColumn("wj_den", col("__t0") + col("__t1") - col("wj_num"))
       .where(col("wj_num") * lit(1000000L) >= lit(thr) * col("wj_den"))
       .select(col("id0"), col("id1"), col("wj_num"), col("wj_den"),
         round(col("wj_num").cast("double") / col("wj_den"), 4)
           .as("wjaccard"))
-  }
 
   /** Word-bigram shingles of a text (deduplicated). Bigrams discriminate
     * documents whose unigram vocabularies overlap heavily (a small-vocab
@@ -407,18 +414,13 @@ object Dedup {
       .select("id0", "id1")
       .dropDuplicates("id0", "id1")
     val minSum = graft.expr.sortedIntersectCount(col("m0"), col("m1"))
-    pairs
-      .join(sig.select(col("doc").as("id0"), col("memh").as("m0"),
-        col("sz").as("sz0")), "id0")
-      .join(sig.select(col("doc").as("id1"), col("memh").as("m1"),
-        col("sz").as("sz1")), "id1")
-      .select(col("id0"), col("id1"), col("sz0"), col("sz1"),
-        when(monotonically_increasing_id() >= 0, minSum).as("wj_num"))
-      .withColumn("wj_den", col("sz0") + col("sz1") - col("wj_num"))
-      .where(col("wj_num") * lit(1000000L) >= lit(thr) * col("wj_den"))
-      .select(col("id0"), col("id1"), col("wj_num"), col("wj_den"),
-        round(col("wj_num").cast("double") / col("wj_den"), 4)
-          .as("wjaccard"))
+    wjThresholded(
+      pairs
+        .join(sig.select(col("doc").as("id0"), col("memh").as("m0"),
+          col("sz").as("sz0")), "id0")
+        .join(sig.select(col("doc").as("id1"), col("memh").as("m1"),
+          col("sz").as("sz1")), "id1"),
+      minSum, col("sz0"), col("sz1"), thr)
   }
 
   /** INCREMENTAL MinHash-LSH dedup: near-dup pairs of (old ∪ new) that
@@ -443,10 +445,17 @@ object Dedup {
   def minhashLshPairsDelta(oldDf: DataFrame, newDf: DataFrame, id: String,
       text: String, threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
       seed: Int = 0xd5ed, aim: Long = PairAim): DataFrame = {
+    // ids present in BOTH sides are re-crawled documents: the NEW text
+    // wins (the old row is dropped before the union), so the contract
+    // reads "full run over (old \ new) ∪ new" — without this, an
+    // overlapping id would fan out the sig join and emit conflicting
+    // duplicate pairs
+    val newSide = newDf.select(col(id).as("__id"), col(text).as("__t"),
+      lit(1).as("nw"))
     val all = oldDf.select(col(id).as("__id"), col(text).as("__t"),
         lit(0).as("nw"))
-      .unionByName(newDf.select(col(id).as("__id"), col(text).as("__t"),
-        lit(1).as("nw")))
+      .join(newSide.select("__id"), Seq("__id"), "left_anti")
+      .unionByName(newSide)
     val sig = persistLatest("minhash_delta",
       minhashSignatures(all, "__id", "__t", bands, rowsPerBand, seed)
         .join(all.select(col("__id").as("doc"), col("nw")), "doc")

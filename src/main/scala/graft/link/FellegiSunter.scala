@@ -79,7 +79,9 @@ object FellegiSunter {
       .collect()
       .map(r => (gammaCols.indices.map(r.getInt).toArray,
         r.getLong(K)))
-      .sortBy(_._1.toSeq.mkString) // deterministic EM input order
+      // deterministic EM input order (comma-joined: unambiguous for
+      // any digit width, unlike bare concatenation)
+      .sortBy(_._1.mkString(","))
     require(counts.nonEmpty, "no candidate pairs")
 
     val (params, posts) = emFit(counts, K, iters, scale)
@@ -118,7 +120,9 @@ object FellegiSunter {
   def emClassifyLevels(pairs: DataFrame, levelCols: Seq[(String, Int)],
       iters: Int = 2, scale: Long = Scale): DataFrame = {
     require(levelCols.nonEmpty && levelCols.forall(_._2 >= 2), "levels >= 2")
-    require(levelCols.map(_._2.toLong).product <= 65536L,
+    // BigInt product: a Long product of many level counts can wrap to a
+    // small value and silently defeat this bounded-collect guard
+    require(levelCols.map(x => BigInt(x._2)).product <= BigInt(65536),
       "pattern space must stay bounded (<= 65536 sufficient statistics)")
     require(iters >= 1 && scale >= 1000L)
     val spark = pairs.sparkSession
@@ -133,7 +137,7 @@ object FellegiSunter {
       .agg(count(lit(1)).as("n_pairs"))
       .collect()
       .map(r => (names.indices.map(r.getInt).toArray, r.getLong(K)))
-      .sortBy(_._1.toSeq.mkString)
+      .sortBy(_._1.mkString(","))
     require(counts.nonEmpty, "no candidate pairs")
 
     val (lam, m, u, posts) = emFitLevels(counts, levelCols.map(_._2), iters, scale)
