@@ -482,6 +482,27 @@ class DedupSpec extends SparkSpec {
       "old-only pairs must exist and be excluded")
   }
 
+  test("minhashLshPairsDelta: re-crawled ids (in both sides) — new text wins, no dup pairs") {
+    import spark.implicits._
+    val all = documents.limit(200)
+    val newDf = all.where(col("doc_id") % 10 === 7)
+    // old side CONTAINS the overlapping ids but with stale text
+    val oldDf = all.where(col("doc_id") % 10 =!= 7).unionByName(
+      newDf.withColumn("text", concat(lit("stale stale stale "), col("text"))))
+    val delta = Dedup.minhashLshPairsDelta(oldDf, newDf, "doc_id", "text", 0.5)
+      .select($"id0".as[Long], $"id1".as[Long], $"jaccard".as[Double])
+      .collect()
+    assert(delta.map(t => (t._1, t._2)).distinct.length == delta.length,
+      "conflicting duplicate pairs from the overlap")
+    // equality with the clean-disjoint run (new text wins == stale dropped)
+    val clean = Dedup.minhashLshPairsDelta(
+        all.where(col("doc_id") % 10 =!= 7), newDf, "doc_id", "text", 0.5)
+      .select($"id0".as[Long], $"id1".as[Long], $"jaccard".as[Double])
+      .collect()
+    assert(delta.toSet == clean.toSet)
+    assert(clean.nonEmpty)
+  }
+
   test("nearDupGroups: matches local union-find over the emitted pairs; canonical = min id") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(documents, "doc_id", "text", 0.5)
