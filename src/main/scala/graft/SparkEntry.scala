@@ -1159,6 +1159,47 @@ object SparkEntry {
     // only in batches where the key is absent, against the PREVIOUS
     // batch's watermark). Output: per-key emission counts, re-emissions
     // included (28 of 43 emissions at sf0.001 are TTL re-emissions).
+    // engine-native dropDuplicatesWithinWatermark through 5 real
+    // micro-batches (keys deliberately SPREAD across batches by
+    // event_id%5, so dedup happens in the state store, not in-batch);
+    // delay 3650d >> the data span = no-eviction regime, so the exact
+    // oracle is DISTINCT keys — the eviction/re-emit regime is
+    // StreamingSpec's staged-timeline case
+    "q_stream_dropdup_wm" -> ((s, dir) => {
+      val qn = s"stream_ddw_q${streamQueryIds.incrementAndGet()}"
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_ddw")
+      val in = root.resolve("stream")
+      java.nio.file.Files.createDirectories(in)
+      events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("k"),
+          col("ts").cast("timestamp").as("ts"),
+          (col("event_id") % 5).cast("int").as("d"))
+        .repartition(1)
+        .write.partitionBy("d").mode("overwrite").parquet(s"$root/staged")
+      val parts = new java.io.File(s"$root/staged").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("d="))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (dd, i) =>
+        val f = dd.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = in.resolve(f"batch$i%02d.parquet")
+        java.nio.file.Files.move(f.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val schema = s.read.parquet(in.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val keys = graft.streaming.EventStream
+        .dedupKeysWithinWatermark(stream, "k", "ts", "3650 days")
+      val q = keys.writeStream.outputMode("append").format("memory")
+        .queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      s.table(qn).select(col("k").cast("long").as("user_id"))
+        .orderBy(col("user_id"))
+    }),
     "q_stream_ttl" -> ((s, dir) => {
       val qn = s"stream_ttl_q${streamQueryIds.incrementAndGet()}"
       s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
@@ -4174,6 +4215,12 @@ object SparkEntry {
     "q_stream_first_seen" ->
       """SELECT DISTINCT array_to_string(str_split(text, ' ')[1:3], ' ') AS dup_key
          FROM documents""",
+    // no-eviction regime (delay >> data span) makes the engine's
+    // dropDuplicatesWithinWatermark emission set exactly DISTINCT keys,
+    // whatever the batch interleave — the cheap exact oracle
+    "q_stream_dropdup_wm" ->
+      """SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'purchase'""",
     // batch-mode replay of the TTL state machine under the query's
     // deterministic daily batching: per sighting day B of a key, emit
     // iff no prior sighting day P, or bmax(P) + 48h <= the max event

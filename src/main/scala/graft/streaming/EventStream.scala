@@ -255,6 +255,31 @@ object EventStream {
       }
   }
 
+  /** Engine-native bounded-state streaming key dedup — the third member
+    * of the dedup family: [[firstSeenKeys]] (custom state, unbounded),
+    * [[firstSeenKeysTtl]] (custom state, sliding event-time TTL), and
+    * this, Spark's built-in `dropDuplicatesWithinWatermark`: state holds
+    * first-seen event time + the watermark delay and is evicted once the
+    * watermark passes it (FIXED deadline — duplicates do NOT refresh it,
+    * unlike the TTL variant's sliding rule), so a key reappearing after
+    * eviction re-emits. Only the KEY is emitted: within a micro-batch
+    * the operator keeps the first ROW in partition order, so any payload
+    * column would be nondeterministic — projecting it away is what makes
+    * the output exact.
+    *
+    * Same plan batch or streaming is NOT available here (the operator is
+    * streaming-only), so the spec gates semantics through staged file
+    * batches and the driver oracle runs the no-eviction regime (delay
+    * beyond the data span ⇒ output == DISTINCT keys) — the eviction
+    * regime is StreamingSpec's re-emission case. */
+  def dedupKeysWithinWatermark(df: DataFrame, keyCol: String,
+      tsCol: String, delay: String): DataFrame =
+    df.select(col(keyCol).as("k"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", delay)
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
+
   /** TTL-bounded variant of [[firstSeenKeys]] — the scale-safe default
     * for unbounded streams: per-key state expires once the WATERMARK
     * passes `last sighting + ttlMs` (sliding TTL — every sighting pushes

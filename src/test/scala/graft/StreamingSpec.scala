@@ -219,6 +219,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 946)
   }
 
+  test("dropDuplicatesWithinWatermark wrapper: in-batch + cross-batch dedup, evicted key re-emits") {
+    import spark.implicits._
+    // delay 1 day; state deadline = first-seen event time + delay (FIXED,
+    // not refreshed); watermark for batch N = max event time through
+    // batch N-1 minus delay:
+    //   f1: a@day1 x2     -> emit a once; deadline day2 noon
+    //   f2: b@day5, a@day5 -> wm=day0: a alive -> a dropped; emit b
+    //   f3: c@day9        -> wm=day4 > day2: a evicted; emit c
+    //   f4: a@day9 18:00  -> wm=day8: a re-emits
+    val dir = java.nio.file.Files.createTempDirectory("ddwm").toString
+    val in = s"$dir/stream"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def write(name: String, rows: Seq[(String, String)]): Unit = {
+      val tmp = s"$dir/$name-tmp"
+      rows.map { case (k, d) => (k, java.sql.Timestamp.valueOf(d)) }
+        .toDF("k", "ts").coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    write("f1", Seq(("a", "2024-01-01 12:00:00"), ("a", "2024-01-01 13:00:00")))
+    write("f2", Seq(("b", "2024-01-05 12:00:00"), ("a", "2024-01-05 12:00:00")))
+    write("f3", Seq(("c", "2024-01-09 12:00:00")))
+    write("f4", Seq(("a", "2024-01-09 18:00:00")))
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = EventStream.dedupKeysWithinWatermark(stream, "k", "ts", "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("ddw_keys")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ddw_keys").as[String].collect().toList
+    assert(got.sorted == List("a", "a", "b", "c"),
+      s"expected evicted 'a' to re-emit and live 'a' to dedup, got $got")
+  }
+
   test("TTL first-seen dedup: watermark-expired keys re-emit; batch parity") {
     import spark.implicits._
     // Event-time TTL = 1 day, watermark delay 0. Timeline (one query run,
