@@ -1056,6 +1056,32 @@ object SparkEntry {
     // its error bound vs these exact values is spec-gated in
     // RelationalSpec rather than oracled (sketch internals are
     // engine-specific by nature)
+    // full cube (all 4 grouping sets incl. the cross-margin rollup
+    // misses); grouping_id disambiguates a real value from a margin
+    "q_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("gid"), col("sum_qty"), col("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+    // corpus dedup summary: the before/after readout a dedup run reports
+    // (docs, distinct texts, dup rate, bytes saved by keeping one copy)
+    "q_dedup_stats" -> ((s, dir) => {
+      val g = Dedup.exactGroups(docs(s, dir), md5(col("text")),
+        col("doc_id"))
+      docs(s, dir).select(md5(col("text")).as("dup_key"),
+          length(col("text")).cast("long").as("bytes"))
+        .join(g, "dup_key")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("dup_key")).as("n_distinct"),
+          sum(col("bytes")).as("total_bytes"),
+          sum(when(col("group_size") > 1, col("bytes"))
+            .otherwise(lit(0L))).as("bytes_in_dup_groups"),
+          (count(lit(1)) - countDistinct(col("dup_key"))).as("n_removable"))
+    }),
     // hierarchical rollup totals (flag × status → flag → grand total) —
     // the OLAP readout over the fact table; quantities are integer-valued
     // doubles (< 2^53) so every summation order is exact
@@ -3688,6 +3714,28 @@ object SparkEntry {
            WHEN 'es' THEN
              substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
            ELSE TRUE END""",
+    // gid = 2·GROUPING(flag) + GROUPING(status) == Spark's grouping_id
+    // bit order (first cube column = MSB)
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                     AS BIGINT) AS gid,
+                SUM(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_dedup_stats" ->
+      """WITH d AS (SELECT md5(text) AS k,
+                           CAST(length(text) AS BIGINT) AS bytes
+                    FROM documents),
+         g AS (SELECT k, count(*) AS gs FROM d GROUP BY 1)
+         SELECT count(*) AS n_docs,
+                count(DISTINCT d.k) AS n_distinct,
+                SUM(d.bytes) AS total_bytes,
+                SUM(CASE WHEN g.gs > 1 THEN d.bytes ELSE 0 END)
+                  AS bytes_in_dup_groups,
+                count(*) - count(DISTINCT d.k) AS n_removable
+         FROM d JOIN g ON g.k = d.k""",
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
                 COALESCE(l_linestatus, 'ALL') AS l_linestatus,
