@@ -602,6 +602,26 @@ object SparkEntry {
           "url", rules)
         .orderBy(col("url"))
     }),
+    // parquet schema evolution: a v1 slice (no n_chars) + a v2 slice
+    // (adds n_chars) read back under mergeSchema — old rows surface the
+    // new column as NULL; the oracle recomputes from the source table,
+    // so any drop/misalignment in the evolved read breaks the match
+    "q_schema_evolution" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_schema_evo").toString
+      val d = docs(s, dir)
+      d.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("append").parquet(s"$root/t")
+      s.read.option("mergeSchema", "true").parquet(s"$root/t")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
     "q_orc_roundtrip" -> ((s, dir) => {
       val back = graft.io.Formats.roundTrip(
         docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
@@ -3345,6 +3365,13 @@ object SparkEntry {
                 COALESCE(b.allow, true) AS allowed,
                 COALESCE(b.rule_prefix, '') AS rule_prefix
          FROM u LEFT JOIN b USING (url)""",
+    // evolved-read replay straight off the source: even docs carry NULL
+    // n_chars (v1 rows), odd docs their real value
+    "q_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+                count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
+                SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS sum_chars
+         FROM documents GROUP BY lang""",
     "q_orc_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
