@@ -288,6 +288,20 @@ object SparkEntry {
         .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
     "er_febrl4_clusters" -> ((s, _) =>
       febrl4Clusters(s).orderBy(col("clusterId"), col("dp"))),
+    // the FULL 5-party pipeline (P>2: all-cross-pairs greedy merge rule)
+    // made driver-visible — encode 5 binary CLK uploads -> block ->
+    // score -> CC -> solve; oracle = the frozen golden groups
+    // (documented semi-circular regression pin; the semantic gates are
+    // MultipartySpec's invariants + subsample brute-force equality)
+    "er_multiparty_clusters" -> ((s, _) => {
+      val all = (0 until 5).map { k =>
+        ClkIO.readBinary(s, s"$FixturesDir/multiparty_$k.bin", k, 128)
+      }.reduce(_ union _)
+      graft.cluster.Solver.solve(
+          Pipeline.edges(Pipeline.defaultBlock(all),
+            LinkConfig(threshold = 0.8)), LinkConfig(threshold = 0.8))
+        .toDF().orderBy(col("clusterId"), col("dp"))
+    }),
     // mutual-best 1:1 tier over the same scored edges: reciprocal top-1
     // by (sim desc, partner asc) — the high-precision auto-accept band
     "q_mutual_best" -> ((s, _) =>
@@ -1878,6 +1892,14 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // frozen-golden replay (multiparty_golden_groups.csv committed by
+    // tools/MakeOracleFixtures; same pattern as er_febrl4_clusters)
+    "er_multiparty_clusters" ->
+      """SELECT CAST(clusterId AS BIGINT) AS clusterId,
+                CAST(dp AS INT) AS dp,
+                CAST(entityId AS BIGINT) AS entityId
+         FROM read_csv('/root/repo/fixtures/multiparty_golden_groups.csv',
+                       header = true)""",
     // mutual-best replay: the same kernel-derived edge set, reciprocal
     // top-1 via two QUALIFY windows ordered (sim DESC, partner ASC)
     "q_mutual_best" ->
