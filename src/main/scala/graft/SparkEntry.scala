@@ -657,6 +657,10 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(docs(s, dir), "doc_id", "text", minDf = 5L)
         .orderBy(col("token"))),
+    // token-distribution Shannon entropy (diversity/repetition signal)
+    "q_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy(col("id"))),
     // BM25 ranked retrieval (exact-rational tf part, ratio idf — see
     // TextOps.bm25TopK): top-20 docs for a mixed common/rare query
     "q_bm25" -> ((s, dir) =>
@@ -3455,6 +3459,17 @@ object SparkEntry {
                 round(CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE)
                       / len(str_split(text, ' ')), 4) AS mean_token_len
          FROM documents""",
+    // entropy replay: identical formula; libm log2 over small integer
+    // tfs + round(6) is the accepted unigram-logprob FP pattern
+    "q_entropy" ->
+      """WITH tf AS (SELECT doc_id AS id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+                           FROM documents)
+                     GROUP BY 1, 2)
+         SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                round(log2(SUM(tf)) - SUM(tf * log2(tf)) / SUM(tf), 6)
+                  AS entropy
+         FROM tf GROUP BY id""",
     // BM25 replay: same exact rationals — idf in fixed point, the
     // idf·tfpart product widened to HUGEINT before its floored divide
     "q_bm25" ->

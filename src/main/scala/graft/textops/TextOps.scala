@@ -367,6 +367,26 @@ object TextOps {
       .select("id", "term", "tf", "df", "score", "rank")
   }
 
+  /** Token-distribution Shannon entropy per document — the diversity /
+    * repetition quality signal (template spam and keyword stuffing sit
+    * at low entropy even when the token SET looks rich):
+    * H = log2(n) − Σ tf·log2(tf) / n over the token frequencies.
+    * Doubles rounded to 6 (the accepted unigram-logprob FP pattern —
+    * libm log2 over small integer tf values agrees across engines).
+    * Scale shape: one (doc, token) hash agg + one per-doc agg, both
+    * map-side combined; no windows, no joins. */
+  def tokenEntropy(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tf = docs.select(col(id).cast("long").as("id"),
+        explode(split(col(text), " ")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * log2(col("tf"))).as("s"))
+      .select(col("id"), col("n_tokens"),
+        round(log2(col("n_tokens")) - col("s") / col("n_tokens"), 6)
+          .as("entropy"))
+  }
+
   /** BM25 top-k retrieval for a fixed query term set — the ranked-search
     * readout over the corpus (find the documents most about a topic; the
     * retrieval side of contamination checks and eval-set curation).
