@@ -314,12 +314,52 @@ object Bench {
       s""""scaling":$scaling,"blocked":$blockedJson$blockedFullJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+
+    // Compact HEADLINE line — the driver captures only the LAST 2000 chars
+    // of stdout, and the full JSON above is ~7 KB, so four rounds running
+    // the driver recorded parsed:null (rounds 1-2: sbt '[info]' prefix;
+    // round 3: sbt [success] epilogue; round 4: the 7 KB line itself
+    // overflowed the tail window and the capture started mid-object). The
+    // full detail stays in bench.json (and is still printed first, above
+    // the headline, for humans reading the whole log); the LAST stdout
+    // line is this small self-contained object, asserted < 1900 bytes so
+    // it can never straddle the driver's capture boundary again.
+    val headline: String = {
+      val top = results.sortBy(-_._2).take(3)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val scalingHead = if (skipScaling) """{"skipped":true}""" else {
+        val validSweeps = sweeps.filter(s =>
+          sweepEff(s, 2, 8)._1 <= 1.05 && sweepEff(s, 8, 32)._1 <= 1.05)
+        val pool = if (validSweeps.nonEmpty) validSweeps else sweeps
+        val hs = pool.maxBy(clamped)
+        val (e28, e28h, e28m) = sweepEff(hs, 2, 8)
+        val (e832, _, e832m) = sweepEff(hs, 8, 32)
+        val l32 = hs.find(_.cores == 32).map(_.pairsPerSec.toLong).getOrElse(0L)
+        val all28 = sweeps.map(s => sweepEff(s, 2, 8)._1)
+        s"""{"eff_2_to_8":$e28,"eff_vs_host_2_to_8":$e28h,"eff_vs_membw_2_to_8":$e28m,""" +
+        s""""eff_8_to_32":$e832,"eff_vs_membw_8_to_32":$e832m,""" +
+        s""""pairs_per_sec_local32":$l32,"best_sweep_eff_2_to_8":${r3(all28.max)},""" +
+        s""""sweeps_meeting_gate_2_to_8":${all28.count(e => e >= 0.8 && e <= 1.05)},"sweeps_total":${sweeps.length}}"""
+      }
+      val blockedHead =
+        s"""{"shape_10Kx100K_sec":${r3(bWall)}""" +
+        full.map { case (w, e, _) =>
+          s""","shape_${fullA / 1000}Kx${fullB / 1000}K_sec":${r3(w)},"full_edges":$e"""
+        }.getOrElse("") + "}"
+      s"""{"metric":"queries_total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""slowest_queries":$top,"queries_env":$queriesEnv,"sf":"$sfDir",""" +
+      s""""scaling":$scalingHead,"blocked":$blockedHead,"detail":"$outFile"}"""
+    }
+    assert(headline.getBytes("UTF-8").length < 1900,
+      s"headline must fit the driver's 2000-char stdout tail window, got ${headline.length}")
+
     // sbt's logger '[info]'-prefixes System.out (rounds 1-2: driver
     // recorded parsed:null even with the file copy) -> write the line to
     // RAW fd 1, which sbt does not intercept, plus the file above
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
     raw.println(json)
+    raw.println(headline)
     raw.flush()
   }
 }

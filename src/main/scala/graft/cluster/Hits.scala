@@ -23,9 +23,10 @@ import org.apache.spark.storage.StorageLevel
   * is two shuffle joins (edges × scores on src / dst, both
   * hash-partitioned on the key) + two partial-aggregated groupBys; the
   * per-round max is a 1-row aggregate broadcast back via crossJoin.
-  * Integer raw sums are exact under map-side combine; the numerator is
-  * widened to decimal(38,0) before the scale multiply so a 10^12-node
-  * graph cannot overflow the long range.
+  * Raw sums are exact under map-side combine and ACCUMULATE in
+  * decimal(38,0) (v is widened before the sum, not after), so neither
+  * a 10^12-in-degree node's raw score nor the subsequent scale
+  * multiply can wrap the long range.
   */
 object Hits {
 
@@ -56,14 +57,19 @@ object Hits {
     var hub = nodes.withColumn("v", lit(scale))
     var auth: DataFrame = null
     for (i <- 1 to iters) {
+      // sum in decimal(38,0), not Long: with scaled scores v <= scale,
+      // an in-degree above ~9.2e12 would wrap the raw Long sum before
+      // the decimal widening in normalized()
       auth = normalized(
         e.join(hub.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), col("v"))
-          .groupBy("node").agg(sum(col("v")).as("raw")))
+          .groupBy("node")
+          .agg(sum(col("v").cast("decimal(38,0)")).as("raw")))
       hub = normalized(
         e.join(auth.withColumnRenamed("node", "dst"), "dst")
           .select(col("src").as("node"), col("v"))
-          .groupBy("node").agg(sum(col("v")).as("raw")))
+          .groupBy("node")
+          .agg(sum(col("v").cast("decimal(38,0)")).as("raw")))
       if (i < iters) {
         auth = auth.localCheckpoint(eager = false)
         hub = hub.localCheckpoint(eager = false)

