@@ -142,6 +142,15 @@ object Bench {
     * through LSH blocking, then the chunked kernel at t=0.8. */
   private def blockedShape(cpus: Int, nA: Int, nB: Int): (Double, Long, Long) = {
     val spark = session(cpus)
+    // size shuffle partitions by input volume, not a flat core count:
+    // at the 1Mx10M (10x-reference) shape a 32-partition hash aggregate
+    // holds ~350K rows of page text per task and dies with
+    // AGGREGATE_OUT_OF_MEMORY; ~100K rows/partition keeps every
+    // aggregation in memory and AQE coalesces the excess back down on
+    // the small shapes (exactly the sizing rule a 1000-executor cluster
+    // needs — partitions sized to the data, cores only as a floor)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(cpus, (nA.toLong + nB.toLong) / 100000L).toString)
     val pages = PagesSynth.pages(spark, Seq(nA, nB), overlap = 0.2, noise = 0.05)
     val blocked = Ingest.encodeAndBlock(pages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

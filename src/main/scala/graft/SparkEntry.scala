@@ -308,6 +308,23 @@ object SparkEntry {
       graft.cluster.Solver.mutualBest(
           Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8)).toDF())
         .orderBy(col("rec0"))),
+    // three-zone decision surface: auto-accept >= 0.8, clerical review
+    // in [0.7, 0.8) with a per-left-record review queue position —
+    // oracle replays the kernel + the same CASE/window in SQL
+    "q_clerical_band" -> ((s, _) =>
+      graft.link.Review.threeZone(
+          Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.7)).toDF(),
+          upper = 0.8)
+        .orderBy(col("zone"), col("dp0"), col("rec0"), col("queue_pos"),
+          col("dp1"), col("rec1"))),
+    // cluster-cohesion audit: CC at t=0.75 over the kernel edges, then
+    // per-component implied-pair closure vs actually-scored edges; the
+    // oracle recomputes the components themselves with a recursive
+    // min-label CTE over the replayed edge set
+    "q_cluster_cohesion" -> ((s, _) =>
+      graft.cluster.Evaluation.clusterCohesion(
+          Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.75)).toDF())
+        .orderBy(col("component"))),
     // incremental linkage: only pairs touching the "new batch" (here the
     // deterministic 10% slice entity_id%10==7) are scored; the oracle
     // replays the FULL kernel and filters to touching-new — equality of
@@ -1962,6 +1979,56 @@ object SparkEntry {
                     'string_agg', '')) AS rec_hex,
                 true AS round_trip_ok
          FROM c""",
+    // three-zone band: kernel replay at the LOWER threshold + the same
+    // CASE/window; ranks are engine-identical because the tie-break
+    // (sim DESC, dp1, rec1) is total over exact IEEE sims
+    "q_clerical_band" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.7)
+         SELECT sim, dp0, rec0, dp1, rec1,
+                CASE WHEN sim >= 0.8 THEN 'accept' ELSE 'review' END AS zone,
+                CASE WHEN sim >= 0.8 THEN 0 ELSE CAST(row_number() OVER (
+                  PARTITION BY (sim >= 0.8), dp0, rec0
+                  ORDER BY sim DESC, dp1, rec1) AS INTEGER) END AS queue_pos
+         FROM e""",
+    // cohesion audit: recursive min-label connected components over the
+    // replayed t=0.75 edge set (labels propagate along edges until the
+    // UNION fixpoint; min reachable packed node id == the engine's
+    // component label), then the same comb-2 / edge-support aggregates
+    "q_cluster_cohesion" ->
+      """WITH RECURSIVE
+         c AS (SELECT dp, entity_id, pc, words
+               FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT (CAST(dp0 AS BIGINT) << 40) | rec0 AS u,
+                      (CAST(dp1 AS BIGINT) << 40) | rec1 AS v, sim
+               FROM p WHERE sim >= 0.75),
+         n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         adj AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+         reach(node, lbl) AS (
+           SELECT node, node FROM n
+           UNION
+           SELECT adj.b, reach.lbl FROM reach JOIN adj ON reach.node = adj.a),
+         comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         m AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+               FROM comp GROUP BY component),
+         es AS (SELECT comp.component, CAST(count(*) AS BIGINT) AS n_edges,
+                       min(e.sim) AS min_sim, max(e.sim) AS max_sim
+                FROM e JOIN comp ON e.u = comp.node GROUP BY comp.component)
+         SELECT m.component, m.n_members,
+                (m.n_members * (m.n_members - 1)) // 2 AS n_pairs_implied,
+                es.n_edges, es.min_sim, es.max_sim
+         FROM m JOIN es USING (component)""",
     // A4 guardrail: the kernel-replayed edge count decides refusal per
     // cap exactly as enforceScoredPairsCap must
     "q_guardrail" ->

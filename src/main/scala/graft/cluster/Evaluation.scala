@@ -126,4 +126,48 @@ object Evaluation {
       .select("n_records", "n_clusters_old", "n_clusters_new",
         "n_split", "n_merged", "n_stable")
   }
+
+  /** Cluster-cohesion audit over a thresholded edge set: transitive
+    * closure admits record pairs the pairwise kernel never scored at
+    * threshold (A~B ≥ t and B~C ≥ t force A and C into one component
+    * even when sim(A,C) < t); per component this reports how much of
+    * the implied pair closure the scored edges actually support —
+    * the quality readout a clerical pipeline cuts over-merged clusters
+    * with.
+    *
+    * Exact-output discipline: components label by min reachable packed
+    * node id (dp << 40 | entity — [[graft.core.NodeId]], deterministic
+    * at any parallelism); pair counts are integer comb-2; sim extremes
+    * are min/max (order-free IEEE, engine-exact), never an
+    * order-dependent double sum.
+    *
+    * Scale shape: CC is the library's small/large-star loop (driver
+    * union-find below 2M edges); then ONE hash-agg for member counts
+    * and one edges⋈components join (components broadcast-able when the
+    * cluster map is small) + hash-agg for edge support. No windows, no
+    * unbounded collects.
+    *
+    * @param edges Edge-shaped frame (sim, dp0, rec0, dp1, rec1).
+    * @return one row per component (all have ≥ 2 members by
+    *         construction): (component, n_members, n_pairs_implied,
+    *         n_edges, min_sim, max_sim). */
+  def clusterCohesion(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def node(dp: String, rec: String) =
+      shiftleft(col(dp).cast("long"), 40).bitwiseOR(col(rec))
+    val e = edges.select(node("dp0", "rec0").as("u"),
+      node("dp1", "rec1").as("v"), col("sim"))
+    val comps = ConnectedComponents.run(e.select($"u", $"v").as[(Long, Long)])
+    val members = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    val edgeStats = e.join(comps.withColumnRenamed("node", "u"), "u")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_edges"),
+        min($"sim").as("min_sim"), max($"sim").as("max_sim"))
+    members.join(edgeStats, Seq("component"))
+      .select(col("component"), col("n_members"),
+        expr("n_members * (n_members - 1) DIV 2").as("n_pairs_implied"),
+        col("n_edges"), col("min_sim"), col("max_sim"))
+  }
 }

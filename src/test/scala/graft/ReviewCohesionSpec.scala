@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.link.Review
+import graft.cluster.Evaluation
+
+/** Three-zone clerical band: zones partition the edge set at the upper
+  * threshold and review queue positions are dense per left record in
+  * (sim DESC, dp1, rec1) order. */
+class ReviewSpec extends SparkSpec {
+
+  private def edges(rows: (Double, Int, Long, Int, Long)*) = {
+    import spark.implicits._
+    rows.toDF("sim", "dp0", "rec0", "dp1", "rec1")
+  }
+
+  test("zones partition at upper; accept rows never queue") {
+    val e = edges((0.95, 0, 1L, 1, 10L), (0.85, 0, 1L, 1, 11L),
+      (0.75, 0, 1L, 1, 12L), (0.72, 0, 2L, 1, 10L))
+    val out = Review.threeZone(e, upper = 0.8).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val accept = r.getAs[Double]("sim") >= 0.8
+      assert(r.getAs[String]("zone") == (if (accept) "accept" else "review"))
+      if (accept) assert(r.getAs[Int]("queue_pos") == 0)
+    }
+  }
+
+  test("review queue is dense per left record, most match-like first") {
+    val e = edges(
+      (0.79, 0, 1L, 1, 12L), (0.71, 0, 1L, 1, 10L), (0.75, 0, 1L, 1, 11L),
+      // tie on sim -> dp1/rec1 ascending breaks it
+      (0.75, 0, 2L, 1, 21L), (0.75, 0, 2L, 1, 20L))
+    val out = Review.threeZone(e, upper = 0.8)
+      .where(col("rec0") === 1L).orderBy(col("queue_pos"))
+      .select("sim", "queue_pos").collect().toSeq
+    assert(out.map(r => (r.getDouble(0), r.getInt(1))) ==
+      Seq((0.79, 1), (0.75, 2), (0.71, 3)))
+    val ties = Review.threeZone(e, upper = 0.8)
+      .where(col("rec0") === 2L).orderBy(col("queue_pos"))
+      .select("rec1", "queue_pos").collect().toSeq
+    assert(ties.map(r => (r.getLong(0), r.getInt(1))) == Seq((20L, 1), (21L, 2)))
+  }
+
+  test("matches a brute-force zone/rank replay on a fixture slice") {
+    import graft.core.LinkConfig
+    import graft.link.Pipeline
+    import graft.ingest.ClkIO
+    val a = ClkIO.readBinary(spark, s"$fixturesDir/febrl4_a.bin", 0, 128)
+      .where(col("entityId") < 200)
+    val b = ClkIO.readBinary(spark, s"$fixturesDir/febrl4_b.bin", 1, 128)
+      .where(col("entityId") < 200)
+    val blocked = Pipeline.defaultBlock(a.union(b))
+    val e = Pipeline.edges(blocked, LinkConfig(threshold = 0.7)).toDF()
+    val out = Review.threeZone(e, upper = 0.8)
+    val rows = out.collect()
+    // brute-force replay: group review rows by (dp0, rec0), sort, rank
+    val review = rows.filter(_.getAs[String]("zone") == "review")
+    review.groupBy(r => (r.getAs[Int]("dp0"), r.getAs[Long]("rec0")))
+      .foreach { case (_, grp) =>
+        val sorted = grp.sortBy(r => (-r.getAs[Double]("sim"),
+          r.getAs[Int]("dp1").toLong, r.getAs[Long]("rec1")))
+        assert(sorted.map(_.getAs[Int]("queue_pos")).toSeq ==
+          (1 to sorted.length).toSeq)
+      }
+    assert(rows.forall(r => (r.getAs[Double]("sim") >= 0.8) ==
+      (r.getAs[String]("zone") == "accept")))
+  }
+}
+
+/** Cluster-cohesion audit: per-component implied-pair closure vs scored
+  * edge support, checked against a local union-find brute force. */
+class CohesionSpec extends SparkSpec {
+
+  test("component labels, member counts, and edge support match a local union-find") {
+    import spark.implicits._
+    // two chains + one triangle-ish component, cross-provider node ids
+    def n(dp: Int, rec: Long): Long = (dp.toLong << 40) | rec
+    val raw = Seq(
+      (0.90, 0, 1L, 1, 1L), (0.85, 0, 2L, 1, 1L), // chain of 3
+      (0.80, 0, 5L, 1, 5L), // pair
+      (0.95, 0, 7L, 1, 7L), (0.76, 0, 7L, 1, 8L), (0.88, 0, 9L, 1, 7L))
+    val out = Evaluation.clusterCohesion(
+        raw.toDF("sim", "dp0", "rec0", "dp1", "rec1"))
+      .orderBy("component").collect()
+
+    // local union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    raw.foreach { case (_, d0, r0, d1, r1) => union(n(d0, r0), n(d1, r1)) }
+    val comp = parent.keys.map(k => k -> find(k)).toMap
+    val byComp = comp.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    assert(out.length == byComp.size)
+    out.foreach { r =>
+      val c = r.getAs[Long]("component")
+      val members = byComp(c)
+      assert(r.getAs[Long]("n_members") == members.size)
+      assert(r.getAs[Long]("n_pairs_implied") ==
+        members.size.toLong * (members.size - 1) / 2)
+      val inEdges = raw.filter { case (_, d0, r0, _, _) =>
+        find(n(d0, r0)) == c }
+      assert(r.getAs[Long]("n_edges") == inEdges.size)
+      assert(r.getAs[Double]("min_sim") == inEdges.map(_._1).min)
+      assert(r.getAs[Double]("max_sim") == inEdges.map(_._1).max)
+    }
+  }
+}
