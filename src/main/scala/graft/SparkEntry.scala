@@ -96,6 +96,15 @@ object SparkEntry {
         xxhash64(lit(42L), col("id")).as("h"),
         xxhash64(lit(43L), col("id")).as("h0"),
         xxhash64(lit(44L), col("id")).as("h1"))),
+    // the constructed permutation rows (already fully oracled by
+    // er_febrl4_permutation's construction replay) — q_perm_dense's
+    // oracle array_aggs these, checking exactly the dict→dense reshape
+    "perm_rows" -> ((s, _) => {
+      import s.implicits._
+      val clusters = febrl4Clusters(s).as[graft.core.ClusterMember]
+      val (perm, _) = graft.cluster.Permutation.permuteAndMask(clusters, 1000, 1000)
+      perm
+    }),
     // raw media payloads of the er_pages_media_features corpus (ASCII
     // html, so a string dump is byte-faithful); the oracle replays the
     // decode dispatch in SQL: no JDK image reader accepts these payloads,
@@ -345,6 +354,35 @@ object SparkEntry {
       val (perm, _) = graft.cluster.Permutation.permuteAndMask(clusters, 1000, 1000)
       perm.orderBy(col("dp"), col("row_index"))
     }),
+    // M2 dict→dense-list through the REAL driver-side export (the
+    // reference's apply_permutation builds a per-provider python list);
+    // the construction itself is fully oracled by er_febrl4_permutation,
+    // so the aux dump + array_agg oracle checks exactly the reshape
+    "q_perm_dense" -> ((s, _) => {
+      import s.implicits._
+      val clusters = febrl4Clusters(s).as[graft.core.ClusterMember]
+      val (perm, _) = graft.cluster.Permutation.permuteAndMask(clusters, 1000, 1000)
+      val dense = Seq(0, 1).map(dp =>
+        (dp, graft.cluster.Permutation.toDenseList(perm, dp).mkString(",")))
+      dense.toDF("dp", "slots_csv")
+    }),
+    // G2 group→pairs expansion (anonlink pairs_from_groups): oracle
+    // re-derives the cross pairs from the frozen golden clusters
+    "q_solver_pairs" -> ((s, _) => {
+      import s.implicits._
+      graft.cluster.Solver.pairsFromClusters(
+          febrl4Clusters(s).as[graft.core.ClusterMember])
+        .orderBy(col("dp0"), col("rec0"), col("dp1"), col("rec1"))
+    }),
+    // P4 encoding-size validation as a per-record decision surface over
+    // a deliberately mixed-size upload fixture (10 good 128B + 64/96B
+    // valid-but-mismatched + 20B non-multiple-of-8 + 1024B edge +
+    // 1032B out-of-range)
+    "q_encoding_validation" -> ((s, _) =>
+      ClkIO.validationReport(
+          ClkIO.readJson(s, s"$FixturesDir/test_encodings_mixed.json", 0),
+          declaredSize = 128)
+        .orderBy(col("entity_id"))),
     "er_pages_clusters" -> ((s, _) => {
       val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000))
       val blocked = graft.ingest.Ingest.encodeAndBlock(pages)
@@ -1979,6 +2017,34 @@ object SparkEntry {
                     'string_agg', '')) AS rec_hex,
                 true AS round_trip_ok
          FROM c""",
+    // M2 reshape check over the construction-oracled permutation rows
+    "q_perm_dense" ->
+      s"""WITH p AS (SELECT dp, row_index, slot
+                     FROM '$OracleAuxDir/perm_rows/*.parquet')
+         SELECT dp, array_to_string(array_agg(slot ORDER BY row_index), ',')
+                  AS slots_csv
+         FROM p GROUP BY dp""",
+    // G2: cross pairs implied by the frozen golden clusters
+    "q_solver_pairs" ->
+      """WITH a AS (SELECT "clusterId" AS c, dp, "entityId" AS e
+                    FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet')
+         SELECT x.dp AS dp0, x.e AS rec0, y.dp AS dp1, y.e AS rec1
+         FROM a x JOIN a y ON x.c = y.c
+           AND (x.dp < y.dp OR (x.dp = y.dp AND x.e < y.e))""",
+    // P4: per-record verdicts re-derived from the raw upload bytes
+    "q_encoding_validation" ->
+      """WITH t AS (SELECT clks AS l
+                    FROM read_json('/root/repo/fixtures/test_encodings_mixed.json',
+                      columns = {clks: 'VARCHAR[]'})),
+         i AS (SELECT unnest(range(1, len(l) + 1)) AS idx, l FROM t),
+         v AS (SELECT CAST(idx - 1 AS BIGINT) AS entity_id,
+                      CAST(octet_length(from_base64(l[idx])) AS BIGINT) AS n_bytes
+               FROM i)
+         SELECT entity_id, n_bytes,
+                n_bytes = 128 AS matches_declared,
+                n_bytes BETWEEN 1 AND 1024 AND n_bytes % 8 = 0
+                  AS valid_standalone
+         FROM v""",
     // three-zone band: kernel replay at the LOWER threshold + the same
     // CASE/window; ranks are engine-identical because the tie-break
     // (sim DESC, dp1, rec1) is total over exact IEEE sims

@@ -88,6 +88,19 @@ object ClkIO {
   /** Encoding-size validation (P4): all CLKs of all providers must share
     * one size, in [1,1024], multiple of 8 (`tasks/pre_run_check.py:48-78`).
     * Returns the common size or throws. */
+  /** P4 driver-visible form: per-record validation report instead of the
+    * fail-fast require — the reference's pre-run check rejects an upload
+    * listing WHICH encodings are malformed (`tasks/pre_run_check.py:48-78`
+    * surfaces the mismatch in the run error); this returns one verdict
+    * row per encoding so callers (and the driver oracle) see the exact
+    * decision surface. Pure column algebra — codegen'd, no UDFs. */
+  def validationReport(encodings: DataFrame, declaredSize: Int): DataFrame =
+    encodings.select(col("entity_id"),
+        length(col("clk")).cast("long").as("n_bytes"))
+      .withColumn("matches_declared", col("n_bytes") === declaredSize)
+      .withColumn("valid_standalone",
+        col("n_bytes").between(1, 1024) && col("n_bytes") % 8 === 0)
+
   def validateEncodingSize(records: Dataset[Record]): Int = {
     import records.sparkSession.implicits._
     val sizes = records.select(length(col("clk")).as[Int]).distinct().collect()

@@ -160,4 +160,20 @@ class ClkIOSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unrecognized"))
   }
+
+  test("validationReport flags per-record size verdicts on the mixed fixture") {
+    val rep = ClkIO.validationReport(
+        ClkIO.readJson(spark, s"$fixturesDir/test_encodings_mixed.json", 0), 128)
+      .orderBy("entity_id").collect()
+    assert(rep.length == 16)
+    val byId = rep.map(r => r.getAs[Long]("entity_id") ->
+      (r.getAs[Long]("n_bytes"), r.getAs[Boolean]("matches_declared"),
+        r.getAs[Boolean]("valid_standalone"))).toMap
+    (0L to 9L).foreach(i => assert(byId(i) == ((128L, true, true))))
+    assert(byId(10L) == ((64L, false, true)))   // valid size, wrong declared
+    assert(byId(12L) == ((96L, false, true)))
+    assert(byId(13L) == ((20L, false, false)))  // not a multiple of 8
+    assert(byId(14L) == ((1024L, false, true))) // upper edge inclusive
+    assert(byId(15L) == ((1032L, false, false))) // out of range
+  }
 }
