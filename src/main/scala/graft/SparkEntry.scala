@@ -845,6 +845,12 @@ object SparkEntry {
     "q_cosine_pairs" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id0"), col("id1"))),
+    // SemDeDup: semantic dedup inside the SAME k-means cells the IVF
+    // index uses (cluster once, serve ANN and dedup); the oracle replays
+    // cell-blocked pairing + ε-graph components from the ivf_sig dump
+    "q_semdedup" -> ((s, dir) =>
+      Dedup.semanticDedup(ivfSig(s, dir), threshold = 0.4)
+        .orderBy(col("vid"))),
     // A6 comparison-rate analogue: per-type event aggregates
     // gap-based sessionization of the event log (lag-flag-cumsum, one
     // shuffle keyed by user); oracle replays the identical windows
@@ -3854,6 +3860,25 @@ object SparkEntry {
                 round(list_cosine_similarity(a.e, b.e), 6) AS cos
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4""",
+    // SemDeDup replay: cell-equi-join pairs (the kmeans cell IS the
+    // block), exact dot of the dumped normalized vectors, recursive
+    // min-label components over the ε-graph, keep = min vid per group
+    "q_semdedup" ->
+      s"""WITH RECURSIVE
+         v AS (SELECT vid, v, list FROM '$OracleAuxDir/ivf_sig/*.parquet'),
+         p AS (SELECT a.vid AS u, b.vid AS w
+               FROM v a JOIN v b ON a.list = b.list AND a.vid < b.vid
+               WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4),
+         n AS (SELECT u AS node FROM p UNION SELECT w FROM p),
+         adj AS (SELECT u AS a, w AS b FROM p UNION SELECT w, u FROM p),
+         reach(node, lbl) AS (
+           SELECT node, node FROM n
+           UNION
+           SELECT adj.b, reach.lbl FROM reach JOIN adj ON reach.node = adj.a),
+         comp AS (SELECT node, min(lbl) AS grp FROM reach GROUP BY node)
+         SELECT v.vid, COALESCE(comp.grp, v.vid) AS grp,
+                COALESCE(comp.grp, v.vid) = v.vid AS keep
+         FROM v LEFT JOIN comp ON v.vid = comp.node""",
     // hash-order stratified sample replayed from the dumped hashes
     "q_sample_stratified" ->
       s"""WITH s AS (SELECT stratum, id, h FROM '$OracleAuxDir/sample_hash/*.parquet'),

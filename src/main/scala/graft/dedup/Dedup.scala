@@ -617,6 +617,46 @@ object Dedup {
       threshold, "id0", "id1", "cos")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup
+    * removal inside k-means cells — embeddings are clustered, pairwise
+    * cosine is computed ONLY within a vector's cell (the clustering IS
+    * the blocking; cross-cell near-dups are the accepted recall loss
+    * that makes the method linear), ε-similar vectors chain into groups,
+    * and each group keeps one representative.
+    *
+    * Input is [[graft.ann.Ann.ivfAssignments]] output (vid,
+    * l2-normalized v, list) so the cell assignment is shared with the
+    * IVF index — cluster once, serve both ANN and dedup. Cosine of
+    * normalized vectors = plain dot, rounded to 6 (the engine-exact
+    * convention of [[embeddingCosinePairs]]). Groups are connected
+    * components of the ε-graph labeled by min vid (deterministic,
+    * order-free — the paper's keep-one-per-group with a stable choice);
+    * keep = (vid == group).
+    *
+    * Scale shape: cells bound the pair join exactly like LSH buckets
+    * (same two-level salting), CC runs only on above-threshold pairs,
+    * output is one row per vector via a left join. No windows, no
+    * unbounded collects. */
+  def semanticDedup(assignments: DataFrame, threshold: Double,
+      aim: Long = PairAim): DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    val v = assignments.select(col("list").cast("string").as("bk"),
+      col("vid").as("id"), col("v"))
+    val pairs = scoreAndFilter(saltedSelfPairs(v, aim), "cos",
+      round(graft.expr.dotProduct(col("v0"), col("v1")), 6),
+      threshold, "id0", "id1")
+    val comps = graft.cluster.ConnectedComponents.run(
+      pairs.select(col("id0").cast("long"), col("id1").cast("long"))
+        .as[(Long, Long)])
+    assignments.select(col("vid"))
+      .join(comps.withColumnRenamed("node", "vid"), Seq("vid"), "left")
+      .select(col("vid"),
+        coalesce(col("component"), col("vid")).as("grp"),
+        (coalesce(col("component"), col("vid")) === col("vid")).as("keep"))
+  }
+
   /** EXACT substring-duplication detector (the span-level complement of
     * document near-dedup, after Lee et al. 2022's "Deduplicating Training
     * Data Makes Language Models Better"): every document is cut into

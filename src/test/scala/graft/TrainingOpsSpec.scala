@@ -727,6 +727,37 @@ class DedupSpec extends SparkSpec {
     info(s"approx cosine recall = $recall (${approx.size}/${truth.size})")
     assert(recall >= 0.5)
   }
+
+  test("semanticDedup == brute force within-cell pairing + union-find, keep = min vid") {
+    import spark.implicits._
+    val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val assign = graft.ann.Ann.ivfAssignments(embeddings, "vec_id", "embedding")
+      .persist()
+    val got = Dedup.semanticDedup(assign, threshold = 0.4, aim = 1000L)
+      .select($"vid".as[Long], $"grp".as[Long], $"keep".as[Boolean])
+      .collect().sortBy(_._1)
+    // brute-force oracle from the SAME assignments
+    val rows = assign.select($"vid".as[Long], $"v".as[Seq[Double]], $"list".as[Int])
+      .collect()
+    def dot6(a: Seq[Double], b: Seq[Double]): Double =
+      math.rint(a.zip(b).map { case (x, y) => x * y }.sum * 1e6) / 1e6
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._3 == b._3 && dot6(a._2, b._2) >= 0.4
+    } {
+      val (ra, rb) = (find(a._1), find(b._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = rows.map(_._1).sorted.map(v => (v, find(v), find(v) == v))
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(!_._3), "fixture should produce at least one removal")
+    assign.unpersist()
+  }
 }
 
 class AnnSpec extends SparkSpec {
