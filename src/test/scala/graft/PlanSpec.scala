@@ -102,6 +102,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup pair stage: cell-blocked salted equi-join, no cartesian") {
+    val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val assign = graft.ann.Ann.ivfAssignments(embeddings, "vec_id", "embedding")
+    // gate the pair-generation stage (the CC output frame mixes in the
+    // driver-side union-find below 2M edges, which has no join to audit)
+    val v = assign.select(org.apache.spark.sql.functions.col("list")
+        .cast("string").as("bk"),
+      org.apache.spark.sql.functions.col("vid").as("id"),
+      org.apache.spark.sql.functions.col("v"))
+    val pairs = graft.dedup.Dedup.scoreAndFilter(
+      graft.dedup.Dedup.saltedSelfPairs(v, 1000L), "cos",
+      org.apache.spark.sql.functions.round(
+        graft.expr.dotProduct(org.apache.spark.sql.functions.col("v0"),
+          org.apache.spark.sql.functions.col("v1")), 6),
+      0.4, "id0", "id1")
+    val plan = executed(pairs)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("salt0") && plan.contains("salt1"), plan)
+  }
+
   test("eighth-session operators: no cartesians; broadcasts where intended") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
