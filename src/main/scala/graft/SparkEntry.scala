@@ -1068,6 +1068,27 @@ object SparkEntry {
         .emClassify(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
         .orderBy("g_name", "g_type", "g_size")
     }),
+    // splink-style term-frequency adjustment: after the same EM fit, the
+    // U-side factor of the type field is replaced per (pattern, matched
+    // value) group by that value's term frequency — agreement on a rare
+    // type is stronger evidence than on a stopword-grade one; the oracle
+    // replays the full EM AND the adjusted refold in HUGEINT-free
+    // chained integer CTEs
+    "q_fs_tf_adjust" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+          .cast("int").as("g_name"),
+        (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
+        (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"),
+        when(col("p_type0") === col("p_type1"), col("p_type0")).as("tf_type"))
+      graft.link.FellegiSunter.tfAdjustedPosteriors(pairs,
+          Seq("g_name", "g_type", "g_size"), "g_type", "tf_type",
+          base.select(col("p_type")), "p_type", iters = 2)
+        .orderBy("g_name", "g_type", "g_size", "tf_val")
+    }),
     // multi-level FS (splink-style comparison levels): graded name
     // (exact-ish / close / different) and size (equal / within-3 / far)
     // gammas, level-EM on the <=9 pattern sufficient statistics
@@ -4463,6 +4484,103 @@ object SparkEntry {
                 p2.mn AS m_g_name, p2.mt AS m_g_type, p2.ms AS m_g_size,
                 p2.un AS u_g_name, p2.ut AS u_g_type, p2.us AS u_g_size
          FROM e3, p2""",
+    // tf adjustment: the SAME 2-iteration EM replay as q_fellegi_sunter,
+    // then per-(pattern, matched type) groups refolded with the value's
+    // term frequency on the U side where g_type = 1; fold order and
+    // parenthesization mirror the Scala loop exactly (multiply then
+    // floored divide per field, g_name -> g_type -> g_size)
+    "q_fs_tf_adjust" ->
+      """WITH base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                              p_type, p_size FROM part),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size,
+                      CASE WHEN a.p_type = b.p_type THEN a.p_type END AS tf_val
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_type, g_size, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         e1 AS (SELECT pc.*,
+           (((((CAST(100000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000 AS a,
+           (((((CAST(900000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000 AS b
+           FROM pc),
+         w1 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e1),
+         p1 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w1),
+         e2 AS (SELECT pc.*,
+           (((((p1.lam * (CASE WHEN g_name = 1 THEN p1.mn ELSE 1000000000 - p1.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.mt ELSE 1000000000 - p1.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.ms ELSE 1000000000 - p1.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p1.lam) * (CASE WHEN g_name = 1 THEN p1.un ELSE 1000000000 - p1.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.ut ELSE 1000000000 - p1.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.us ELSE 1000000000 - p1.us END)) // 1000000000 AS b
+           FROM pc, p1),
+         w2 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e2),
+         p2 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w2),
+         e3 AS (SELECT pc.*,
+           (((((p2.lam * (CASE WHEN g_name = 1 THEN p2.mn ELSE 1000000000 - p2.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.mt ELSE 1000000000 - p2.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.ms ELSE 1000000000 - p2.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p2.lam) * (CASE WHEN g_name = 1 THEN p2.un ELSE 1000000000 - p2.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.ut ELSE 1000000000 - p2.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.us ELSE 1000000000 - p2.us END)) // 1000000000 AS b
+           FROM pc, p2),
+         pb AS (SELECT g_name, g_type, g_size,
+                       (a * 1000000000) // (a + b) AS posterior_base FROM e3),
+         pv AS (SELECT g_name, g_type, g_size, tf_val,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM g GROUP BY 1, 2, 3, 4),
+         nrec AS (SELECT count(*) AS n_rec FROM base),
+         tf AS (SELECT p_type AS tf_val,
+                       CAST(GREATEST(1, (count(*) * 1000000000)
+                         // (SELECT n_rec FROM nrec)) AS BIGINT) AS tf_v
+                FROM base GROUP BY 1),
+         j AS (SELECT pv.g_name, pv.g_type, pv.g_size, pv.tf_val, pv.n_pairs,
+                      pb.posterior_base, p2.lam, p2.mn, p2.mt, p2.ms,
+                      p2.un, p2.ut, p2.us, tf.tf_v
+               FROM pv
+               JOIN pb USING (g_name, g_type, g_size)
+               CROSS JOIN p2
+               LEFT JOIN tf USING (tf_val)),
+         f AS (SELECT j.*,
+           (((((j.lam * (CASE WHEN g_name = 1 THEN j.mn ELSE 1000000000 - j.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN j.mt ELSE 1000000000 - j.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN j.ms ELSE 1000000000 - j.ms END)) // 1000000000 AS num,
+           ((((((1000000000 - j.lam) * (CASE WHEN g_name = 1 THEN j.un ELSE 1000000000 - j.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN GREATEST(1, LEAST(999999999, COALESCE(j.tf_v, j.ut))) ELSE 1000000000 - j.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN j.us ELSE 1000000000 - j.us END)) // 1000000000 AS den
+           FROM j)
+         SELECT CAST(g_name AS INT) AS g_name, CAST(g_type AS INT) AS g_type,
+                CAST(g_size AS INT) AS g_size, tf_val, n_pairs, tf_v,
+                CAST(posterior_base AS BIGINT) AS posterior_base,
+                CAST((num * 1000000000) // GREATEST(1, num + den) AS BIGINT)
+                  AS posterior_adj,
+                ((num * 1000000000) // GREATEST(1, num + den)) * 2 > 1000000000
+                  AS is_match_adj
+         FROM f""",
     // DuckDB replays the typo synthesis, both blocking passes, and the
     // edit-distance confirm with its own levenshtein
     "q_fuzzy_match" ->

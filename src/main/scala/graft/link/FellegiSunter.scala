@@ -269,4 +269,73 @@ object FellegiSunter {
     }
     (Params(lam, m, u), eStep())
   }
+
+  /** Splink-style TERM-FREQUENCY adjustment (splink's `tf_adjustments`;
+    * Winkler's value-specific frequency weights): agreement on a COMMON
+    * value ("Smith") is far weaker evidence than on a rare one
+    * ("Xylander"), because the chance two NON-matches collide on v is
+    * ≈ tf(v), not the field-average u_k. After the standard EM fit, the
+    * U-side factor of the tf field is replaced per pair by that pair's
+    * matched-value frequency: den uses clamp(tf(v)) where γ_tf = 1, the
+    * global u_k otherwise — rare values push the posterior up, stopwords
+    * of the name space push it down.
+    *
+    * Scale shape: the EM fit is the usual ≤2^K bounded collect; the
+    * adjustment itself is FULLY DISTRIBUTED — pairs collapse to
+    * (pattern, value) sufficient statistics with one hash-agg, term
+    * frequencies are one hash-agg over the records + a keyed join (NOT
+    * broadcast: the value dictionary can be corpus-sized), the fitted
+    * ≤2^K pattern table broadcasts, and the posterior refold is pure
+    * column arithmetic. Exact fixed point throughout: the fold multiplies
+    * then floor-divides by `scale` after each field in `gammaCols` order,
+    * so every posterior replays in SQL with `//`.
+    *
+    * @param pairs gamma columns plus `tfValCol` = the shared value when
+    *              the tf field agrees (null otherwise — caller contract).
+    * @param records one row per record with `recordValCol`, the
+    *                population the term frequencies are measured over.
+    * @return one row per observed (pattern, matched value):
+    *         (gammas..., tf_val, n_pairs, tf_v, posterior_base,
+    *         posterior_adj, is_match_adj). */
+  def tfAdjustedPosteriors(pairs: DataFrame, gammaCols: Seq[String],
+      tfGamma: String, tfValCol: String, records: DataFrame,
+      recordValCol: String, iters: Int = 2, scale: Long = Scale): DataFrame = {
+    require(gammaCols.contains(tfGamma), s"$tfGamma must be a gamma field")
+    val fitted = emClassify(pairs.select(gammaCols.map(col): _*),
+        gammaCols, iters, scale)
+      .select((gammaCols.map(col) ++
+        Seq(col("posterior").as("posterior_base"), col("lambda")) ++
+        gammaCols.flatMap(c => Seq(col(s"m_$c"), col(s"u_$c")))): _*)
+    val groups = pairs
+      .groupBy((gammaCols.map(c => coalesce(col(c).cast("int"), lit(0)).as(c))
+        :+ col(tfValCol).as("tf_val")): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+    val nRec = records.agg(count(lit(1)).as("n_rec"))
+    val tf = records.groupBy(col(recordValCol).as("tf_val"))
+      .agg(count(lit(1)).as("n_val"))
+      .crossJoin(broadcast(nRec))
+      .select(col("tf_val"),
+        greatest(expr(s"n_val * ${scale}L DIV n_rec"), lit(1L)).as("tf_v"))
+    var df = groups
+      .join(broadcast(fitted), gammaCols)
+      .join(tf, Seq("tf_val"), "left")
+      .withColumn("num", col("lambda"))
+      .withColumn("den", lit(scale) - col("lambda"))
+    gammaCols.foreach { c =>
+      df = df.withColumn("num",
+        expr(s"num * (CASE WHEN $c = 1 THEN m_$c ELSE ${scale}L - m_$c END)" +
+          s" DIV ${scale}L"))
+      val uTerm =
+        if (c == tfGamma)
+          s"CASE WHEN $c = 1 THEN GREATEST(1L, LEAST(${scale - 1}L," +
+            s" COALESCE(tf_v, u_$c))) ELSE ${scale}L - u_$c END"
+        else s"CASE WHEN $c = 1 THEN u_$c ELSE ${scale}L - u_$c END"
+      df = df.withColumn("den", expr(s"den * ($uTerm) DIV ${scale}L"))
+    }
+    df.select((gammaCols.map(col) ++ Seq(
+      col("tf_val"), col("n_pairs"), col("tf_v"), col("posterior_base"),
+      expr(s"num * ${scale}L DIV GREATEST(1L, num + den)").as("posterior_adj"),
+      expr(s"(num * ${scale}L DIV GREATEST(1L, num + den)) * 2 > ${scale}L")
+        .as("is_match_adj"))): _*)
+  }
 }

@@ -215,4 +215,59 @@ class FellegiSunterSpec extends SparkSpec {
       .orderBy("x", "y", "z").collect().map(_.toSeq).toSeq
     assert(run(1) == run(13))
   }
+
+  test("tfAdjustedPosteriors == local BigInt refold from the fitted params") {
+    import spark.implicits._
+    val S = FellegiSunter.Scale
+    // synthetic pairs: 2 gammas, the tf field is "y" with a value column
+    // skewed so "common" dominates the record population
+    val records = (Seq.fill(60)("common") ++ Seq.fill(8)("rare") ++
+      Seq.fill(32)("mid")).toDF("v")
+    val pairs = Seq.tabulate(400) { i =>
+      val gx = if (i % 3 == 0) 1 else 0
+      val gy = if (i % 4 != 3) 1 else 0
+      val v = if (gy == 0) null
+        else if (i % 10 < 7) "common" else if (i % 10 == 7) "rare" else "mid"
+      (gx, gy, v)
+    }.toDF("gx", "gy", "v")
+    val got = FellegiSunter.tfAdjustedPosteriors(pairs, Seq("gx", "gy"),
+        "gy", "v", records, "v", iters = 2)
+      .orderBy("gx", "gy", "tf_val").collect()
+
+    // fitted params from the separately-spec'd emClassify
+    val fit = FellegiSunter.emClassify(pairs.select(col("gx"), col("gy")),
+      Seq("gx", "gy"), iters = 2).collect()
+    val lam = fit.head.getAs[Long]("lambda")
+    val m = Seq("gx", "gy").map(c => fit.head.getAs[Long](s"m_$c"))
+    val u = Seq("gx", "gy").map(c => fit.head.getAs[Long](s"u_$c"))
+    val nRec = 100L
+    val tfOf = Map("common" -> 60L, "rare" -> 8L, "mid" -> 32L)
+      .map { case (k, n) => k -> math.max(1L, n * S / nRec) }
+    def refold(g: Seq[Int], tfVal: Option[String]): Long = {
+      val B = BigInt(S)
+      var num = BigInt(lam); var den = B - BigInt(lam)
+      Seq(0, 1).foreach { k =>
+        num = num * (if (g(k) == 1) BigInt(m(k)) else B - BigInt(m(k))) / B
+        val uk =
+          if (k == 1 && g(k) == 1)
+            BigInt(math.max(1L, math.min(S - 1, tfOf(tfVal.get))))
+          else if (g(k) == 1) BigInt(u(k))
+          else B - BigInt(u(k))
+        den = den * uk / B
+      }
+      (num * B / (num + den).max(1)).toLong
+    }
+    assert(got.nonEmpty && got.exists(_.getAs[String]("tf_val") == "rare"))
+    got.foreach { r =>
+      val g = Seq(r.getAs[Int]("gx"), r.getAs[Int]("gy"))
+      val tfVal = Option(r.getAs[String]("tf_val"))
+      assert(r.getAs[Long]("posterior_adj") == refold(g, tfVal),
+        s"pattern $g value $tfVal")
+    }
+    // rare-value agreement must outrank common-value agreement at the
+    // same pattern (the point of the adjustment)
+    val byVal = got.filter(r => r.getAs[Int]("gx") == 1 && r.getAs[Int]("gy") == 1)
+      .map(r => r.getAs[String]("tf_val") -> r.getAs[Long]("posterior_adj")).toMap
+    assert(byVal("rare") > byVal("common"))
+  }
 }
