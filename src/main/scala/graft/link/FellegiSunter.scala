@@ -42,6 +42,8 @@ import org.apache.spark.sql.types._
   */
 object FellegiSunter {
 
+  @volatile private var lastTfGroupsCache: Option[DataFrame] = None
+
   /** Default probability scale: 1e9 keeps every E-step product and every
     * count-weighted sum inside a signed 64-bit long for corpora up to
     * ~9e9 candidate pairs per pattern; the M-step numerators that exceed
@@ -301,15 +303,49 @@ object FellegiSunter {
       tfGamma: String, tfValCol: String, records: DataFrame,
       recordValCol: String, iters: Int = 2, scale: Long = Scale): DataFrame = {
     require(gammaCols.contains(tfGamma), s"$tfGamma must be a gamma field")
-    val fitted = emClassify(pairs.select(gammaCols.map(col): _*),
-        gammaCols, iters, scale)
-      .select((gammaCols.map(col) ++
-        Seq(col("posterior").as("posterior_base"), col("lambda")) ++
-        gammaCols.flatMap(c => Seq(col(s"m_$c"), col(s"u_$c")))): _*)
+    require(gammaCols.nonEmpty && gammaCols.size <= 16,
+      "1..16 gamma fields (2^K sufficient statistics must stay bounded)")
+    val spark = pairs.sparkSession
+    val K = gammaCols.size
+    // ONE quadratic pass: the (pattern, value) groups subsume the EM's
+    // per-pattern counts (sum over values), so the pair job never runs
+    // twice; the grouped frame is bounded by patterns x distinct matched
+    // values — tiny rows, safe to persist
     val groups = pairs
       .groupBy((gammaCols.map(c => coalesce(col(c).cast("int"), lit(0)).as(c))
         :+ col(tfValCol).as("tf_val")): _*)
       .agg(count(lit(1)).as("n_pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one-slot cache discipline (same as Linker's run caches): the
+    // returned frame is lazy, so the earliest safe unpersist point for
+    // THIS call's cache is the NEXT call
+    FellegiSunter.synchronized {
+      lastTfGroupsCache.foreach { prev =>
+        try if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(false)
+        catch { case _: Throwable => }
+      }
+      lastTfGroupsCache = Some(groups)
+    }
+    val counts = groups
+      .groupBy(gammaCols.map(col): _*)
+      .agg(sum(col("n_pairs")).as("n_pairs"))
+      .collect()
+      .map(r => (gammaCols.indices.map(r.getInt).toArray, r.getLong(K)))
+      .sortBy(_._1.mkString(","))
+    require(counts.nonEmpty, "no candidate pairs")
+    val (params, posts) = emFit(counts, K, iters, scale)
+    val schema = StructType(
+      gammaCols.map(c => StructField(c, IntegerType, nullable = false)) ++
+        Seq(StructField("posterior_base", LongType, nullable = false),
+          StructField("lambda", LongType, nullable = false)) ++
+        gammaCols.map(c => StructField(s"m_$c", LongType, nullable = false)) ++
+        gammaCols.map(c => StructField(s"u_$c", LongType, nullable = false)))
+    val fittedRows = counts.zip(posts).map { case ((g, _), w) =>
+      Row.fromSeq(g.toSeq ++ Seq(w, params.lambda) ++
+        params.m.toSeq ++ params.u.toSeq)
+    }
+    val fitted = spark.createDataFrame(
+      spark.sparkContext.parallelize(fittedRows.toIndexedSeq, 1), schema)
     val nRec = records.agg(count(lit(1)).as("n_rec"))
     val tf = records.groupBy(col(recordValCol).as("tf_val"))
       .agg(count(lit(1)).as("n_val"))
