@@ -1516,6 +1516,14 @@ object SparkEntry {
     "q_neardup_groups" -> ((s, dir) =>
       Dedup.nearDupGroups(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id"))),
+    // the staged dedup funnel (raw -> exact -> LSH near-dup) with doc +
+    // token counts per stage; the oracle replays exact survivorship from
+    // the text bytes and the near-dup stage from the signature dump
+    // restricted to exact survivors (signatures are per-doc, so subset
+    // pairing == full pairing filtered to survivor endpoints)
+    "q_dedup_funnel" -> ((s, dir) =>
+      Dedup.dedupFunnel(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("stage_idx"))),
     // dedup keep rule: one representative per near-dup group — the
     // longest document (token count), ties to the smallest id; the
     // oracle replays the group closure (recursive CTE) + a window argmax
@@ -3264,6 +3272,44 @@ object SparkEntry {
            SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id),
          g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
          SELECT id, group_id, (id = group_id) AS is_canonical FROM g""",
+    // funnel replay: exact survivors = min doc per md5(text); near-dup
+    // stage = the minhash_sig pairing restricted to exact survivors
+    // (per-doc signatures make subset pairing == filtered full pairing),
+    // min-label closure, keep component minima; three unioned stage rows
+    "q_dedup_funnel" ->
+      s"""WITH RECURSIVE
+         d AS (SELECT doc_id AS id, text,
+                      CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+         ek AS (SELECT md5(text) AS k, min(id) AS id FROM d GROUP BY 1),
+         es AS (SELECT d.* FROM d JOIN ek ON d.id = ek.id),
+         m0 AS (SELECT doc, sh, bks FROM '$OracleAuxDir/minhash_sig/*.parquet'),
+         m AS (SELECT m0.* FROM m0 JOIN es ON m0.doc = es.id),
+         p AS (
+           SELECT a.doc AS id0, b.doc AS id1
+           FROM m a JOIN m b ON a.doc < b.doc
+             AND len(list_intersect(a.bks, b.bks)) > 0
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             >= 0.5),
+         e AS (SELECT id0 AS u, id1 AS v FROM p
+               UNION SELECT id1, id0 FROM p),
+         reach(id, r) AS (
+           SELECT id, id FROM es
+           UNION
+           SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.id),
+         g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+         ns AS (SELECT es.* FROM es JOIN g ON es.id = g.id
+                WHERE g.id = g.group_id)
+         SELECT 0 AS stage_idx, 'raw' AS stage,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM d
+         UNION ALL
+         SELECT 1, 'exact', CAST(count(*) AS BIGINT),
+                CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM es
+         UNION ALL
+         SELECT 2, 'neardup', CAST(count(*) AS BIGINT),
+                CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM ns""",
     // keep-best replay: same group closure, then a per-group argmax by
     // token count (ties to the smallest id) via a window
     "q_dedup_keep_best" ->

@@ -522,6 +522,44 @@ object Dedup {
       .withColumn("is_canonical", col("id") === col("group_id"))
   }
 
+  /** End-to-end corpus dedup FUNNEL — the composition a training-data
+    * pipeline actually runs: exact full-text dedup first (one cheap hash
+    * aggregation that kills byte-identical copies), MinHash-LSH near-dup
+    * over the survivors second (the expensive stage only ever sees what
+    * exact dedup left). One summary row per stage (raw → exact →
+    * neardup) with doc and whitespace-token counts — the removal readout
+    * a curation run reports.
+    *
+    * Stage 2 reuses [[nearDupGroups]]; MinHash signatures are computed
+    * per document (corpus-independent), so pairing among survivors
+    * equals all-doc pairing restricted to survivor endpoints — exactly
+    * what the SQL oracle replays from the full signature dump.
+    *
+    * Scale shape: one md5 hash-agg + keyed survivor join, then the LSH
+    * pipeline on the reduced set; the summary is three 1-row aggregates
+    * unioned. */
+  def dedupFunnel(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(id).cast("long").as("id"), col(text).as("text"),
+      size(split(col(text), " ")).cast("long").as("n_tokens"))
+    def stat(idx: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val exactKeep = base
+      .groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val exactSurv = base.join(exactKeep, "id")
+    val ndKeep = nearDupGroups(exactSurv, "id", "text", threshold)
+      .where(col("is_canonical")).select(col("id"))
+    val ndSurv = base.join(ndKeep, "id")
+    stat(0, "raw", base)
+      .unionAll(stat(1, "exact", exactSurv))
+      .unionAll(stat(2, "neardup", ndSurv))
+  }
+
   /** Near-dup-aware dedup keep rule: resolve LSH near-dup groups, then
     * keep ONE representative per group by a per-document score (the
     * document a curation pipeline retains — e.g. longest, highest

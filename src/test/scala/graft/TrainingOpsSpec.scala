@@ -728,6 +728,40 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("dedupFunnel stages are consistent with their component operators") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val rows = Dedup.dedupFunnel(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("stage_idx").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("raw", "exact", "neardup"))
+    val Seq(raw, exact, nd) = rows.toSeq
+    // raw row == direct corpus counts
+    val base = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long"))
+    assert(raw.getAs[Long]("n_docs") == base.count())
+    assert(raw.getAs[Long]("n_tokens") ==
+      base.agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0))
+    // exact row == distinct texts (keeper = min id per text)
+    val texts = base.select($"text".as[String], $"id".as[Long],
+        $"n_tokens".as[Long]).collect()
+    val keepers = texts.groupBy(_._1).map { case (_, g) => g.minBy(_._2) }.toSeq
+    assert(exact.getAs[Long]("n_docs") == keepers.size)
+    assert(exact.getAs[Long]("n_tokens") == keepers.map(_._3).sum)
+    // neardup row == canonical rows of nearDupGroups over the survivors
+    val survivorIds = keepers.map(_._2).toSet
+    val surv = base.where(col("id").isin(survivorIds.toSeq: _*))
+    val canon = Dedup.nearDupGroups(surv, "id", "text", 0.5)
+      .where(col("is_canonical")).select($"id".as[Long]).collect().toSet
+    assert(nd.getAs[Long]("n_docs") == canon.size)
+    assert(nd.getAs[Long]("n_tokens") ==
+      keepers.filter(k => canon(k._2)).map(_._3).sum)
+    // the funnel must be monotone
+    assert(raw.getAs[Long]("n_docs") >= exact.getAs[Long]("n_docs") &&
+      exact.getAs[Long]("n_docs") >= nd.getAs[Long]("n_docs"))
+  }
+
   test("semanticDedup == brute force within-cell pairing + union-find, keep = min vid") {
     import spark.implicits._
     val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
