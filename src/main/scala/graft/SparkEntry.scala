@@ -62,6 +62,23 @@ object SparkEntry {
     // the deterministic link corpus (pure column algebra — replayable,
     // but dumped so the oracle checks EXTRACTION, not generation)
     "link_pages" -> ((s, _) => linkPages(s)),
+    // distinct CLK bit positions per document (double-hashing scheme,
+    // ClkEncoderSpec-gated); the q_clk_encode oracle rebuilds bytes, hex
+    // and popcount from these, and the q_clk_blip oracle XORs in the
+    // flip mask below — the folds are value-checked, the hashes spec'd
+    "clk_positions" -> ((s, dir) => {
+      val posUdf = udf((t: String) =>
+        graft.ingest.ClkEncoder.positionsDistinct(if (t == null) "" else t))
+      docs(s, dir).select(col("doc_id").as("doc"),
+        explode(posUdf(col("text"))).as("pos"))
+    }),
+    // BLIP hardening flip mask per document (keyed-hash residue class,
+    // ClkEncoderSpec-gated determinism/density/involution)
+    "blip_flips" -> ((s, dir) => {
+      val flipUdf = udf((id: Long) => graft.ingest.ClkEncoder.blipFlips(id))
+      docs(s, dir).select(col("doc_id").as("doc"),
+        explode(flipUdf(col("doc_id").cast("long"))).as("pos"))
+    }),
     // full anchor x pool pair-hash table for q_neg_sample: the oracle
     // recomputes GROUPS from documents and replays exclusion + ranking
     // itself; only the xxhash64 values come from this dump (the
@@ -489,6 +506,35 @@ object SparkEntry {
           hex(col("p._1")).as("rec_hex"),
           col("p._2").as("round_trip_ok"))
         .orderBy(col("entity_id"))
+    }),
+    // clkhash-style CLK encoding made driver-visible (the client-side
+    // half of the reference pipeline, docs/concepts.rst:56-76 — clkhash
+    // encodes, the service links): documents -> 1024-bit Bloom
+    // bitvectors. The oracle rebuilds EVERY byte, the hex string and the
+    // popcount from the clk_positions dump (positions→bytes fold
+    // value-checked; the double hashing itself is ClkEncoderSpec's)
+    "q_clk_encode" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id").as("doc"),
+          graft.ingest.Ingest.clkUdf(col("text")).as("clk"))
+        .select(col("doc"), lower(hex(col("clk"))).as("clk_hex"),
+          graft.expr.popcount(col("clk")).as("popcount"))
+        .orderBy(col("doc"))),
+    // BLIP-style CLK hardening (privacy post-processing family the
+    // reference's CLKs arrive under): deterministic keyed flip mask
+    // XORed into each encoding; oracle = symmetric difference of the
+    // positions and flip-mask dumps, rebuilt byte-by-byte
+    "q_clk_blip" -> ((s, dir) => {
+      val hardenUdf = udf((id: Long, t: String) => {
+        val e = graft.ingest.ClkEncoder
+        e.applyFlips(e.encode(if (t == null) "" else t), e.blipFlips(id))
+      })
+      docs(s, dir)
+        .select(col("doc_id").as("doc"),
+          hardenUdf(col("doc_id").cast("long"), col("text")).as("clk"))
+        .select(col("doc"), lower(hex(col("clk"))).as("clk_hex"),
+          graft.expr.popcount(col("clk")).as("popcount"))
+        .orderBy(col("doc"))
     }),
     // A4 guardrail driven end-to-end: the real enforceScoredPairsCap is
     // invoked with a cap below the fixture's edge count (must refuse,
@@ -3093,6 +3139,45 @@ object SparkEntry {
                 CASE WHEN ok THEN 20 END AS hdr_h,
                 CASE WHEN ok THEN 2 END AS hdr_color_type
          FROM o""",
+    // CLK encoding rebuilt byte-by-byte from the distinct-positions dump:
+    // byte b = Σ 1<<(pos&7) over positions in byte b (a left join against
+    // the full 128-slot grid keeps zero bytes), hex via lpad, popcount =
+    // count of distinct positions — hex string and count must both match
+    "q_clk_encode" ->
+      s"""WITH p AS (SELECT doc, pos FROM '$OracleAuxDir/clk_positions/*.parquet'),
+         g AS (SELECT doc_id AS doc, unnest(range(0, 128)) AS b FROM documents),
+         bv AS (SELECT g.doc, g.b,
+                       CAST(COALESCE(sum(1 << (p.pos % 8)), 0) AS INT) AS v
+                FROM g LEFT JOIN p ON p.doc = g.doc AND p.pos // 8 = g.b
+                GROUP BY g.doc, g.b),
+         h AS (SELECT doc,
+                      string_agg(lpad(lower(hex(v)), 2, '0'), '' ORDER BY b)
+                        AS clk_hex
+               FROM bv GROUP BY doc),
+         pc AS (SELECT doc, count(*) AS n FROM p GROUP BY doc)
+         SELECT h.doc, h.clk_hex, CAST(COALESCE(pc.n, 0) AS INT) AS popcount
+         FROM h LEFT JOIN pc ON h.doc = pc.doc""",
+    // BLIP hardening = XOR of the encoding with the flip mask: a bit
+    // survives iff it is in exactly ONE of the two dumps (symmetric
+    // difference), then the same byte/hex/popcount rebuild as q_clk_encode
+    "q_clk_blip" ->
+      s"""WITH p AS (SELECT doc, pos FROM '$OracleAuxDir/clk_positions/*.parquet'),
+         f AS (SELECT doc, pos FROM '$OracleAuxDir/blip_flips/*.parquet'),
+         x AS (SELECT doc, pos FROM
+                 (SELECT doc, pos FROM p UNION ALL SELECT doc, pos FROM f) u
+               GROUP BY doc, pos HAVING count(*) = 1),
+         g AS (SELECT doc_id AS doc, unnest(range(0, 128)) AS b FROM documents),
+         bv AS (SELECT g.doc, g.b,
+                       CAST(COALESCE(sum(1 << (x.pos % 8)), 0) AS INT) AS v
+                FROM g LEFT JOIN x ON x.doc = g.doc AND x.pos // 8 = g.b
+                GROUP BY g.doc, g.b),
+         h AS (SELECT doc,
+                      string_agg(lpad(lower(hex(v)), 2, '0'), '' ORDER BY b)
+                        AS clk_hex
+               FROM bv GROUP BY doc),
+         pc AS (SELECT doc, count(*) AS n FROM x GROUP BY doc)
+         SELECT h.doc, h.clk_hex, CAST(COALESCE(pc.n, 0) AS INT) AS popcount
+         FROM h LEFT JOIN pc ON h.doc = pc.doc""",
     // popcounts of the dp=0 binary upload recomputed word-by-word
     "q_popcount" ->
       """SELECT entity_id,

@@ -58,4 +58,59 @@ object ClkEncoder {
     }
     out
   }
+
+  /** Distinct sorted bit positions [[encode]] would set — the oracle-replay
+    * view of the same double-hashing scheme (the q_clk_encode aux dump: the
+    * DuckDB oracle rebuilds the bitvector bytes, hex and popcount from these
+    * positions, so the positions→bytes fold is value-checked; the hashing
+    * itself is gated by ClkEncoderSpec's bits==positions equality). */
+  def positionsDistinct(text: String, bits: Int = DefaultBits,
+      k: Int = DefaultK, seed: Int = DefaultSeed): Array[Int] = {
+    val set = scala.collection.mutable.SortedSet.empty[Int]
+    val sh = shingles(text)
+    var si = 0
+    while (si < sh.length) {
+      val s = sh(si)
+      val h1 = MurmurHash3.stringHash(s, seed)
+      val h2 = MurmurHash3.stringHash(s, seed ^ 0x9e3779b9) | 1
+      var i = 0
+      while (i < k) {
+        set += java.lang.Integer.remainderUnsigned(h1 + i * h2, bits)
+        i += 1
+      }
+      si += 1
+    }
+    set.toArray
+  }
+
+  /** BLIP-style deterministic hardening flip mask (Alaggan et al. BLIP /
+    * Schnell's Bloom-filter hardening family): bit b of record `id` flips
+    * iff a keyed mix of (id, b, seed) lands in a 1-in-`rate` residue class.
+    * Production BLIP uses true randomness; this engine freezes the mask to
+    * a keyed hash so runs are reproducible and oracle-replayable (the mask
+    * is dumped, the XOR fold is what the DuckDB oracle checks). Returns the
+    * sorted positions to flip. */
+  def blipFlips(id: Long, bits: Int = DefaultBits, rate: Int = 8,
+      seed: Int = DefaultSeed): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var b = 0
+    while (b < bits) {
+      val h = MurmurHash3.productHash((id, b), seed)
+      if (java.lang.Integer.remainderUnsigned(h, rate) == 0) out += b
+      b += 1
+    }
+    out.toArray
+  }
+
+  /** XOR the flip mask into a CLK (the BLIP hardening application). */
+  def applyFlips(clk: Array[Byte], flips: Array[Int]): Array[Byte] = {
+    val out = clk.clone()
+    var i = 0
+    while (i < flips.length) {
+      val p = flips(i)
+      out(p >>> 3) = (out(p >>> 3) ^ (1 << (p & 7))).toByte
+      i += 1
+    }
+    out
+  }
 }

@@ -62,6 +62,33 @@ class ClkEncoderSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("empty text -> empty clk") {
     assert(BitOps.popcount(ClkEncoder.encode("")) == 0)
   }
+  test("positionsDistinct == set bits of encode (the aux-dump contract)") {
+    for (t <- Seq("jane doe 42 acacia avenue springfield",
+        "zefir quorl 977 mulberry lane gotham", "a", "", "x y z 1 2 3")) {
+      val clk = ClkEncoder.encode(t)
+      val fromBytes = (0 until clk.length * 8)
+        .filter(b => (clk(b >>> 3) & (1 << (b & 7))) != 0)
+      assert(ClkEncoder.positionsDistinct(t).toSeq == fromBytes,
+        s"positions mismatch for '$t'")
+    }
+  }
+  test("blipFlips: deterministic, ~1/rate density, applyFlips is XOR involution") {
+    val f1 = ClkEncoder.blipFlips(42L)
+    val f2 = ClkEncoder.blipFlips(42L)
+    assert(f1.sameElements(f2))
+    assert(!f1.sameElements(ClkEncoder.blipFlips(43L)))
+    // keyed-hash residue density: expect bits/8 ± a wide tolerance
+    assert(f1.length > 1024 / 16 && f1.length < 1024 / 4, s"density ${f1.length}")
+    assert(f1.toSeq == f1.toSeq.sorted && f1.distinct.length == f1.length)
+    val clk = ClkEncoder.encode("jane doe 42 acacia avenue springfield")
+    val hardened = ClkEncoder.applyFlips(clk, f1)
+    assert(!hardened.sameElements(clk))
+    assert(ClkEncoder.applyFlips(hardened, f1).sameElements(clk))
+    // flipped-bit count == mask size (XOR flips exactly the mask positions)
+    val hd = (0 until 1024).count(b =>
+      ((clk(b >>> 3) ^ hardened(b >>> 3)) & (1 << (b & 7))) != 0)
+    assert(hd == f1.length)
+  }
 }
 
 class IngestSpec extends SparkSpec {
