@@ -343,6 +343,29 @@ object SparkEntry {
           upper = 0.8)
         .orderBy(col("zone"), col("dp0"), col("rec0"), col("queue_pos"),
           col("dp1"), col("rec1"))),
+    // deterministic rule-cascade tier (splink's deterministic rules in
+    // front of the probabilistic kernel): ordered first-match-wins over
+    // first-token-blocked document pairs — one codegen CASE projection,
+    // no UDFs; oracle replays the same join + CASE
+    "q_rule_cascade" -> ((s, dir) => {
+      val x = docs(s, dir).select(col("doc_id"), col("text"), col("lang"),
+        element_at(split(col("text"), " "), 1).as("bk"))
+      val pairs = x.as("a").join(x.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("rec0"), col("b.doc_id").as("rec1"),
+          col("a.text").as("t0"), col("b.text").as("t1"),
+          col("a.lang").as("l0"), col("b.lang").as("l1"))
+      graft.link.Rules.cascade(pairs, Seq(
+          "r1_head40" -> (substring(col("t0"), 1, 40) === substring(col("t1"), 1, 40)),
+          "r2_tok3" -> (slice(split(col("t0"), " "), 1, 3) ===
+            slice(split(col("t1"), " "), 1, 3)),
+          "r3_lang_len" -> (col("l0") === col("l1") &&
+            length(col("t0")) === length(col("t1"))),
+          "r4_tok2" -> (slice(split(col("t0"), " "), 1, 2) ===
+            slice(split(col("t1"), " "), 1, 2))))
+        .select(col("rec0"), col("rec1"), col("matched_rule"))
+        .orderBy(col("rec0"), col("rec1"))
+    }),
     // cluster-cohesion audit: CC at t=0.75 over the kernel edges, then
     // per-component implied-pair closure vs actually-scored edges; the
     // oracle recomputes the components themselves with a recursive
@@ -2144,6 +2167,27 @@ object SparkEntry {
                   PARTITION BY (sim >= 0.8), dp0, rec0
                   ORDER BY sim DESC, dp1, rec1) AS INTEGER) END AS queue_pos
          FROM e""",
+    // rule cascade replayed as the same first-token-block join + one
+    // CASE expression in the declared rule order
+    "q_rule_cascade" ->
+      """WITH x AS (SELECT doc_id, text, lang, split_part(text, ' ', 1) AS bk
+                    FROM documents),
+         p AS (SELECT a.doc_id AS rec0, b.doc_id AS rec1,
+                      a.text AS t0, b.text AS t1, a.lang AS l0, b.lang AS l1
+               FROM x AS a JOIN x AS b
+               ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         SELECT rec0, rec1, matched_rule FROM (
+           SELECT rec0, rec1,
+             CASE
+               WHEN substr(t0, 1, 40) = substr(t1, 1, 40) THEN 'r1_head40'
+               WHEN string_split(t0, ' ')[1:3] = string_split(t1, ' ')[1:3]
+                 THEN 'r2_tok3'
+               WHEN l0 = l1 AND length(t0) = length(t1) THEN 'r3_lang_len'
+               WHEN string_split(t0, ' ')[1:2] = string_split(t1, ' ')[1:2]
+                 THEN 'r4_tok2'
+             END AS matched_rule
+           FROM p) q
+         WHERE matched_rule IS NOT NULL""",
     // cohesion audit: recursive min-label connected components over the
     // replayed t=0.75 edge set (labels propagate along edges until the
     // UNION fixpoint; min reachable packed node id == the engine's

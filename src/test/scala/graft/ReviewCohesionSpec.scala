@@ -112,3 +112,61 @@ class CohesionSpec extends SparkSpec {
     }
   }
 }
+
+/** Deterministic rule cascade: first-match-wins over an ordered rule
+  * list, non-matching pairs dropped; verified against a local
+  * re-evaluation of the same predicates. */
+class RulesSpec extends SparkSpec {
+  import graft.link.Rules
+
+  private def pairs() = {
+    import spark.implicits._
+    Seq(
+      (1L, 2L, "abc", "abc", 10, 10),  // matches r1 AND r2 -> r1 wins
+      (1L, 3L, "abc", "abd", 10, 10),  // only r2 (same len)
+      (2L, 3L, "xy", "zq", 2, 9),      // r3 only (sum parity)
+      (4L, 5L, "aa", "bbb", 3, 5)      // matches nothing -> dropped
+    ).toDF("rec0", "rec1", "t0", "t1", "v0", "v1")
+  }
+  private val rules = Seq(
+    "r1_exact" -> (col("t0") === col("t1")),
+    "r2_len" -> (col("v0") === col("v1")),
+    "r3_parity" -> ((col("v0") + col("v1")) % 2 === 1))
+
+  test("first-match-wins; non-matching pairs dropped") {
+    val out = Rules.cascade(pairs(), rules)
+      .select("rec0", "rec1", "matched_rule").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out == Map((1L, 2L) -> "r1_exact", (1L, 3L) -> "r2_len",
+      (2L, 3L) -> "r3_parity"))
+  }
+
+  test("cascade == local first-match evaluation (brute force)") {
+    val rows = Seq(
+      ("abc", "abc", 10, 10), ("abc", "abd", 10, 10), ("xy", "zq", 2, 9),
+      ("aa", "bbb", 3, 4), ("q", "q", 1, 2), ("m", "n", 5, 5), ("m", "n", 5, 6))
+    import spark.implicits._
+    val df = rows.zipWithIndex
+      .map { case ((a, b, x, y), i) => (i.toLong, i.toLong + 100, a, b, x, y) }
+      .toDF("rec0", "rec1", "t0", "t1", "v0", "v1")
+    val got = Rules.cascade(df, rules).select("rec0", "matched_rule")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = rows.zipWithIndex.flatMap { case ((a, b, x, y), i) =>
+      val m = if (a == b) Some("r1_exact")
+        else if (x == y) Some("r2_len")
+        else if ((x + y) % 2 == 1) Some("r3_parity") else None
+      m.map(i.toLong -> _)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("cascadeStats counts each rule's winners only") {
+    val stats = Rules.cascadeStats(pairs(), rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("r1_exact" -> 1L, "r2_len" -> 1L, "r3_parity" -> 1L))
+  }
+
+  test("empty rule list is rejected") {
+    intercept[IllegalArgumentException] { Rules.cascade(pairs(), Nil) }
+  }
+}
