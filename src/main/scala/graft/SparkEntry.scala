@@ -374,6 +374,15 @@ object SparkEntry {
       graft.cluster.Evaluation.clusterCohesion(
           Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.75)).toDF())
         .orderBy(col("component"))),
+    // single-linkage dendrogram cuts: cluster structure at each
+    // threshold (cutting single-link at t == CC over edges with sim>=t);
+    // the oracle recomputes all three cuts with one thr-parameterized
+    // recursive min-label CC
+    "q_dendrogram_cut" -> ((s, _) =>
+      graft.cluster.Evaluation.dendrogramCuts(
+          Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.75)).toDF(),
+          Seq(0.75, 0.8, 0.85))
+        .orderBy(col("threshold"))),
     // incremental linkage: only pairs touching the "new batch" (here the
     // deterministic 10% slice entity_id%10==7) are scored; the oracle
     // replays the FULL kernel and filters to touching-new — equality of
@@ -2220,6 +2229,45 @@ object SparkEntry {
                 (m.n_members * (m.n_members - 1)) // 2 AS n_pairs_implied,
                 es.n_edges, es.min_sim, es.max_sim
          FROM m JOIN es USING (component)""",
+    // dendrogram cuts: one threshold-parameterized recursive min-label
+    // CC over the replayed kernel edges (same skeleton as
+    // q_cluster_cohesion, with thr riding every CTE key)
+    "q_dendrogram_cut" ->
+      """WITH RECURSIVE
+         c AS (SELECT dp, entity_id, pc, words
+               FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         t AS (SELECT CAST(unnest([0.75, 0.8, 0.85]) AS DOUBLE) AS thr),
+         e AS (SELECT t.thr,
+                      (CAST(dp0 AS BIGINT) << 40) | rec0 AS u,
+                      (CAST(dp1 AS BIGINT) << 40) | rec1 AS v
+               FROM p, t WHERE p.sim >= t.thr),
+         n AS (SELECT DISTINCT thr, u AS node FROM e
+               UNION SELECT DISTINCT thr, v FROM e),
+         adj AS (SELECT thr, u AS a, v AS b FROM e
+                 UNION SELECT thr, v, u FROM e),
+         reach(thr, node, lbl) AS (
+           SELECT thr, node, node FROM n
+           UNION
+           SELECT reach.thr, adj.b, reach.lbl FROM reach
+           JOIN adj ON reach.thr = adj.thr AND reach.node = adj.a),
+         comp AS (SELECT thr, node, min(lbl) AS component
+                  FROM reach GROUP BY thr, node),
+         sizes AS (SELECT thr, component, count(*) AS m
+                   FROM comp GROUP BY thr, component),
+         ec AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_edges
+                FROM e GROUP BY thr)
+         SELECT sizes.thr AS threshold,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(m) AS BIGINT) AS n_records,
+                CAST(max(m) AS BIGINT) AS max_size,
+                any_value(ec.n_edges) AS n_edges
+         FROM sizes JOIN ec ON sizes.thr = ec.thr
+         GROUP BY sizes.thr""",
     // A4 guardrail: the kernel-replayed edge count decides refusal per
     // cap exactly as enforceScoredPairsCap must
     "q_guardrail" ->

@@ -170,4 +170,42 @@ object Evaluation {
         expr("n_members * (n_members - 1) DIV 2").as("n_pairs_implied"),
         col("n_edges"), col("min_sim"), col("max_sim"))
   }
+
+  /** Single-linkage dendrogram cuts: the cluster structure the greedy
+    * solver would inherit at each similarity threshold — cutting a
+    * single-link dendrogram at t is exactly connected components over
+    * the edges with sim ≥ t (agglomerative single-link hierarchy; the
+    * standard threshold-selection readout ER practitioners sweep before
+    * freezing a linkage threshold).
+    *
+    * One CC run per cut (thresholds are few and user-chosen; each run is
+    * the library's small/large-star loop), then one hash-agg per cut —
+    * nothing here scales with pair count beyond the already-thresholded
+    * edge set, so a 100-TB run costs |cuts| × CC(edges ≥ min cut).
+    *
+    * @param edges Edge-shaped frame (sim, dp0, rec0, dp1, rec1).
+    * @return one row per threshold: (threshold, n_clusters, n_records,
+    *         max_size, n_edges) — records/clusters counted over nodes
+    *         with at least one surviving edge. */
+  def dendrogramCuts(edges: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(thresholds.nonEmpty, "need at least one cut")
+    def node(dp: String, rec: String) =
+      shiftleft(col(dp).cast("long"), 40).bitwiseOR(col(rec))
+    val packed = edges.select(node("dp0", "rec0").as("u"),
+      node("dp1", "rec1").as("v"), col("sim"))
+    thresholds.map { t =>
+      val e = packed.where($"sim" >= t)
+      val comps = ConnectedComponents.run(e.select($"u", $"v").as[(Long, Long)])
+      val sizes = comps.groupBy($"component").agg(count(lit(1)).as("m"))
+      val nEdges = e.count()
+      sizes.agg(
+          count(lit(1)).as("n_clusters"),
+          sum($"m").cast("long").as("n_records"),
+          max($"m").cast("long").as("max_size"))
+        .select(lit(t).as("threshold"), col("n_clusters"),
+          col("n_records"), col("max_size"), lit(nEdges).as("n_edges"))
+    }.reduce(_ union _)
+  }
 }

@@ -72,6 +72,45 @@ class ReviewSpec extends SparkSpec {
   * edge support, checked against a local union-find brute force. */
 class CohesionSpec extends SparkSpec {
 
+  test("dendrogramCuts: per-threshold structure matches a local union-find sweep") {
+    import spark.implicits._
+    // sims chosen so each cut peels one edge: chain 1-2-3 + pair 5
+    val raw = Seq(
+      (0.90, 0, 1L, 1, 1L), (0.78, 0, 2L, 1, 1L), // chain joins only at 0.75
+      (0.82, 0, 5L, 1, 5L))
+    val cuts = Seq(0.75, 0.8, 0.85)
+    val out = graft.cluster.Evaluation.dendrogramCuts(
+        raw.toDF("sim", "dp0", "rec0", "dp1", "rec1"), cuts)
+      .orderBy("threshold").collect()
+    def n(dp: Int, rec: Long): Long = (dp.toLong << 40) | rec
+    val expect = cuts.map { t =>
+      val kept = raw.filter(_._1 >= t)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      kept.foreach { case (_, d0, r0, d1, r1) =>
+        val (a, b) = (find(n(d0, r0)), find(n(d1, r1)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val comps = parent.keys.map(find).toSeq
+        .groupBy(identity).view.mapValues(_.size)
+      val sizes = parent.keys.toSeq.map(find)
+        .groupBy(identity).view.mapValues(_.size).values
+      (t, comps.size.toLong, sizes.sum.toLong,
+        if (sizes.isEmpty) null else sizes.max.toLong, kept.size.toLong)
+    }
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (row, (t, nc, nr, mx, ne)) =>
+      assert(row.getDouble(0) == t)
+      assert(row.getLong(1) == nc, s"n_clusters at $t")
+      assert(row.getLong(2) == nr, s"n_records at $t")
+      assert(row.getLong(3) == mx, s"max_size at $t")
+      assert(row.getLong(4) == ne, s"n_edges at $t")
+    }
+  }
+
   test("component labels, member counts, and edge support match a local union-find") {
     import spark.implicits._
     // two chains + one triangle-ish component, cross-provider node ids
