@@ -651,6 +651,11 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, dir) =>
       TextOps.cleanCorpus(docs(s, dir), "doc_id", "text")
         .orderBy(col("dup_key"))),
+    // Heaps-law vocabulary growth at 50-doc checkpoints (template-flood
+    // diagnostic: vocabulary flatlining under growing token totals)
+    "q_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(docs(s, dir), "doc_id", "text", 50)
+        .orderBy(col("docs_seen"))),
     // unigram LM quality score (CCNet-style perplexity filter, reduced)
     "q_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
@@ -3594,6 +3599,23 @@ object SparkEntry {
          SELECT id0, id1, cos FROM p WHERE cos >= 0.4""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    // Heaps curve: first-occurrence checkpoint of each token + window
+    // cumsums over the checkpoint grain (sums cast — DuckDB window
+    // sum(BIGINT) is decimal128)
+    "q_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+         fs AS (SELECT token, min(doc_id) AS first_id FROM t GROUP BY token),
+         nv AS (SELECT (first_id // 50) * 50 + 50 AS docs_seen,
+                       count(*) AS n FROM fs GROUP BY 1),
+         nt AS (SELECT (doc_id // 50) * 50 + 50 AS docs_seen,
+                       count(*) AS n FROM t GROUP BY 1)
+         SELECT nt.docs_seen,
+                CAST(sum(COALESCE(nv.n, 0)) OVER (ORDER BY nt.docs_seen)
+                  AS BIGINT) AS vocab,
+                CAST(sum(nt.n) OVER (ORDER BY nt.docs_seen)
+                  AS BIGINT) AS total_tokens
+         FROM nt LEFT JOIN nv ON nt.docs_seen = nv.docs_seen""",
     "q_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
          freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),

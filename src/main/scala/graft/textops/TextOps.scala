@@ -90,6 +90,37 @@ object TextOps {
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("group_size"))
   }
 
+  /** Heaps-law vocabulary growth curve: cumulative distinct-token
+    * (vocabulary) and total-token counts at fixed id-stride checkpoints
+    * of the corpus read order — the sublinearity diagnostic corpus
+    * builders sweep to spot template floods (vocabulary flatlines) and
+    * boilerplate collapse. A token joins the vocabulary at the FIRST doc
+    * (by id) containing it, so the whole curve is one explode + one
+    * (token → min id) hash-agg + one checkpoint-grain agg; the running
+    * sums ride a window over n_docs/step rows (checkpoint grain — a
+    * metadata-scale window like compactionPlan's, never a token-level
+    * one). Output: (docs_seen, vocab, total_tokens), docs_seen = the
+    * exclusive id bound of each checkpoint. */
+  def vocabGrowth(df: DataFrame, id: String, text: String,
+      step: Int): DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    val toks = df.select(col(id).cast("long").as("__id"),
+      explode(split(col(text), " ")).as("token"))
+    val ckptOf = (c: String) => expr(s"($c DIV $step) * $step + $step")
+    val newTypes = toks.groupBy("token").agg(min(col("__id")).as("first_id"))
+      .groupBy(ckptOf("first_id").as("docs_seen"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokCounts = toks.groupBy(ckptOf("__id").as("docs_seen"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("docs_seen"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tokCounts.join(newTypes, Seq("docs_seen"), "left")
+      .select(col("docs_seen"),
+        sum(coalesce(col("new_types"), lit(0L))).over(w).cast("long").as("vocab"),
+        sum(col("n_tokens")).over(w).cast("long").as("total_tokens"))
+  }
+
   /** Corpus-level unigram frequencies: (token, cnt, total). One explode +
     * one hash-aggregate; the tiny result broadcasts back for scoring. */
   def unigramFrequencies(df: DataFrame, text: String): DataFrame = {

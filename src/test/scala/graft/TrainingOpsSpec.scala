@@ -7,6 +7,29 @@ import graft.textops.TextOps
 import graft.multimodal.Multimodal
 
 class TextOpsSpec extends SparkSpec {
+  test("vocabGrowth: cumulative vocab/token curve matches a local scan") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c"), (1L, "a b"), (2L, "d"),       // ckpt 2 sees docs 0..1
+      (3L, "a e f"), (4L, "g"), (5L, "a"))
+    val out = TextOps.vocabGrowth(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 2)
+      .orderBy("docs_seen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // local oracle: scan docs in id order, track seen set + totals
+    val seen = scala.collection.mutable.Set[String]()
+    var tot = 0L
+    val expect = corpus.grouped(2).zipWithIndex.map { case (chunk, i) =>
+      chunk.foreach { case (_, t) =>
+        val ts = t.split(" "); tot += ts.length; seen ++= ts }
+      ((i + 1) * 2L, seen.size.toLong, tot)
+    }.toSeq
+    assert(out.toSeq == expect)
+    // curve is monotone and vocab <= tokens everywhere
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 <= b._2 && a._3 <= b._3 })
+    assert(out.forall { case (_, v, t) => v <= t })
+  }
+
   test("cleanCorpus: filters precede dedup; groups partition survivors") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
