@@ -1151,6 +1151,22 @@ object SparkEntry {
         .emClassify(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
         .orderBy("g_name", "g_type", "g_size")
     }),
+    // splink-style match-weight waterfall: per-field Bayes-factor
+    // decomposition of every fitted pattern, exact scaled integers —
+    // the explainability readout over the same EM fit
+    "q_fs_waterfall" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+          .cast("int").as("g_name"),
+        (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
+        (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
+      graft.link.FellegiSunter
+        .waterfall(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
+        .orderBy("g_name", "g_type", "g_size", "field")
+    }),
     // splink-style term-frequency adjustment: after the same EM fit, the
     // U-side factor of the type field is replaced per (pattern, matched
     // value) group by that value's term frequency — agreement on a rare
@@ -4729,6 +4745,89 @@ object SparkEntry {
                 p2.mn AS m_g_name, p2.mt AS m_g_type, p2.ms AS m_g_size,
                 p2.un AS u_g_name, p2.ut AS u_g_type, p2.us AS u_g_size
          FROM e3, p2""",
+    // waterfall: the SAME 2-iteration EM replay, then one parallel
+    // unnest per pattern over the three per-field (f_m, f_u) choices;
+    // bayes_scaled = (f_m * scale) // f_u matches the Scala fixed point
+    "q_fs_waterfall" ->
+      """WITH base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                              p_type, p_size FROM part),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_type, g_size, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         e1 AS (SELECT pc.*,
+           (((((CAST(100000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000 AS a,
+           (((((CAST(900000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000 AS b
+           FROM pc),
+         w1 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e1),
+         p1 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w1),
+         e2 AS (SELECT pc.*,
+           (((((p1.lam * (CASE WHEN g_name = 1 THEN p1.mn ELSE 1000000000 - p1.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.mt ELSE 1000000000 - p1.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.ms ELSE 1000000000 - p1.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p1.lam) * (CASE WHEN g_name = 1 THEN p1.un ELSE 1000000000 - p1.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.ut ELSE 1000000000 - p1.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.us ELSE 1000000000 - p1.us END)) // 1000000000 AS b
+           FROM pc, p1),
+         w2 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e2),
+         p2 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w2),
+         e3 AS (SELECT pc.*,
+           (((((p2.lam * (CASE WHEN g_name = 1 THEN p2.mn ELSE 1000000000 - p2.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.mt ELSE 1000000000 - p2.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.ms ELSE 1000000000 - p2.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p2.lam) * (CASE WHEN g_name = 1 THEN p2.un ELSE 1000000000 - p2.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.ut ELSE 1000000000 - p2.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.us ELSE 1000000000 - p2.us END)) // 1000000000 AS b
+           FROM pc, p2),
+         w3 AS (SELECT e3.g_name, e3.g_type, e3.g_size, e3.c AS n_pairs,
+                       (e3.a * 1000000000) // (e3.a + e3.b) AS posterior,
+                       p2.mn, p2.mt, p2.ms,
+                       p2.un AS uu1, p2.ut AS uu2, p2.us AS uu3
+                FROM e3, p2),
+         f AS (SELECT g_name, g_type, g_size, n_pairs, posterior,
+                 unnest(['g_name', 'g_type', 'g_size']) AS field,
+                 unnest([CASE WHEN g_name = 1 THEN mn ELSE 1000000000 - mn END,
+                         CASE WHEN g_type = 1 THEN mt ELSE 1000000000 - mt END,
+                         CASE WHEN g_size = 1 THEN ms ELSE 1000000000 - ms END])
+                   AS f_m,
+                 unnest([CASE WHEN g_name = 1 THEN uu1 ELSE 1000000000 - uu1 END,
+                         CASE WHEN g_type = 1 THEN uu2 ELSE 1000000000 - uu2 END,
+                         CASE WHEN g_size = 1 THEN uu3 ELSE 1000000000 - uu3 END])
+                   AS f_u
+               FROM w3)
+         SELECT CAST(g_name AS INT) AS g_name, CAST(g_type AS INT) AS g_type,
+                CAST(g_size AS INT) AS g_size, n_pairs,
+                CAST(posterior AS BIGINT) AS posterior, field,
+                CAST(f_m AS BIGINT) AS f_m, CAST(f_u AS BIGINT) AS f_u,
+                CAST((f_m * 1000000000) // f_u AS BIGINT) AS bayes_scaled
+         FROM f""",
     // tf adjustment: the SAME 2-iteration EM replay as q_fellegi_sunter,
     // then per-(pattern, matched type) groups refolded with the value's
     // term frequency on the U side where g_type = 1; fold order and

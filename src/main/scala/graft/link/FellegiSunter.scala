@@ -104,6 +104,40 @@ object FellegiSunter {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
+  /** Match-weight waterfall (splink's waterfall chart data): per-field
+    * evidence decomposition of each fitted pattern — the explainability
+    * readout that turns an opaque posterior into "which field carried
+    * this decision". For pattern γ, field k contributes the Bayes factor
+    * f_k/g_k where f_k = m_k if γ_k=1 else 1−m_k (and g_k likewise from
+    * u_k); the posterior is the prior folded with all K factors.
+    *
+    * The factor is reported as the EXACT scaled integer
+    * (f·scale) DIV g — same fixed-point discipline as the fit itself, so
+    * the whole decomposition hash-replays in SQL. Runs entirely on
+    * [[emClassify]]'s ≤2^K output rows (one explode, no extra pass over
+    * pairs).
+    *
+    * @return one row per (pattern, field): γ flags, n_pairs, posterior,
+    *         field, f_m, f_u (the chosen per-field probabilities) and
+    *         bayes_scaled = (f_m·scale) DIV f_u. */
+  def waterfall(pairs: DataFrame, gammaCols: Seq[String], iters: Int = 2,
+      scale: Long = Scale): DataFrame = {
+    val fit = emClassify(pairs, gammaCols, iters, scale)
+    val entries = gammaCols.map { c =>
+      struct(lit(c).as("field"),
+        when(col(c) === 1, col(s"m_$c"))
+          .otherwise(lit(scale) - col(s"m_$c")).as("f_m"),
+        when(col(c) === 1, col(s"u_$c"))
+          .otherwise(lit(scale) - col(s"u_$c")).as("f_u"))
+    }
+    fit.select(gammaCols.map(col) ++ Seq(col("n_pairs"), col("posterior"),
+        explode(array(entries: _*)).as("e")): _*)
+      .select(gammaCols.map(col) ++ Seq(col("n_pairs"), col("posterior"),
+        col("e.field").as("field"), col("e.f_m").as("f_m"),
+        col("e.f_u").as("f_u"),
+        expr(s"e.f_m * ${scale}L DIV e.f_u").as("bayes_scaled")): _*)
+  }
+
   /** Multi-LEVEL Fellegi–Sunter (splink-style comparison levels): each
     * field's agreement is GRADED, γ_k ∈ {0..L_k−1} (e.g. exact / close /
     * different), with per-level probabilities m_k[l] = P(γ_k=l | M) and

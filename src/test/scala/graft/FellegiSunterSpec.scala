@@ -216,6 +216,45 @@ class FellegiSunterSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("waterfall: factors select m/u by gamma; refold reproduces posterior") {
+    import spark.implicits._
+    val S = FellegiSunter.Scale
+    val data = Seq.tabulate(300)(i => (i % 2, (i / 2) % 2, (i / 4) % 2))
+    val df = data.toDF("x", "y", "z")
+    val cols = Seq("x", "y", "z")
+    val fit = FellegiSunter.emClassify(df, cols, iters = 2)
+      .orderBy("x", "y", "z").collect()
+    val wf = FellegiSunter.waterfall(df, cols, iters = 2)
+      .orderBy("x", "y", "z", "field").collect()
+    assert(wf.length == fit.length * cols.size)
+    // per-pattern: the 3 waterfall rows carry exactly the fitted m/u
+    // choice, the exact integer bayes factor, and refold to the posterior
+    val byPat = wf.groupBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    fit.foreach { fr =>
+      val g = (fr.getInt(0), fr.getInt(1), fr.getInt(2))
+      val rows = byPat(g).sortBy(_.getAs[String]("field"))
+      val lambda = fr.getAs[Long]("lambda")
+      var a = BigInt(lambda)
+      var b = BigInt(S - lambda)
+      cols.zip(rows).zip(Seq(g._1, g._2, g._3)).foreach {
+        case ((c, r), gi) =>
+          val m = fr.getAs[Long](s"m_$c")
+          val u = fr.getAs[Long](s"u_$c")
+          val fm = r.getAs[Long]("f_m")
+          val fu = r.getAs[Long]("f_u")
+          assert(r.getAs[String]("field") == c)
+          assert(fm == (if (gi == 1) m else S - m))
+          assert(fu == (if (gi == 1) u else S - u))
+          assert(r.getAs[Long]("bayes_scaled") == BigInt(fm) * S / fu)
+          assert(r.getAs[Long]("posterior") == fr.getAs[Long]("posterior"))
+          a = a * fm / S
+          b = b * fu / S
+      }
+      assert((a * S / (a + b)).toLong == fr.getAs[Long]("posterior"),
+        s"refold mismatch at $g")
+    }
+  }
+
   test("tfAdjustedPosteriors == local BigInt refold from the fitted params") {
     import spark.implicits._
     val S = FellegiSunter.Scale
