@@ -457,6 +457,16 @@ object SparkEntry {
         .select(col("entity_id").as("rec0"), col("entity_id").as("rec1"))
       graft.ingest.Blocking.blockingMetrics(blocked, truth)
     }),
+    // blocking-rule profiler (splink's count-comparisons-before-you-pay
+    // analysis): block-size stats + exact comb-2 pair counts per
+    // candidate rule, one hash-agg each — never touches pairs
+    "q_blocking_profile" -> ((s, dir) =>
+      graft.ingest.Blocking.blockingRuleProfile(docs(s, dir), Seq(
+          "first_token" -> element_at(split(col("text"), " "), 1),
+          "lang" -> col("lang"),
+          "lang_source" -> concat_ws("|", col("lang"), col("source")),
+          "len_bucket" -> expr("n_chars DIV 100")))
+        .orderBy(col("rule"))),
     // multimodal plumbing over the synthetic html binary column (stub decode)
     "er_pages_media_features" -> ((s, _) => {
       val pages = graft.ingest.PagesSynth.pages(s, Seq(500, 500))
@@ -3332,6 +3342,35 @@ object SparkEntry {
                 CAST(tp AS DOUBLE) / n_true AS pairs_completeness,
                 CAST(tp AS DOUBLE) / n_cand AS pairs_quality
          FROM n, ca, ta""",
+    // blocking-rule profile: one comb-2 aggregate per rule, UNION ALL;
+    // the ratio divides doubles the same way the Scala side does
+    "q_blocking_profile" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         ft AS (SELECT 'first_token' AS rule, CAST(count(*) AS BIGINT) AS n_blocks,
+                       CAST(max(m) AS BIGINT) AS max_block,
+                       CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_pairs
+                FROM (SELECT count(*) AS m FROM documents
+                      GROUP BY split_part(text, ' ', 1)) s),
+         lg AS (SELECT 'lang' AS rule, CAST(count(*) AS BIGINT),
+                       CAST(max(m) AS BIGINT),
+                       CAST(sum(m * (m - 1) // 2) AS BIGINT)
+                FROM (SELECT count(*) AS m FROM documents GROUP BY lang) s),
+         ls AS (SELECT 'lang_source' AS rule, CAST(count(*) AS BIGINT),
+                       CAST(max(m) AS BIGINT),
+                       CAST(sum(m * (m - 1) // 2) AS BIGINT)
+                FROM (SELECT count(*) AS m FROM documents
+                      GROUP BY lang || '|' || source) s),
+         lb AS (SELECT 'len_bucket' AS rule, CAST(count(*) AS BIGINT),
+                       CAST(max(m) AS BIGINT),
+                       CAST(sum(m * (m - 1) // 2) AS BIGINT)
+                FROM (SELECT count(*) AS m FROM documents
+                      GROUP BY n_chars // 100) s),
+         u AS (SELECT * FROM ft UNION ALL SELECT * FROM lg
+               UNION ALL SELECT * FROM ls UNION ALL SELECT * FROM lb)
+         SELECT rule, n_blocks, max_block, n_pairs,
+                CAST(1 AS DOUBLE) - CAST(n_pairs AS DOUBLE)
+                  / (CAST(n.n AS DOUBLE) * (n.n - 1) / 2) AS reduction_ratio
+         FROM u, n""",
     // B1/B3 over the pages corpus, replayed from the block-key dump
     "er_pages_block_stats" ->
       s"""WITH m AS (SELECT dp, entity_id, unnest(bks) AS block_key

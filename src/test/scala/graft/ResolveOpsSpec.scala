@@ -40,6 +40,26 @@ class ResolveOpsSpec extends SparkSpec {
     assert(a == b && a.size == 199 + 198 + 197)
   }
 
+  test("blockingRuleProfile: comb-2 pair counts match a local group scan") {
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 7).cast("string").as("k7"),
+      (col("id") % 3).cast("string").as("k3"))
+    val out = Blocking.blockingRuleProfile(df,
+        Seq("mod7" -> col("k7"), "mod3" -> col("k3"),
+          "all_one" -> org.apache.spark.sql.functions.lit("x")))
+      .orderBy("rule").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    def comb2(sizes: Seq[Long]) = sizes.map(m => m * (m - 1) / 2).sum
+    val s7 = (0 until 7).map(k => (0 until 100).count(_ % 7 == k).toLong)
+    val s3 = (0 until 3).map(k => (0 until 100).count(_ % 3 == k).toLong)
+    val total = 100.0 * 99 / 2
+    assert(out("mod7") == ((7L, s7.max, comb2(s7), 1.0 - comb2(s7) / total)))
+    assert(out("mod3") == ((3L, s3.max, comb2(s3), 1.0 - comb2(s3) / total)))
+    // degenerate rule: one block of everything, zero reduction
+    assert(out("all_one") == ((1L, 100L, 4950L, 0.0)))
+  }
+
   test("metaBlockingWep == brute-force CBS weights + integer mean cut") {
     // ids sharing many blocks survive; single-shared-block noise is cut
     val membership = Seq(
