@@ -1684,6 +1684,11 @@ object SparkEntry {
     "q_dup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc"))),
+    // order-aware n-gram novelty: windows first seen in an earlier doc
+    // are charged to the later one (first copy stays novel)
+    "q_ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc"))),
     "q_line_dedup" -> ((s, dir) => {
       val corpus = docs(s, dir).select(col("doc_id"),
         concat(col("text"), lit("\nsubscribe to our newsletter\n"),
@@ -2451,6 +2456,22 @@ object SparkEntry {
                 round(COALESCE(p.n_dup, 0) / CAST(t.n_win AS DOUBLE), 6)
                   AS dup_frac
          FROM tot t LEFT JOIN per p USING (doc_id)""",
+    // novelty: same windowing, (hash -> min doc) first-occurrence
+    // attribution; sum cast (DuckDB sum(int) widens)
+    "q_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+                    WHERE length(text) >= 40),
+         w AS (SELECT doc_id, md5(substring(text, CAST(p AS INT), 40)) AS h
+               FROM d, unnest(generate_series(1, len - 40 + 1, 20)) AS t(p)),
+         fd AS (SELECT h, min(doc_id) AS first_doc FROM w GROUP BY h)
+         SELECT w.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_win,
+                CAST(sum(CASE WHEN fd.first_doc < w.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_seen,
+                round(CAST(1 AS DOUBLE)
+                  - sum(CASE WHEN fd.first_doc < w.doc_id THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM w JOIN fd USING (h)
+         GROUP BY w.doc_id""",
     // line-level dedup replayed from string_split: same injected
     // boilerplate, same trimmed-line frequency counting (Spark keys by
     // xxhash64 of the trimmed line; identical decisions absent a 64-bit

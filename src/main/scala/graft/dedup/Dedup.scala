@@ -732,4 +732,37 @@ object Dedup {
         round(coalesce(col("n_dup"), lit(0L)) / col("n_win").cast("double"), 6)
           .as("dup_frac"))
   }
+
+  /** ORDER-AWARE n-gram novelty — the leakage-style complement of
+    * [[duplicatedSpans]]: a window counts as SEEN for doc d iff its hash
+    * first occurs in a strictly earlier document (min doc id over the
+    * hash < d), so the first copy of a boilerplate block stays novel and
+    * every later copy is charged. This is the per-document "how much of
+    * this text existed before it" score a curation pipeline uses to keep
+    * first occurrences while dropping echoes (and, run with a corpus/
+    * benchmark id split, the train-test contamination direction check).
+    *
+    * Scale shape: same map-side window explode as [[duplicatedSpans]],
+    * one (hash → min doc) hash-agg, one equi-join back on the hash
+    * (partition-aligned with the agg's shuffle), one per-doc agg — no
+    * windows over tokens, no pair enumeration. */
+  def ngramNovelty(df: DataFrame, id: String, text: String,
+      window: Int = 40, stride: Int = 20): DataFrame = {
+    require(window > 0 && stride > 0)
+    val windows = df
+      .where(length(col(text)) >= window)
+      .select(col(id).as("doc"),
+        explode(transform(
+          sequence(lit(1), length(col(text)) - window + 1, lit(stride)),
+          p => md5(col(text).substr(p, lit(window)).cast("binary")))).as("h"))
+    val firstDoc = windows.groupBy("h").agg(min(col("doc")).as("first_doc"))
+    windows.join(firstDoc, Seq("h"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("first_doc") < col("doc"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .select(col("doc"), col("n_win"), col("n_seen"),
+        round(lit(1.0) - col("n_seen") / col("n_win").cast("double"), 6)
+          .as("novelty"))
+  }
 }

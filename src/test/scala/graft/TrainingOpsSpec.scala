@@ -597,6 +597,30 @@ class DedupSpec extends SparkSpec {
     assert(want.exists(_._3 > 0), "fixture has no duplicated spans")
   }
 
+  test("ngramNovelty: first copy stays novel, echoes are charged (local oracle)") {
+    import spark.implicits._
+    val w = 40; val s = 20
+    val rows = documents.select($"doc_id".as[Long], $"text".as[String])
+      .collect().toSeq
+    val wins = for {
+      (id, t) <- rows if t.length >= w
+      p <- 1 to (t.length - w + 1) by s
+    } yield (id, t.substring(p - 1, p - 1 + w))
+    val firstDoc = wins.groupBy(_._2).map { case (h, ws) =>
+      h -> ws.map(_._1).min }
+    val want = wins.groupBy(_._1).map { case (id, ws) =>
+      (id, ws.size.toLong, ws.count(x => firstDoc(x._2) < id).toLong)
+    }.toSet
+    val got = Dedup.ngramNovelty(documents, "doc_id", "text", w, s)
+      .select($"doc".as[Long], $"n_win".as[Long], $"n_seen".as[Long])
+      .collect().toSet
+    assert(got == want)
+    // order-awareness: some doc is charged, and the corpus-min doc never is
+    assert(want.exists(_._3 > 0), "fixture has no echoed spans")
+    val minDoc = rows.map(_._1).min
+    assert(want.find(_._1 == minDoc).forall(_._3 == 0L))
+  }
+
   test("jaccard pairs: pathological single-block corpus, forced salting == brute force") {
     import spark.implicits._
     // every doc shares one block key; a tiny aim forces fan-out k > 1 so
