@@ -1161,6 +1161,40 @@ object SparkEntry {
         .emClassify(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
         .orderBy("g_name", "g_type", "g_size")
     }),
+    // splink's estimate_u_using_random_sampling: per-field agreement
+    // rates over a deterministic md5-gated record sample crossed with
+    // itself (bounded by the sample rate — the U-side anchor the EM's
+    // blocked pairs cannot give)
+    "q_estimate_u" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+          col("p_partkey").cast("long").as("id"),
+          col("p_name"), col("p_type"), col("p_size"))
+        .where(substring(md5(col("p_partkey").cast("string").cast("binary")),
+          1, 1).isin("0", "1", "2", "3"))
+      val pairs = base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+        .select(
+          (levenshtein(col("a.p_name"), col("b.p_name"), 4) >= 0)
+            .cast("int").as("g_name"),
+          (col("a.p_type") === col("b.p_type")).cast("int").as("g_type"),
+          (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int").as("g_size"))
+      graft.link.FellegiSunter
+        .estimateU(pairs, Seq("g_name", "g_type", "g_size"))
+        .orderBy("field")
+    }),
+    // CLK popcount-distribution QA (the upload sanity readout anonlink
+    // surfaces: saturated or empty filters break Dice discrimination):
+    // per-provider histogram of popcount DIV 32 with per-dp shares
+    "q_clk_popcount_dist" -> ((s, _) => {
+      val both = ClkIO.readBinary(s, s"$FixturesDir/febrl4_a.bin", 0, 128)
+        .union(ClkIO.readBinary(s, s"$FixturesDir/febrl4_b.bin", 1, 128))
+      val hist = both.select(col("dp"), expr("popcount DIV 32").as("bucket"))
+        .groupBy("dp", "bucket").agg(count(lit(1)).as("n"))
+      val tot = hist.groupBy("dp").agg(sum(col("n")).as("tot"))
+      hist.join(broadcast(tot), Seq("dp"))
+        .select(col("dp"), col("bucket"), col("n"),
+          (col("n").cast("double") / col("tot")).as("share"))
+        .orderBy(col("dp"), col("bucket"))
+    }),
     // splink-style match-weight waterfall: per-field Bayes-factor
     // decomposition of every fitted pattern, exact scaled integers —
     // the explainability readout over the same EM fit
@@ -4805,6 +4839,43 @@ object SparkEntry {
                 p2.mn AS m_g_name, p2.mt AS m_g_type, p2.ms AS m_g_size,
                 p2.un AS u_g_name, p2.ut AS u_g_type, p2.us AS u_g_size
          FROM e3, p2""",
+    // u estimation: same md5 sample gate + sampled cross join, one
+    // aggregate melted by parallel unnest
+    "q_estimate_u" ->
+      """WITH base AS (SELECT p_partkey AS id, p_name, p_type, p_size
+                       FROM part
+                       WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1)
+                             IN ('0', '1', '2', '3')),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.id < b.id),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(g_name) AS BIGINT) AS an,
+                      CAST(sum(g_type) AS BIGINT) AS at2,
+                      CAST(sum(g_size) AS BIGINT) AS asz
+               FROM g)
+         SELECT unnest(['g_name', 'g_type', 'g_size']) AS field,
+                n AS n_pairs,
+                unnest([an, at2, asz]) AS n_agree,
+                unnest([(an * 1000000000) // n, (at2 * 1000000000) // n,
+                        (asz * 1000000000) // n]) AS u_scaled
+         FROM s""",
+    // popcount histogram re-derived word-by-word from the fixture
+    "q_clk_popcount_dist" ->
+      """WITH c AS (SELECT dp,
+                           CAST(list_sum(list_transform(words,
+                             w -> bit_count(w))) AS INT) AS pc
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         b AS (SELECT dp, CAST(pc // 32 AS BIGINT) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM c GROUP BY 1, 2),
+         t AS (SELECT dp, CAST(sum(n) AS BIGINT) AS tot FROM b GROUP BY dp)
+         SELECT b.dp, b.bucket, b.n, CAST(b.n AS DOUBLE) / t.tot AS share
+         FROM b JOIN t USING (dp)""",
     // waterfall: the SAME 2-iteration EM replay, then one parallel
     // unnest per pattern over the three per-field (f_m, f_u) choices;
     // bayes_scaled = (f_m * scale) // f_u matches the Scala fixed point

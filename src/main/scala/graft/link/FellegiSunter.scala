@@ -138,6 +138,33 @@ object FellegiSunter {
         expr(s"e.f_m * ${scale}L DIV e.f_u").as("bayes_scaled")): _*)
   }
 
+  /** Direct u estimation from a record sample (splink's
+    * `estimate_u_using_random_sampling`): u_k = P(γ_k=1 | U) estimated as
+    * the per-field agreement rate over pairs drawn from a deterministic
+    * record sample — at web scale almost every pair is a non-match, so
+    * the sampled cross join IS the U distribution up to O(λ) bias. This
+    * anchors the EM's u side to unblocked reality (blocked pairs
+    * over-represent agreement by construction).
+    *
+    * The caller supplies the sampled pair frame (hash-gated record
+    * sample × itself — bounded by the sampling rate, never the corpus);
+    * this is ONE pass and one 1-row aggregate over it, melted to a row
+    * per field. u_scaled = (n_agree·scale) DIV n_pairs, the same fixed
+    * point the EM consumes. */
+  def estimateU(pairs: DataFrame, gammaCols: Seq[String],
+      scale: Long = Scale): DataFrame = {
+    require(gammaCols.nonEmpty, "need at least one gamma field")
+    val aggCols = count(lit(1)).as("n") +: gammaCols.map(c =>
+      sum(coalesce(col(c).cast("long"), lit(0L))).as(s"a_$c"))
+    val one = pairs.agg(aggCols.head, aggCols.tail: _*)
+    val entries = gammaCols.map(c =>
+      struct(lit(c).as("field"), col(s"a_$c").as("n_agree")))
+    one.select(col("n"), explode(array(entries: _*)).as("e"))
+      .select(col("e.field").as("field"), col("n").as("n_pairs"),
+        col("e.n_agree").as("n_agree"),
+        expr(s"e.n_agree * ${scale}L DIV n").as("u_scaled"))
+  }
+
   /** Multi-LEVEL Fellegi–Sunter (splink-style comparison levels): each
     * field's agreement is GRADED, γ_k ∈ {0..L_k−1} (e.g. exact / close /
     * different), with per-level probabilities m_k[l] = P(γ_k=l | M) and

@@ -216,6 +216,20 @@ class FellegiSunterSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("estimateU: agreement rates as exact scaled quotients; nulls count 0") {
+    import spark.implicits._
+    val S = FellegiSunter.Scale
+    val pairs = Seq[(Integer, Integer)](
+      (1, 1), (1, 0), (0, 1), (0, 0), (1, null), (null, null), (0, 1))
+      .toDF("gx", "gy")
+    val out = FellegiSunter.estimateU(pairs, Seq("gx", "gy"))
+      .orderBy("field").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("gx") == ((7L, 3L, BigInt(3) * S / 7)))
+    assert(out("gy") == ((7L, 3L, BigInt(3) * S / 7)))
+  }
+
   test("waterfall: factors select m/u by gamma; refold reproduces posterior") {
     import spark.implicits._
     val S = FellegiSunter.Scale
