@@ -666,6 +666,22 @@ object SparkEntry {
     "q_vocab_growth" -> ((s, dir) =>
       TextOps.vocabGrowth(docs(s, dir), "doc_id", "text", 50)
         .orderBy(col("docs_seen"))),
+    // CCNet's head/middle/tail output structure: per-language terciles
+    // of the LM quality score (deterministic ntile with doc-id
+    // tie-break; at corpus scale the terciles come from approx-quantile
+    // thresholds instead — same downstream contract)
+    "q_ccnet_bucket" -> ((s, dir) => {
+      val lp = TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
+      val w = Window.partitionBy("lang")
+        .orderBy(desc("mean_logprob"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(lp, "doc_id")
+        .withColumn("b", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("mean_logprob"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     // unigram LM quality score (CCNet-style perplexity filter, reduced)
     "q_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
@@ -1723,6 +1739,37 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, dir) =>
       Dedup.ngramNovelty(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc"))),
+    // rendezvous (HRW) shard routing: 4 -> 5 shard movement matrix —
+    // moved keys may only land on the NEW shard (minimal-disruption
+    // contract), which the oracle re-derives per key
+    "q_shard_route" -> ((s, dir) =>
+      graft.rel.Layout.reshardMovement(
+          docs(s, dir).select(col("doc_id")), "doc_id", 4, 5)
+        .orderBy(col("shard_before"), col("shard_after"))),
+    // web-graph degree-distribution QA: per-degree node counts for in-
+    // and out-degree over the extracted link graph (two hash-aggs, full
+    // outer on the tiny degree domain)
+    "q_degree_dist" -> ((s, _) => {
+      val e = linkGraphEdges(s)
+      val outd = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_out"))
+      val ind = e.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_in"))
+      outd.join(ind, Seq("d"), "full_outer")
+        .select(col("d").as("degree"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"))
+        .orderBy(col("degree"))
+    }),
+    // winnowing (MOSS) fingerprint selection: rightmost window minima
+    // of the k-gram hash stream — ~2/(w+1) density with the >=w+k-1
+    // shared-substring detection guarantee
+    "q_winnowing" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(
+          docs(s, dir).where(col("doc_id") < 100), "doc_id", "text")
+        .orderBy(col("doc"), col("pos"))),
     "q_line_dedup" -> ((s, dir) => {
       val corpus = docs(s, dir).select(col("doc_id"),
         concat(col("text"), lit("\nsubscribe to our newsletter\n"),
@@ -2490,6 +2537,67 @@ object SparkEntry {
                 round(COALESCE(p.n_dup, 0) / CAST(t.n_win AS DOUBLE), 6)
                   AS dup_frac
          FROM tot t LEFT JOIN per p USING (doc_id)""",
+    // rendezvous routing replayed per key: argmax of md5(key#shard) via
+    // (h DESC, s DESC) row_number == Spark's greatest-struct tie-break
+    "q_shard_route" ->
+      """WITH k AS (SELECT doc_id AS key FROM documents),
+         wb AS (SELECT key, s,
+                       md5(CAST(key AS VARCHAR) || '#' || CAST(s AS VARCHAR))
+                         AS h
+                FROM k, unnest(generate_series(0, 3)) AS t(s)),
+         sb AS (SELECT key, CAST(s AS INT) AS shard_before FROM wb
+                QUALIFY row_number() OVER (PARTITION BY key
+                  ORDER BY h DESC, s DESC) = 1),
+         wa AS (SELECT key, s,
+                       md5(CAST(key AS VARCHAR) || '#' || CAST(s AS VARCHAR))
+                         AS h
+                FROM k, unnest(generate_series(0, 4)) AS t(s)),
+         sa AS (SELECT key, CAST(s AS INT) AS shard_after FROM wa
+                QUALIFY row_number() OVER (PARTITION BY key
+                  ORDER BY h DESC, s DESC) = 1)
+         SELECT sb.shard_before, sa.shard_after,
+                CAST(count(*) AS BIGINT) AS n_keys
+         FROM sb JOIN sa USING (key)
+         GROUP BY 1, 2""",
+    // degree distribution over the regenerated formula link graph
+    "q_degree_dist" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 299)) AS n),
+         e AS (SELECT n AS src, (n*7+1)%300 AS dst FROM g
+               UNION ALL
+               SELECT n, (n*3+5)%300 FROM g WHERE n % 3 = 0),
+         od AS (SELECT d, CAST(count(*) AS BIGINT) AS n_out FROM
+                  (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e
+                   GROUP BY src) s GROUP BY d),
+         idg AS (SELECT d, CAST(count(*) AS BIGINT) AS n_in FROM
+                  (SELECT dst, CAST(count(*) AS BIGINT) AS d FROM e
+                   GROUP BY dst) s GROUP BY d)
+         SELECT COALESCE(od.d, idg.d) AS degree,
+                COALESCE(od.n_out, 0) AS n_out,
+                COALESCE(idg.n_in, 0) AS n_in
+         FROM od FULL OUTER JOIN idg ON od.d = idg.d""",
+    // winnowing replay: same k-gram hash stream, window min over ROWS
+    // CURRENT..w-1 FOLLOWING, rightmost argmin via the (doc, h=wmin,
+    // w-band) join, DISTINCT
+    "q_winnowing" ->
+      """WITH d AS (SELECT doc_id AS doc, text FROM documents
+                    WHERE doc_id < 100 AND length(text) >= 19),
+         g AS (SELECT doc, p AS pos,
+                      md5(substring(text, CAST(p AS INT), 12)) AS h
+               FROM d, unnest(generate_series(1, length(text) - 12 + 1))
+                         AS t(p)),
+         wm AS (SELECT doc, pos AS i,
+                       min(h) OVER (PARTITION BY doc ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+                       max(pos) OVER (PARTITION BY doc) AS n
+                FROM g),
+         full_w AS (SELECT doc, i, wmin FROM wm WHERE i <= n - 8 + 1),
+         sel AS (SELECT full_w.doc, full_w.i, full_w.wmin AS fp,
+                        max(g.pos) AS pos
+                 FROM full_w JOIN g
+                 ON g.doc = full_w.doc AND g.h = full_w.wmin
+                    AND g.pos BETWEEN full_w.i AND full_w.i + 7
+                 GROUP BY full_w.doc, full_w.i, full_w.wmin)
+         SELECT DISTINCT doc, pos, fp FROM sel""",
     // novelty: same windowing, (hash -> min doc) first-occurrence
     // attribution; sum cast (DuckDB sum(int) widens)
     "q_ngram_novelty" ->
@@ -3726,6 +3834,26 @@ object SparkEntry {
                 CAST(sum(nt.n) OVER (ORDER BY nt.docs_seen)
                   AS BIGINT) AS total_tokens
          FROM nt LEFT JOIN nv ON nt.docs_seen = nv.docs_seen""",
+    // ccnet buckets: same LM score replay + per-lang ntile(3) with the
+    // identical (score DESC, doc_id) tie-broken order
+    "q_ccnet_bucket" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+                      FROM documents),
+         freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM freq),
+         lp AS (SELECT doc_id,
+                       round(avg(log10(CAST(f.cnt AS DOUBLE) / t.total)), 6)
+                         AS mean_logprob
+                FROM tok JOIN freq f USING (token), tot t
+                GROUP BY doc_id),
+         j AS (SELECT d.doc_id, d.lang, lp.mean_logprob
+               FROM documents d JOIN lp USING (doc_id))
+         SELECT doc_id, lang, mean_logprob,
+                CASE ntile(3) OVER (PARTITION BY lang
+                       ORDER BY mean_logprob DESC, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+                END AS bucket
+         FROM j""",
     "q_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
          freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),

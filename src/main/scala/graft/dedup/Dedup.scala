@@ -733,6 +733,53 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    * character k-gram, slide a w-hash window, and keep the RIGHTMOST
+    * MINIMUM of each window, deduped. Guarantee: any substring match of
+    * length ≥ w+k−1 between two documents shares at least one selected
+    * fingerprint, at expected density 2/(w+1) of the full k-gram set —
+    * the local-selection property fixed-stride windowing
+    * ([[duplicatedSpans]]) does not have (a one-char offset shifts every
+    * stride-aligned window; winnowing's picks survive).
+    *
+    * Plan shape: k-gram hashes are generated map-side (one
+    * transform+posexplode); the per-window minimum is ONE bounded
+    * per-document window (docs are KB–MB at any corpus scale, so the
+    * partition-by-doc window never skews); the rightmost-argmin resolves
+    * via an equi-join on (doc, hash == window-min) with a w-wide
+    * position band — hash join, fan-out ≤ w. No pair enumeration, no
+    * global windows.
+    *
+    * @return selected fingerprints (doc, pos, fp): 1-based k-gram start
+    *         positions and their md5 hex (lexicographic minima — stable
+    *         across engines for the SQL replay). */
+  def winnowingFingerprints(df: DataFrame, id: String, text: String,
+      k: Int = 12, w: Int = 8): DataFrame = {
+    require(k > 0 && w > 1, s"need k > 0, w > 1: k=$k w=$w")
+    val W = org.apache.spark.sql.expressions.Window
+    val grams = df
+      .where(length(col(text)) >= k + w - 1)
+      .select(col(id).as("doc"),
+        posexplode(transform(sequence(lit(1), length(col(text)) - k + 1),
+          p => md5(col(text).substr(p, lit(k)).cast("binary")))))
+      .select(col("doc"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val winMins = grams
+      .withColumn("n", max(col("pos")).over(W.partitionBy("doc")))
+      .withColumn("wmin", min(col("h")).over(
+        W.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)))
+      .where(col("pos") <= col("n") - w + 1)
+      .select(col("doc"), col("pos").as("i"), col("wmin"))
+    winMins.as("w").join(grams.as("g"),
+        col("w.doc") === col("g.doc") && col("g.h") === col("w.wmin") &&
+          col("g.pos").between(col("w.i"), col("w.i") + w - 1))
+      .groupBy(col("w.doc").as("doc"), col("w.i"), col("w.wmin").as("fp"))
+      .agg(max(col("g.pos")).as("pos"))
+      .select(col("doc"), col("pos"), col("fp"))
+      .distinct()
+  }
+
   /** ORDER-AWARE n-gram novelty — the leakage-style complement of
     * [[duplicatedSpans]]: a window counts as SEEN for doc d iff its hash
     * first occurs in a strictly earlier document (min doc id over the

@@ -78,4 +78,42 @@ object Layout {
       .groupBy("bucket").agg(count(lit(1)).as("n"),
         min("qx").as("min_qx"), max("qx").as("max_qx"),
         min("qy").as("min_qy"), max("qy").as("max_qy"))
+
+  /** Rendezvous (highest-random-weight) shard routing — the consistent
+    * assignment a growing corpus store needs: key k goes to the shard s
+    * maximising md5(k || '#' || s), so adding a shard steals ~1/(n+1) of
+    * every old shard's keys and moves NOTHING else (Thaler & Ravishankar
+    * 1998; contrast mod-N routing, which reshuffles almost everything).
+    * md5 keeps the weight SQL-replayable; ties are impossible in
+    * practice (128-bit) and would break deterministically to the larger
+    * hex anyway.
+    *
+    * Row-local: the shard list is tiny and static, so assignment is one
+    * codegen projection (greatest over n struct comparisons) — no
+    * shuffle, no lookup table.
+    *
+    * @return df plus `shard` = the winning shard id in [0, nShards). */
+  def rendezvousAssign(df: DataFrame, keyCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need at least one shard: $nShards")
+    val weights = (0 until nShards).map { s =>
+      struct(md5(concat(col(keyCol).cast("string"), lit("#"),
+        lit(s.toString)).cast("binary")).as("w"), lit(s).as("s"))
+    }
+    df.withColumn("shard", greatest(weights: _*).getField("s"))
+  }
+
+  /** Reshard movement audit: route keys at n and n+k shards, count the
+    * (from, to) flows. Rendezvous guarantees every moved key lands on a
+    * NEW shard — off-diagonal flow into old shards is zero by
+    * construction, which is exactly what this readout proves. */
+  def reshardMovement(df: DataFrame, keyCol: String, nBefore: Int,
+      nAfter: Int): DataFrame = {
+    val a = rendezvousAssign(df, keyCol, nBefore)
+      .withColumnRenamed("shard", "shard_before")
+    val b = rendezvousAssign(a, keyCol, nAfter)
+      .withColumnRenamed("shard", "shard_after")
+    b.groupBy("shard_before", "shard_after")
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }

@@ -263,6 +263,28 @@ class RelationalSpec extends SparkSpec {
     assert(got("b")._2, "cardinality collapse on 'b' must flag")
   }
 
+  test("rendezvousAssign == local md5 argmax; reshard moves only onto the new shard") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keys = (0L until 500L)
+    val df = keys.toDF("k")
+    def local(n: Int)(k: Long): Int =
+      (0 until n).maxBy(s => (md5hex(s"$k#$s"), s))
+    val got4 = graft.rel.Layout.rendezvousAssign(df, "k", 4)
+      .select($"k".as[Long], $"shard".as[Int]).collect().toMap
+    assert(keys.forall(k => got4(k) == local(4)(k)))
+    // movement audit: everything off-diagonal flows into shard 4 only
+    val mv = graft.rel.Layout.reshardMovement(df, "k", 4, 5)
+      .select($"shard_before".as[Int], $"shard_after".as[Int],
+        $"n_keys".as[Long]).collect()
+    assert(mv.forall { case (b, a, _) => a == b || a == 4 })
+    val moved = mv.filter { case (b, a, _) => a != b }.map(_._3).sum
+    assert(moved > 0 && moved < 500 * 2 / 5, s"moved $moved of 500")
+    assert(mv.map(_._3).sum == 500)
+  }
+
   test("morton16 == transparent per-bit formula; zorder buckets are 16x16 rectangles") {
     import spark.implicits._
     // kernel vs the per-bit definition on the full 8-bit plane corners +

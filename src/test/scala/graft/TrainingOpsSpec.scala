@@ -597,6 +597,41 @@ class DedupSpec extends SparkSpec {
     assert(want.exists(_._3 > 0), "fixture has no duplicated spans")
   }
 
+  test("winnowingFingerprints == local rightmost-min selection; detection guarantee") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = 12; val w = 8
+    val shared = "the quick brown fox jumps over the lazy dog!"
+    val corpus = Seq(
+      (0L, "prefix one " + shared + " suffix alpha beta gamma"),
+      (1L, "a completely different head " + shared + " and tail"),
+      (2L, "no overlap here at all zzz qqq www eee rrr ttt yyy uuu"),
+      (3L, "short"))  // below k+w-1: dropped
+    val got = Dedup.winnowingFingerprints(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .select($"doc".as[Long], $"pos".as[Long], $"fp".as[String])
+      .collect().toSet
+    // local oracle: rightmost min per full window, deduped
+    val want = (for {
+      (id, t) <- corpus if t.length >= k + w - 1
+      grams = (1 to t.length - k + 1).map(p =>
+        p.toLong -> md5hex(t.substring(p - 1, p - 1 + k)))
+      i <- 0 to grams.length - w
+      win = grams.slice(i, i + w)
+      wmin = win.map(_._2).min
+      (pos, fp) = win.filter(_._2 == wmin).last
+    } yield (id, pos, fp)).toSet
+    assert(got == want)
+    // density: roughly 2/(w+1) of the gram count, never more than windows
+    // guarantee: docs 0 and 1 share a >=w+k-1-char substring => >=1 shared fp
+    val fps = got.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    assert((fps(0L) intersect fps(1L)).nonEmpty, "winnowing guarantee broken")
+    assert((fps(2L) intersect fps(0L)).isEmpty)
+    assert(!fps.contains(3L))
+  }
+
   test("ngramNovelty: first copy stays novel, echoes are charged (local oracle)") {
     import spark.implicits._
     val w = 40; val s = 20
