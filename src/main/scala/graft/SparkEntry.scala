@@ -348,21 +348,31 @@ object SparkEntry {
     // first-token-blocked document pairs — one codegen CASE projection,
     // no UDFs; oracle replays the same join + CASE
     "q_rule_cascade" -> ((s, dir) => {
-      val x = docs(s, dir).select(col("doc_id"), col("text"), col("lang"),
-        element_at(split(col("text"), " "), 1).as("bk"))
+      // rule keys derived ONCE per record before the pair fan-out (the
+      // scale-correct shape: a pair row compares precomputed scalars,
+      // never re-tokenizes; token-prefix equality == joined-string
+      // equality because tokens cannot contain the delimiter)
+      val toks = split(col("text"), " ")
+      val x = docs(s, dir).select(col("doc_id"), col("lang"),
+        element_at(toks, 1).as("bk"),
+        substring(col("text"), 1, 40).as("h40"),
+        concat_ws(" ", slice(toks, 1, 3)).as("t3"),
+        concat_ws(" ", slice(toks, 1, 2)).as("t2"),
+        length(col("text")).as("len"))
       val pairs = x.as("a").join(x.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("rec0"), col("b.doc_id").as("rec1"),
-          col("a.text").as("t0"), col("b.text").as("t1"),
-          col("a.lang").as("l0"), col("b.lang").as("l1"))
+          col("a.h40").as("h40_0"), col("b.h40").as("h40_1"),
+          col("a.t3").as("t3_0"), col("b.t3").as("t3_1"),
+          col("a.t2").as("t2_0"), col("b.t2").as("t2_1"),
+          col("a.lang").as("l0"), col("b.lang").as("l1"),
+          col("a.len").as("len0"), col("b.len").as("len1"))
       graft.link.Rules.cascade(pairs, Seq(
-          "r1_head40" -> (substring(col("t0"), 1, 40) === substring(col("t1"), 1, 40)),
-          "r2_tok3" -> (slice(split(col("t0"), " "), 1, 3) ===
-            slice(split(col("t1"), " "), 1, 3)),
+          "r1_head40" -> (col("h40_0") === col("h40_1")),
+          "r2_tok3" -> (col("t3_0") === col("t3_1")),
           "r3_lang_len" -> (col("l0") === col("l1") &&
-            length(col("t0")) === length(col("t1"))),
-          "r4_tok2" -> (slice(split(col("t0"), " "), 1, 2) ===
-            slice(split(col("t1"), " "), 1, 2))))
+            col("len0") === col("len1")),
+          "r4_tok2" -> (col("t2_0") === col("t2_1"))))
         .select(col("rec0"), col("rec1"), col("matched_rule"))
         .orderBy(col("rec0"), col("rec1"))
     }),
@@ -374,6 +384,35 @@ object SparkEntry {
       graft.cluster.Evaluation.clusterCohesion(
           Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.75)).toDF())
         .orderBy(col("component"))),
+    // edge-level threshold selection against the labeled truth: the
+    // P/R/F1 curve over a threshold grid with the argmax marked — the
+    // tuning readout in front of q_febrl4_eval's cluster-level gate
+    "q_threshold_f1" -> ((s, _) => {
+      import s.implicits._
+      val truth = s.read.option("header", "true")
+        .csv(s"$FixturesDir/febrl4_truth.csv")
+        .select(col("row_a").cast("long").as("rec0"),
+          col("row_b").cast("long").as("rec1"))
+      val edges = Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.7))
+        .toDF().select($"rec0", $"rec1", $"sim")
+      val nTrue = truth.count()
+      val rows = Seq(0.7, 0.75, 0.8, 0.85, 0.9).map { t =>
+        edges.where($"sim" >= t)
+          .join(truth.withColumn("hit", lit(1L)), Seq("rec0", "rec1"), "left")
+          .agg(count(lit(1)).as("n_pred"),
+            sum(coalesce($"hit", lit(0L))).as("tp"))
+          .select(lit(t).as("threshold"), $"n_pred", lit(nTrue).as("n_true"),
+            $"tp")
+      }.reduce(_ unionByName _)
+      rows
+        .withColumn("precision", $"tp" / $"n_pred")
+        .withColumn("recall", $"tp" / $"n_true")
+        .withColumn("f1", lit(2) * ($"tp" / $"n_pred") * ($"tp" / $"n_true")
+          / (($"tp" / $"n_pred") + ($"tp" / $"n_true")))
+        .withColumn("is_best",
+          $"f1" === max($"f1").over(Window.partitionBy(lit(1))))
+        .orderBy("threshold")
+    }),
     // single-linkage dendrogram cuts: cluster structure at each
     // threshold (cutting single-link at t == CC over edges with sim>=t);
     // the oracle recomputes all three cuts with one thr-parameterized
@@ -1739,6 +1778,42 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, dir) =>
       Dedup.ngramNovelty(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc"))),
+    // clkhash-style field normalization (the preprocessing clkhash runs
+    // before encoding — reference schema "string transformations"):
+    // deterministic accent injection, then fold = strip accents + lower
+    // + punctuation collapse; norm is invariant under the dirtying,
+    // which is the whole point of the stage
+    "q_field_norm" -> ((s, dir) => {
+      val accented = "áéíóü" // á é í ó ü
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      c.withColumn("raw",
+          when(col("c_custkey") % 3 === 0,
+            translate(col("c_name"), "aeiou", accented))
+            .otherwise(col("c_name")))
+        .select(col("c_custkey"), col("raw"),
+          trim(regexp_replace(
+            lower(translate(col("raw"), accented, "aeiou")),
+            "[^a-z0-9]+", " ")).as("norm"),
+          (col("raw") =!= col("c_name")).as("was_dirty"))
+        .orderBy(col("c_custkey"))
+    }),
+    // LSH parameter planner: the (bands, rows) S-curve 1-(1-s^r)^b on a
+    // sim grid — exact IEEE via explicit squaring chains (never pow(),
+    // whose rounding is libm-specific), so the table hash-replays
+    "q_lsh_scurve" -> ((s, _) => {
+      def sq(c: Column, k: Int): Column =
+        (1 to k).foldLeft(c)((acc, _) => acc * acc)
+      val sims = s.range(1, 20)
+        .select((col("id").cast("double") * lit(0.05)).as("sim"))
+      val configs = Seq((4, 8, 2, 3), (2, 16, 1, 4), (8, 4, 3, 2))
+      configs.map { case (r, b, rk, bk) =>
+        val sr = sq(col("sim"), rk)
+        val p = lit(1.0) - sq(lit(1.0) - sr, bk)
+        sims.select(col("sim"), lit(b).as("bands"),
+          lit(r).as("rows_per_band"), p.as("p_collision"))
+      }.reduce(_ union _).orderBy(col("bands"), col("sim"))
+    }),
     // rendezvous (HRW) shard routing: 4 -> 5 shard movement matrix —
     // moved keys may only land on the NEW shard (minimal-disruption
     // contract), which the oracle re-derives per key
@@ -2346,6 +2421,39 @@ object SparkEntry {
                 (m.n_members * (m.n_members - 1)) // 2 AS n_pairs_implied,
                 es.n_edges, es.min_sim, es.max_sim
          FROM m JOIN es USING (component)""",
+    // threshold F1 curve: kernel-replayed sims x threshold grid, LEFT
+    // join to truth, DuckDB's int/int division == Spark's double Divide
+    "q_threshold_f1" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p0 AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.entity_id AS rec0, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         truth AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                          CAST(row_b AS BIGINT) AS rec1
+                   FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                     header = true)),
+         th AS (SELECT CAST(unnest([0.7, 0.75, 0.8, 0.85, 0.9]) AS DOUBLE)
+                  AS threshold),
+         pred AS (SELECT th.threshold, p0.rec0, p0.rec1
+                  FROM p0, th WHERE p0.sim >= th.threshold),
+         m AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pred,
+                      CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+                      CAST(sum(CASE WHEN t.rec0 IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp
+               FROM pred LEFT JOIN truth t
+               ON pred.rec0 = t.rec0 AND pred.rec1 = t.rec1
+               GROUP BY threshold),
+         f AS (SELECT threshold, n_pred, n_true, tp,
+                      tp / n_pred AS precision, tp / n_true AS recall,
+                      2 * (tp / n_pred) * (tp / n_true)
+                        / ((tp / n_pred) + (tp / n_true)) AS f1
+               FROM m)
+         SELECT threshold, n_pred, n_true, tp, precision, recall, f1,
+                f1 = max(f1) OVER () AS is_best
+         FROM f""",
     // dendrogram cuts: one threshold-parameterized recursive min-label
     // CC over the replayed kernel edges (same skeleton as
     // q_cluster_cohesion, with thr riding every CTE key)
@@ -2537,6 +2645,45 @@ object SparkEntry {
                 round(COALESCE(p.n_dup, 0) / CAST(t.n_win AS DOUBLE), 6)
                   AS dup_frac
          FROM tot t LEFT JOIN per p USING (doc_id)""",
+    // field normalization replayed with DuckDB's own translate/regexp
+    "q_field_norm" ->
+      """WITH d AS (SELECT c_custkey,
+                CASE WHEN c_custkey % 3 = 0
+                     THEN translate(c_name, 'aeiou', 'áéíóü')
+                     ELSE c_name END AS raw,
+                c_name
+              FROM customer)
+         SELECT c_custkey, raw,
+                trim(regexp_replace(lower(translate(raw, 'áéíóü', 'aeiou')),
+                  '[^a-z0-9]+', ' ', 'g')) AS norm,
+                raw <> c_name AS was_dirty
+         FROM d""",
+    // S-curve: identical squaring chains (s2=s*s, s4=s2*s2, ...; q
+    // likewise) — multiplication-only, so IEEE-identical cross-engine
+    "q_lsh_scurve" ->
+      """WITH s AS (SELECT CAST(g AS DOUBLE) * CAST(0.05 AS DOUBLE) AS sim
+                    FROM unnest(generate_series(1, 19)) AS t(g)),
+         c4 AS (SELECT sim, 8 AS bands, 4 AS rows_per_band,
+                       CAST(1 AS DOUBLE) - q2 * q2 * (q2 * q2) AS p_collision
+                FROM (SELECT sim, q * q AS q2 FROM
+                      (SELECT sim,
+                              CAST(1 AS DOUBLE) - (sim*sim) * (sim*sim) AS q
+                       FROM s) a) b),
+         c2 AS (SELECT sim, 16 AS bands, 2 AS rows_per_band,
+                       CAST(1 AS DOUBLE) - q8 * q8 AS p_collision
+                FROM (SELECT sim, q4 * q4 AS q8 FROM
+                      (SELECT sim, q2 * q2 AS q4 FROM
+                       (SELECT sim, q * q AS q2 FROM
+                        (SELECT sim, CAST(1 AS DOUBLE) - sim * sim AS q
+                         FROM s) a) b) c) d),
+         c8 AS (SELECT sim, 4 AS bands, 8 AS rows_per_band,
+                       CAST(1 AS DOUBLE) - q2 * q2 AS p_collision
+                FROM (SELECT sim, q * q AS q2 FROM
+                      (SELECT sim, CAST(1 AS DOUBLE) -
+                              ((sim*sim) * (sim*sim)) * ((sim*sim) * (sim*sim)) AS q
+                       FROM s) a) b)
+         SELECT * FROM c4 UNION ALL SELECT * FROM c2
+         UNION ALL SELECT * FROM c8""",
     // rendezvous routing replayed per key: argmax of md5(key#shard) via
     // (h DESC, s DESC) row_number == Spark's greatest-struct tie-break
     "q_shard_route" ->

@@ -28,8 +28,12 @@ object Verify {
       }
     }
     // auxiliary signature dumps the oracle SQL replays pairing
-    // semantics from (fixed absolute path — oracle SQL is static text)
-    SparkEntry.oracleAux.foreach { case (name, fn) =>
+    // semantics from (fixed absolute path — oracle SQL is static text).
+    // SPARK_GRAFT_SKIP_AUX=1 skips them for single-query iteration where
+    // the query under test reads no aux table (the full driver run
+    // never sets it).
+    val skipAux = sys.env.get("SPARK_GRAFT_SKIP_AUX").contains("1")
+    if (!skipAux) SparkEntry.oracleAux.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"${SparkEntry.OracleAuxDir}/$name")
       catch { case e: Throwable =>

@@ -122,6 +122,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("salt0") && plan.contains("salt1"), plan)
   }
 
+  test("winnowing argmin resolves via a hash equi-join, never a cartesian") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id") < 50)
+    val plan = executed(
+      graft.dedup.Dedup.winnowingFingerprints(docs, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the (doc, h == wmin) equality keys must carry the join; the w-wide
+    // position band rides as a post-join filter
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("wmin")), plan)
+  }
+
   test("eighth-session operators: no cartesians; broadcasts where intended") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
