@@ -496,6 +496,14 @@ object SparkEntry {
         .select(col("entity_id").as("rec0"), col("entity_id").as("rec1"))
       graft.ingest.Blocking.blockingMetrics(blocked, truth)
     }),
+    // multi-pass blocking union with provenance: three schemes, pairs
+    // deduped with the sorted scheme list as canonical CSV
+    "q_blocking_union" -> ((s, dir) =>
+      graft.ingest.Blocking.multiPassPairs(docs(s, dir), "doc_id", Seq(
+          "first_token" -> element_at(split(col("text"), " "), 1),
+          "lang_source" -> concat_ws("|", col("lang"), col("source")),
+          "len_bucket" -> expr("n_chars DIV 50")))
+        .orderBy(col("id0"), col("id1"))),
     // blocking-rule profiler (splink's count-comparisons-before-you-pay
     // analysis): block-size stats + exact comb-2 pair counts per
     // candidate rule, one hash-agg each — never touches pairs
@@ -3652,6 +3660,27 @@ object SparkEntry {
                 CAST(tp AS DOUBLE) / n_true AS pairs_completeness,
                 CAST(tp AS DOUBLE) / n_cand AS pairs_quality
          FROM n, ca, ta""",
+    // multi-pass union: one join per scheme, list_sort + array_to_string
+    // == sort_array + concat_ws
+    "q_blocking_union" ->
+      """WITH x AS (SELECT doc_id AS id, split_part(text, ' ', 1) AS ft,
+                           lang || '|' || source AS ls,
+                           n_chars // 50 AS lb
+                    FROM documents),
+         per AS (
+           SELECT a.id AS id0, b.id AS id1, 'first_token' AS scheme
+           FROM x a JOIN x b ON a.ft = b.ft AND a.id < b.id
+           UNION ALL
+           SELECT a.id, b.id, 'lang_source'
+           FROM x a JOIN x b ON a.ls = b.ls AND a.id < b.id
+           UNION ALL
+           SELECT a.id, b.id, 'len_bucket'
+           FROM x a JOIN x b ON a.lb = b.lb AND a.id < b.id)
+         SELECT id0, id1,
+                array_to_string(list_sort(list_distinct(list(scheme))), ',')
+                  AS schemes,
+                CAST(len(list_distinct(list(scheme))) AS INT) AS n_schemes
+         FROM per GROUP BY id0, id1""",
     // blocking-rule profile: one comb-2 aggregate per rule, UNION ALL;
     // the ratio divides doubles the same way the Scala side does
     "q_blocking_profile" ->

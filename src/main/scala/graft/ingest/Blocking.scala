@@ -172,6 +172,40 @@ object Blocking {
       .withColumn("k", lit(k))
   }
 
+  /** Multi-pass blocking with provenance — the standard recall hedge
+    * (Hernández & Stolfo's multi-pass sorted neighborhood generalised to
+    * key union): run several cheap blocking schemes, union the candidate
+    * pairs, and keep WHICH schemes proposed each pair. The provenance
+    * column is what downstream meta-blocking / weighting consumes (a
+    * pair proposed by 3 independent schemes is stronger evidence than a
+    * pair proposed by one giant block).
+    *
+    * One equi-join per scheme (each a plain shuffle hash join on its
+    * key — route skewed schemes through [[graft.link.Salting]] as the
+    * CLK pipeline does), one dedup agg. The scheme list rides as a
+    * sorted CSV string, not an array (arrays poison downstream row
+    * sorts; the CSV is canonical because scheme names are sorted and
+    * comma-free by contract).
+    *
+    * @return (id0, id1, schemes, n_schemes) with id0 < id1. */
+  def multiPassPairs(df: DataFrame, idCol: String,
+      schemes: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(schemes.nonEmpty, "need at least one blocking scheme")
+    require(schemes.forall(!_._1.contains(",")), "scheme names must be comma-free")
+    val per = schemes.map { case (name, key) =>
+      val b = df.select(col(idCol).cast("long").as("id"), key.as("bk"))
+      b.as("a").join(b.as("b"),
+          col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id0"), col("b.id").as("id1"),
+          lit(name).as("scheme"))
+    }.reduce(_ union _)
+    per.groupBy("id0", "id1")
+      .agg(sort_array(collect_set(col("scheme"))).as("ss"))
+      .select(col("id0"), col("id1"),
+        concat_ws(",", col("ss")).as("schemes"),
+        size(col("ss")).as("n_schemes"))
+  }
+
   /** Blocking-rule profiler (splink's pre-linkage blocking-rule analysis:
     * count the comparisons a candidate rule would generate BEFORE paying
     * for them): for each named key expression, block-size distribution

@@ -40,6 +40,26 @@ class ResolveOpsSpec extends SparkSpec {
     assert(a == b && a.size == 199 + 198 + 197)
   }
 
+  test("multiPassPairs: union + sorted provenance matches a local scan") {
+    val df = spark.range(20).select(col("id"),
+      (col("id") % 3).cast("string").as("k3"),
+      (col("id") % 6).cast("string").as("k6"))
+    val got = Blocking.multiPassPairs(df, "id",
+        Seq("mod3" -> col("k3"), "mod6" -> col("k6")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    val want = (for {
+      i <- 0L until 20L; j <- i + 1 until 20L
+      ss = Seq("mod3" -> (i % 3 == j % 3), "mod6" -> (i % 6 == j % 6))
+        .filter(_._2).map(_._1)
+      if ss.nonEmpty
+    } yield (i, j) -> (ss.sorted.mkString(","), ss.size)).toMap
+    assert(got == want)
+    // mod6 agreement implies mod3 agreement -> two-scheme pairs exist
+    assert(want.values.exists(_._2 == 2), "no multi-scheme pair in fixture")
+    assert(want.values.exists(_._2 == 1))
+  }
+
   test("blockingRuleProfile: comb-2 pair counts match a local group scan") {
     val df = spark.range(100).select(col("id"),
       (col("id") % 7).cast("string").as("k7"),
