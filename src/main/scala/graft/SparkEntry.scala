@@ -2001,6 +2001,15 @@ object SparkEntry {
           concat_ws("|", col("p_brand"), col("p_size")),
           threshold = 0.6)
         .orderBy(col("id0"), col("id1"))),
+    // SoftTF-IDF (Cohen-Ravikumar-Fienberg): TF-IDF cosine with
+    // JW-closest token bridging — the packed (jw6, w) argmax keeps the
+    // whole comparator integer-exact up to the final norm division
+    "q_soft_tfidf" -> ((s, dir) =>
+      graft.link.Fuzzy.softTfidfPairs(
+          s.read.parquet(s"$dir/part.parquet"),
+          "p_partkey", split(col("p_name"), " "),
+          col("p_brand"), theta = 0.9, threshold = 0.6)
+        .orderBy(col("id0"), col("id1"))),
     // spatial radius join via grid blocking (3x3 cell neighbourhood +
     // exact integer planar distance): customers to suppliers within 10
     // degrees on deterministically synthesized micro-degree coordinates
@@ -2955,6 +2964,50 @@ object SparkEntry {
          FROM sc
          WHERE round((CAST(s01 AS DOUBLE) / n0 + CAST(s10 AS DOUBLE) / n1)
                  / 2000000.0, 6) >= 0.6""",
+    // soft tf-idf: same block pairing; weights re-derived from tf/df,
+    // the packed (jw6<<32)+w argmax replayed with >> and &, per-token
+    // contributions rounded to BIGINT and summed, norms in double
+    "q_soft_tfidf" ->
+      """WITH p AS (SELECT p_partkey AS id, p_brand AS bk,
+                           string_split(p_name, ' ') AS ts FROM part),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+         tr AS (SELECT id, bk, t, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT id, bk, unnest(ts) AS t FROM p) u
+                GROUP BY id, bk, t),
+         dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tr GROUP BY t),
+         w AS (SELECT id, bk, tr.t, tf * ((nn.n * 1000) // df) AS w
+               FROM tr JOIN dft USING (t), nn),
+         wl AS (SELECT id, bk,
+                       list(struct_pack(t := t, w := w)) AS wl,
+                       sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+                FROM w GROUP BY id, bk),
+         pr AS (SELECT a.id AS id0, b.id AS id1, a.wl AS wl0, b.wl AS wl1,
+                       a.nrm AS nrm0, b.nrm AS nrm1
+                FROM wl a JOIN wl b ON a.bk = b.bk AND a.id < b.id),
+         sc AS (SELECT id0, id1,
+                  list_sum(list_transform(wl0, a -> (
+                    CASE WHEN (list_max(list_transform(wl1, b ->
+                           CAST(round(jaro_winkler_similarity(a.t, b.t)
+                             * 1000000) AS BIGINT) * 4294967296 + b.w))
+                           >> 32) >= 900000
+                    THEN CAST(round(
+                      CAST(list_max(list_transform(wl1, b ->
+                        CAST(round(jaro_winkler_similarity(a.t, b.t)
+                          * 1000000) AS BIGINT) * 4294967296 + b.w)) >> 32
+                        AS DOUBLE)
+                      * a.w
+                      * (list_max(list_transform(wl1, b ->
+                          CAST(round(jaro_winkler_similarity(a.t, b.t)
+                            * 1000000) AS BIGINT) * 4294967296 + b.w))
+                          & 4294967295)
+                      / 1000000.0) AS BIGINT)
+                    ELSE 0 END))) AS s6,
+                  nrm0, nrm1
+                FROM pr)
+         SELECT id0, id1,
+                round(CAST(s6 AS DOUBLE) / (nrm0 * nrm1), 6) AS soft_tfidf
+         FROM sc
+         WHERE round(CAST(s6 AS DOUBLE) / (nrm0 * nrm1), 6) >= 0.6""",
     // all-pairs with the same integer planar test (the 3x3 grid probe is
     // lossless for dist <= radius, so all-pairs must agree)
     "q_geo_join" ->

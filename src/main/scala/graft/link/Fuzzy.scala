@@ -56,6 +56,66 @@ object Fuzzy {
       "id0", "id1", "me")
   }
 
+  /** SoftTF-IDF pairs (Cohen, Ravikumar & Fienberg, IIWeb 2003 — their
+    * best-performing name comparator): TF-IDF cosine where a token may
+    * match its CLOSEST Jaro-Winkler partner (sim ≥ θ) instead of
+    * requiring equality, so "jon"/"john" still contribute their idf
+    * weight. score(a,b) = Σ_{t∈a, bestJW(t,b) ≥ θ}
+    * w(t,a)·w(best,b)·jw / (‖a‖·‖b‖).
+    *
+    * Cross-engine exactness: idf weights are fixed-point longs
+    * (tf·(n·idfScale DIV df)); per-token JW maxima are rounded to 1e-6
+    * and PACKED with the partner weight into one long
+    * (jw6·2³² + w, valid while w < 2³² — enforced), so the argmax and
+    * its tie-break (higher partner weight) are a plain integer max in
+    * both engines; per-token contributions round to longs and SUM
+    * ORDER-FREE; only the final norms divide in double.
+    *
+    * Scale shape: two hash-aggs build the weight lists (df table joined
+    * back — broadcastable while small), pairs ride
+    * [[graft.dedup.Dedup.saltedSelfPairs]], and the JW work is array
+    * exprs per pair row — nothing shuffles tokens at pair grain. */
+  def softTfidfPairs(df: DataFrame, id: String, toks: Column,
+      blockKey: Column, theta: Double = 0.9, threshold: Double = 0.3,
+      idfScale: Long = 1000L): DataFrame = {
+    require(theta > 0 && theta <= 1 && idfScale >= 1)
+    val base = df.select(col(id).cast("long").as("id"), blockKey.as("bk"),
+      toks.as("ts"))
+    val n = base.count()
+    val tokRows = base.select(col("id"), col("bk"), explode(col("ts")).as("t"))
+      .groupBy("id", "bk", "t").agg(count(lit(1)).as("tf"))
+    val dfTab = tokRows.groupBy("t").agg(count(lit(1)).as("df"))
+    val weights = tokRows.join(dfTab, "t")
+      .select(col("id"), col("bk"), col("t"),
+        (col("tf") * expr(s"(${n}L * ${idfScale}L) DIV df")).as("w"))
+    val maxW = weights.agg(max(col("w"))).head().getLong(0)
+    require(maxW < (1L << 32),
+      s"idf weights must fit 32 bits for the packed argmax (max $maxW); " +
+        "lower idfScale")
+    val wl = weights.groupBy("id", "bk")
+      .agg(sort_array(collect_list(struct(col("t"), col("w")))).as("wl"),
+        sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val pairs = graft.dedup.Dedup.saltedSelfPairs(
+      wl.select(col("id"), col("bk"), col("wl"), col("nrm")))
+    val theta6 = math.round(theta * 1000000)
+    val pack = lit(1L << 32)
+    val contrib = transform(col("wl0"), a => {
+      val best = array_max(transform(col("wl1"), b =>
+        round(graft.expr.jaroWinkler(a.getField("t"), b.getField("t"))
+          * 1000000).cast("long") * pack + b.getField("w")))
+      val j6 = shiftright(best, 32)
+      val wb = best.bitwiseAND(lit((1L << 32) - 1))
+      when(j6 >= theta6,
+        round(j6.cast("double") * a.getField("w") * wb / 1000000.0)
+          .cast("long"))
+        .otherwise(lit(0L))
+    })
+    val sum6 = aggregate(contrib, lit(0L), (acc, c) => acc + c)
+    val score = round(sum6.cast("double") / (col("nrm0") * col("nrm1")), 6)
+    graft.dedup.Dedup.scoreAndFilter(pairs, "soft_tfidf", score, threshold,
+      "id0", "id1", "soft_tfidf")
+  }
+
   def fuzzyJoin(queries: DataFrame, qCol: String,
                 corpus: DataFrame, cCol: String,
                 maxDist: Int, affixLen: Int = 2): DataFrame = {

@@ -126,6 +126,54 @@ class FuzzySpec extends SparkSpec {
     assert(!got.keySet.exists(k => k._1 == 8L || k._2 == 8L))
   }
 
+  test("softTfidfPairs == brute force; JW bridging rescues near tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val names = Seq(
+      (1L, "john smith zanzibar"), (2L, "jon smith zanzibar"), // bridged
+      (3L, "mary watson qex"), (4L, "mary watson qex"),        // exact dup
+      (5L, "peter parker aaa"), (6L, "unrelated words here"),
+      (7L, "john smith qex"))
+    val df = names.toDF("rid", "nm")
+    val theta = 0.9
+    val got = graft.link.Fuzzy.softTfidfPairs(df, "rid",
+        split(col("nm"), " "), lit("b"), theta = theta, threshold = 0.2)
+      .select($"id0".as[Long], $"id1".as[Long], $"soft_tfidf".as[Double])
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    // local brute force mirroring the packed-argmax contract
+    def jw(a: String, b: String) = graft.core.StringSim.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val n = names.size.toLong
+    val tf = names.map { case (i, nm) =>
+      i -> nm.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val dfc = names.flatMap(_._2.split(" ").distinct)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def w(i: Long): Map[String, Long] =
+      tf(i).map { case (t, f) => t -> f * (n * 1000L / dfc(t)) }
+    def nrm(i: Long) = math.sqrt(w(i).values.map(x => x.toDouble * x).sum)
+    def r6(x: Double) =
+      BigDecimal(x.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (i, _) <- names; (j, _) <- names if i < j
+      wi = w(i); wj = w(j)
+      s6 = wi.map { case (t, wa) =>
+        val packed = wj.map { case (u, wb) =>
+          math.round(jw(t, u) * 1000000) * 4294967296L + wb }.max
+        val (j6, wb) = (packed >> 32, packed & 4294967295L)
+        if (j6 >= 900000)
+          math.round(j6.toDouble * wa * wb / 1000000.0)
+        else 0L
+      }.sum
+      sc = r6(s6.toDouble / (nrm(i) * nrm(j))) if sc >= 0.2
+    } yield (i, j) -> sc).toMap
+    assert(got == want)
+    assert(got.contains((1L, 2L)), "jon/john must bridge at theta 0.9")
+    assert(got((3L, 4L)) == 1.0, "identical names must score 1")
+    assert(!got.keySet.exists(k => k._1 == 6L || k._2 == 6L))
+  }
+
   test("selfScoreFrequency: rarity weights == brute force; nulls never agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
