@@ -98,6 +98,14 @@ object SparkEntry {
         graft.ingest.Blocking.lshKeys(if (t == null) "" else t))
       pages.toDF().select(col("dp"), col("entity_id"), keysUdf(col("text")).as("bks"))
     }),
+    // the labeled pages corpus (dp, entity_id, truth_entity, text) —
+    // q_estimate_m_labels' oracle reads the RECORDS and replays label
+    // blocking + gamma + agreement rates itself, so the dump only fixes
+    // the generated corpus (pure deterministic synth, PagesSynth)
+    "pages_rec" -> ((s, _) =>
+      graft.ingest.PagesSynth.pages(s, Seq(1000, 1000)).toDF()
+        .select(col("dp"), col("entity_id"), col("truth_entity"),
+          col("text"))),
     // permutation construction inputs: matched pairs + the seeded slot
     // hashes (er_febrl4_permutation's oracle replays the full M1
     // construction — shuffle ranks, slot packing, remainder fill)
@@ -1243,6 +1251,59 @@ object SparkEntry {
       graft.link.FellegiSunter
         .estimateU(pairs, Seq("g_name", "g_type", "g_size"))
         .orderBy("field")
+    }),
+    // splink's estimate_m_from_label_column: block on the ground-truth
+    // entity label (pages truth_entity), every cross-provider intra-label
+    // pair is a match by definition, m_k = exact scaled agreement rate of
+    // field k over those pairs — the supervised m-side anchor that pairs
+    // with q_estimate_u's sampled u-side
+    "q_estimate_m_labels" -> ((s, _) => {
+      val p = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000)).toDF()
+        .select(col("dp"), col("truth_entity"),
+          split(col("text"), " ").as("toks"))
+      val pairs = p.where(col("dp") === 0).as("ma")
+        .join(p.where(col("dp") === 1).as("mb"),
+          col("ma.truth_entity") === col("mb.truth_entity"))
+        .select(
+          (element_at(col("ma.toks"), 1) === element_at(col("mb.toks"), 1))
+            .cast("int").as("g_first"),
+          (element_at(col("ma.toks"), -1) === element_at(col("mb.toks"), -1))
+            .cast("int").as("g_last"),
+          (abs(size(col("ma.toks")) - size(col("mb.toks"))) <= 1)
+            .cast("int").as("g_len"))
+      graft.link.FellegiSunter
+        .estimateMFromLabels(pairs, Seq("g_first", "g_last", "g_len"))
+        .orderBy("field")
+    }),
+    // frequency-aware (rare-token) blocking over documents: each record
+    // keys on its globally rarest token (document frequency, ties
+    // lexicographic), then per-block membership + comb-2 candidate load —
+    // the TF-IDF-flavoured refinement of attribute blocking
+    "q_rare_token_block" -> ((s, dir) => {
+      graft.ingest.Blocking.rareTokenKeys(docs(s, dir), "doc_id", "text")
+        .groupBy("block_key", "key_count")
+        .agg(count(lit(1)).as("n_records"))
+        .withColumn("est_pairs",
+          expr("CAST(n_records * (n_records - 1) DIV 2 AS BIGINT)"))
+        .orderBy("block_key")
+    }),
+    // web-archive revisit dedup / content drift: 1-4 deterministic
+    // captures per document url, content version flips by integer
+    // formula; per-url changes vs revisit (unchanged re-fetch) rollup —
+    // the CDX identical-payload-digest pass of a recurring crawl
+    "q_revisit_diff" -> ((s, dir) => {
+      val snaps = docs(s, dir)
+        .withColumn("k",
+          explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))))
+        .select(
+          concat(lit("https://ex.org/d"), col("doc_id").cast("string"))
+            .as("url"),
+          (col("doc_id") * 86400L + col("k") * 3600L).as("ts"),
+          concat(col("text"), lit(" v"),
+            ((col("doc_id") * 31L + col("k") * col("k")) % 3L)
+              .cast("string")).as("content"))
+      graft.textops.UrlOps.revisitDiff(snaps, "url", "ts", "content")
+        .orderBy("url")
     }),
     // CLK popcount-distribution QA (the upload sanity readout anonlink
     // surfaces: saturated or empty filters break Dice discrimination):
@@ -5221,6 +5282,78 @@ object SparkEntry {
                 unnest([(an * 1000000000) // n, (at2 * 1000000000) // n,
                         (asz * 1000000000) // n]) AS u_scaled
          FROM s""",
+    // m from the truth label: replay label blocking + gammas + exact
+    // scaled agreement quotients over the dumped pages corpus
+    "q_estimate_m_labels" ->
+      s"""WITH p AS (SELECT dp, truth_entity, string_split(text, ' ') AS toks
+                     FROM '$OracleAuxDir/pages_rec/*.parquet'),
+         pr AS (SELECT CASE WHEN a.toks[1] = b.toks[1]
+                            THEN 1 ELSE 0 END AS g_first,
+                       CASE WHEN a.toks[-1] = b.toks[-1]
+                            THEN 1 ELSE 0 END AS g_last,
+                       CASE WHEN abs(len(a.toks) - len(b.toks)) <= 1
+                            THEN 1 ELSE 0 END AS g_len
+                FROM p a JOIN p b ON a.truth_entity = b.truth_entity
+                WHERE a.dp = 0 AND b.dp = 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(g_first) AS BIGINT) AS af,
+                      CAST(sum(g_last) AS BIGINT) AS al,
+                      CAST(sum(g_len) AS BIGINT) AS az
+               FROM pr)
+         SELECT unnest(['g_first', 'g_last', 'g_len']) AS field,
+                n AS n_pairs,
+                unnest([af, al, az]) AS n_agree,
+                unnest([(af * 1000000000) // n, (al * 1000000000) // n,
+                        (az * 1000000000) // n]) AS m_scaled
+         FROM s
+         ORDER BY field""",
+    // rare-token blocking: document-frequency counts, per-record argmin
+    // (count, token), block membership + comb-2 load
+    "q_rare_token_block" ->
+      """WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         t AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
+         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+               FROM t GROUP BY tok),
+         r AS (SELECT doc_id, tok, n,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n, tok) AS rn
+               FROM t JOIN c USING (tok)),
+         k AS (SELECT tok AS block_key, n AS key_count FROM r WHERE rn = 1)
+         SELECT block_key, key_count,
+                CAST(count(*) AS BIGINT) AS n_records,
+                CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT) AS est_pairs
+         FROM k GROUP BY 1, 2
+         ORDER BY block_key""",
+    // revisit rollup: same capture synthesis (integer formulas), lag
+    // window over md5 digests, per-url change/revisit/version agg
+    "q_revisit_diff" ->
+      """WITH s AS (SELECT 'https://ex.org/d' || CAST(doc_id AS VARCHAR)
+                             AS url,
+                           doc_id * 86400 + k * 3600 AS ts,
+                           md5(text || ' v'
+                             || CAST((doc_id * 31 + k * k) % 3 AS VARCHAR))
+                             AS digest
+                    FROM documents,
+                         unnest(generate_series(0, doc_id % 4)) AS g(k)),
+         c AS (SELECT url, ts, digest,
+                      lag(digest) OVER (PARTITION BY url ORDER BY ts)
+                        AS prev
+               FROM s),
+         f AS (SELECT url, ts, digest,
+                      CASE WHEN prev IS NOT NULL AND prev <> digest
+                           THEN 1 ELSE 0 END AS ch
+               FROM c)
+         SELECT url,
+                CAST(count(*) AS BIGINT) AS n_captures,
+                CAST(sum(ch) AS BIGINT) AS n_changes,
+                CAST(count(*) - 1 - sum(ch) AS BIGINT) AS n_revisits,
+                CAST(count(DISTINCT digest) AS BIGINT) AS n_versions,
+                min(ts) AS first_ts,
+                COALESCE(max(CASE WHEN ch = 1 THEN ts END), min(ts))
+                  AS last_change_ts
+         FROM f GROUP BY url
+         ORDER BY url""",
     // popcount histogram re-derived word-by-word from the fixture
     "q_clk_popcount_dist" ->
       """WITH c AS (SELECT dp,

@@ -286,4 +286,42 @@ object Blocking {
       .where(col("weight") * col("_w_cnt") > col("_w_sum"))
       .select("id0", "id1", "weight")
   }
+
+  /** Frequency-aware (rare-token) blocking: key each record on its
+    * GLOBALLY RAREST token — the classic TF-IDF-flavoured refinement of
+    * attribute blocking (rare values discriminate, frequent values
+    * flood): a record pair sharing ANY rare token lands in one block,
+    * while stop-word-grade tokens never become keys, so block sizes stay
+    * near the token-frequency floor instead of the Zipf head. Ties
+    * (equal global count) break to the lexicographically smallest token
+    * so the key is a pure function of the corpus, bit-stable across
+    * partitionings and replayable in SQL.
+    *
+    * Output: one row per record — (id, block_key, key_count) where
+    * key_count is the chosen token's global frequency (= an upper bound
+    * on the record's block size).
+    *
+    * Scale shape: token counts are one hash agg over the exploded
+    * corpus (map-side combined); the per-record argmin is a shuffle
+    * join token→count (vocab-sized, NOT broadcast — a web-scale vocab
+    * is billions of tokens) followed by one window partitioned by
+    * record id (bounded by tokens-per-record). No step is keyed by
+    * anything rarer than (token) or (record), so the Zipf head hits the
+    * count agg only, where partial aggregation absorbs it. */
+  def rareTokenKeys(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("_rt_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .distinct()
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("_rt_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_rt_id"))
+      .orderBy(col("_rt_n").asc, col("tok").asc)
+    toks.join(counts, "tok")
+      .withColumn("_rt_rn", row_number().over(w))
+      .where(col("_rt_rn") === 1)
+      .select(col("_rt_id").as("id"), col("tok").as("block_key"),
+        col("_rt_n").as("key_count"))
+  }
 }

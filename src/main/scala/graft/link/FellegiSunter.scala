@@ -165,6 +165,37 @@ object FellegiSunter {
         expr(s"e.n_agree * ${scale}L DIV n").as("u_scaled"))
   }
 
+  /** splink's `estimate_m_from_label_column`: when SOME ground-truth
+    * entity label exists (a national id, a vendor's golden cluster, the
+    * truth column of a labeled benchmark), the m-side of the model needs
+    * no EM at all — block on the label, call every intra-label pair a
+    * match, and m_k is simply the agreement rate of field k over those
+    * pairs. The u-side anchor still comes from [[estimateU]]'s random
+    * sample; together they seed (or fully replace) the EM.
+    *
+    * `pairs` must already BE the intra-label pairs with 0/1 gamma
+    * columns — pair formation stays with the caller because the label
+    * blocking is corpus-specific (same division of labor as
+    * [[estimateU]]). Output mirrors estimateU: one row per field with
+    * (field, n_pairs, n_agree, m_scaled), m in exact floored fixed point
+    * so SQL replays bit-for-bit.
+    *
+    * Scale shape: one global agg (map-side combined, a single row wide)
+    * plus a K-way literal melt — nothing per-pair survives the shuffle. */
+  def estimateMFromLabels(pairs: DataFrame, gammaCols: Seq[String],
+      scale: Long = Scale): DataFrame = {
+    require(gammaCols.nonEmpty, "need at least one gamma field")
+    val aggCols = count(lit(1)).as("n") +: gammaCols.map(c =>
+      sum(coalesce(col(c).cast("long"), lit(0L))).as(s"a_$c"))
+    val one = pairs.agg(aggCols.head, aggCols.tail: _*)
+    val entries = gammaCols.map(c =>
+      struct(lit(c).as("field"), col(s"a_$c").as("n_agree")))
+    one.select(col("n"), explode(array(entries: _*)).as("e"))
+      .select(col("e.field").as("field"), col("n").as("n_pairs"),
+        col("e.n_agree").as("n_agree"),
+        expr(s"e.n_agree * ${scale}L DIV n").as("m_scaled"))
+  }
+
   /** Multi-LEVEL Fellegi–Sunter (splink-style comparison levels): each
     * field's agreement is GRADED, γ_k ∈ {0..L_k−1} (e.g. exact / close /
     * different), with per-level probabilities m_k[l] = P(γ_k=l | M) and

@@ -149,4 +149,45 @@ object UrlOps {
         countDistinct(md5(col("_t"))).as("n_unique_texts"),
         avg(length(col("_t"))).as("avg_chars"))
   }
+
+  /** Web-archive revisit / content-drift rollup — the CDX-style dedup a
+    * recurring crawl runs over its own history: a re-fetch whose payload
+    * digest equals the PREVIOUS capture of the same URL is a "revisit"
+    * (stored as a pointer, not a payload — WARC `revisit` records,
+    * identical-payload-digest profile), while a digest change marks real
+    * content drift. The reference service's upload-dedup concern
+    * (identical encodings re-uploaded across runs) is the same shape one
+    * level up the stack.
+    *
+    * Input: one row per capture (`urlCol`, `tsCol` ascending capture
+    * order within a URL, `contentCol`). Output: one row per URL —
+    *   n_captures, n_changes (captures whose digest differs from the
+    *   previous capture), n_revisits (unchanged re-fetches =
+    *   n_captures − 1 − n_changes; the storage the archive saves),
+    *   n_versions (distinct digests), first_ts, last_change_ts (ts of
+    *   the latest drift; first capture ts when the page never changed).
+    *
+    * Scale shape: one window + one agg, both hash-partitioned by URL —
+    * capture history per URL is tiny (bounded by crawl frequency), so
+    * there is no skew; nothing else shuffles. Digests are md5 so the
+    * exact same rollup replays in SQL engines. */
+  def revisitDiff(snapshots: org.apache.spark.sql.DataFrame, urlCol: String,
+      tsCol: String, contentCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol)).orderBy(col(tsCol))
+    snapshots
+      .select(col(urlCol).as("url"), col(tsCol).cast("long").as("ts"),
+        md5(col(contentCol).cast("binary")).as("digest"))
+      .withColumn("changed",
+        (lag(col("digest"), 1).over(w).isNotNull &&
+          lag(col("digest"), 1).over(w) =!= col("digest")).cast("long"))
+      .groupBy(col("url")).agg(
+        count(lit(1)).as("n_captures"),
+        sum(col("changed")).as("n_changes"),
+        (count(lit(1)) - lit(1L) - sum(col("changed"))).as("n_revisits"),
+        countDistinct(col("digest")).as("n_versions"),
+        min(col("ts")).as("first_ts"),
+        coalesce(max(when(col("changed") === 1L, col("ts"))),
+          min(col("ts"))).as("last_change_ts"))
+  }
 }

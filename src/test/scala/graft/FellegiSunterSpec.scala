@@ -230,6 +230,21 @@ class FellegiSunterSpec extends SparkSpec {
     assert(out("gy") == ((7L, 3L, BigInt(3) * S / 7)))
   }
 
+  test("estimateMFromLabels: m = intra-label agreement rate, exact quotient") {
+    import spark.implicits._
+    val S = FellegiSunter.Scale
+    // 5 intra-label pairs: gx agrees on 4, gy on 1, null counts as 0
+    val pairs = Seq[(Integer, Integer)](
+      (1, 1), (1, 0), (1, 0), (1, null), (0, 0))
+      .toDF("gx", "gy")
+    val out = FellegiSunter.estimateMFromLabels(pairs, Seq("gx", "gy"))
+      .orderBy("field").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("gx") == ((5L, 4L, BigInt(4) * S / 5)))
+    assert(out("gy") == ((5L, 1L, BigInt(1) * S / 5)))
+  }
+
   test("waterfall: factors select m/u by gamma; refold reproduces posterior") {
     import spark.implicits._
     val S = FellegiSunter.Scale

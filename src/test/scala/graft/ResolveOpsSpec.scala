@@ -60,6 +60,26 @@ class ResolveOpsSpec extends SparkSpec {
     assert(want.values.exists(_._2 == 1))
   }
 
+  test("rareTokenKeys: rarest token wins, ties lexicographic, df-distinct") {
+    import spark.implicits._
+    val df = Seq(
+      // "zz" appears in 1 doc, "aa" in 3, "bb" in 2 -> doc 1 keys on zz
+      (1L, "aa bb zz"),
+      // repeated token counts ONCE per doc (document frequency): "cc"
+      // appears twice here but df(cc)=1 < df(bb)=2 -> key cc
+      (2L, "aa cc cc bb"),
+      // tie: df(mm)=df(nn)=1 -> lexicographically smaller "mm" wins
+      (3L, "aa mm nn"))
+      .toDF("id", "text")
+    val got = graft.ingest.Blocking.rareTokenKeys(df, "id", "text")
+      .select($"id".as[Long], $"block_key".as[String], $"key_count".as[Long])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("zz", 1L)))
+    assert(got(2L) == (("cc", 1L)))
+    assert(got(3L) == (("mm", 1L)))
+    assert(got.size == 3)
+  }
+
   test("blockingRuleProfile: comb-2 pair counts match a local group scan") {
     val df = spark.range(100).select(col("id"),
       (col("id") % 7).cast("string").as("k7"),

@@ -413,6 +413,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("revisitDiff: changes vs revisits vs versions per url") {
+    import spark.implicits._
+    val snaps = Seq(
+      // u1: A A B B A -> 5 captures, changes at ts 3 (A->B) and 5 (B->A),
+      // revisits at 2 and 4, 2 distinct versions, last change 5
+      ("u1", 1L, "A"), ("u1", 2L, "A"), ("u1", 3L, "B"),
+      ("u1", 4L, "B"), ("u1", 5L, "A"),
+      // u2: single capture -> no changes, no revisits, last_change=first
+      ("u2", 10L, "X"),
+      // u3: X X -> pure revisit
+      ("u3", 7L, "X"), ("u3", 9L, "X"))
+      .toDF("url", "ts", "content")
+    val got = graft.textops.UrlOps.revisitDiff(snaps, "url", "ts", "content")
+      .select("url", "n_captures", "n_changes", "n_revisits",
+        "n_versions", "first_ts", "last_change_ts")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+    assert(got("u1") == ((5L, 2L, 2L, 2L, 1L, 5L)))
+    assert(got("u2") == ((1L, 0L, 0L, 1L, 10L, 10L)))
+    assert(got("u3") == ((2L, 0L, 1L, 1L, 7L, 7L)))
+    assert(got.size == 3)
+  }
+
   test("fingerprint64: FNV-1a vectors + determinism") {
     // FNV-1a 64 known vectors
     assert(TextOps.fingerprint64("") == 0xcbf29ce484222325L)
