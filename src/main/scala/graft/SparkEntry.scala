@@ -1305,6 +1305,40 @@ object SparkEntry {
       graft.textops.UrlOps.revisitDiff(snaps, "url", "ts", "content")
         .orderBy("url")
     }),
+    // active-learning uncertainty sampling: the SAME brand-blocked FS
+    // pipeline as q_fellegi_sunter, but pair ids ride through and the 40
+    // pairs with posterior nearest 1/2 surface for labeling (exact
+    // integer uncertainty, id tie-break — a pure function of the corpus)
+    "q_uncertainty_sample" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+        col("id0"), col("id1"),
+        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+          .cast("int").as("g_name"),
+        (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
+        (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
+      graft.link.FellegiSunter.uncertaintySample(pairs,
+          Seq("g_name", "g_type", "g_size"), Seq("id0", "id1"), k = 40)
+        .select("id0", "id1", "g_name", "g_type", "g_size",
+          "posterior", "uncertainty")
+        .orderBy("uncertainty", "id0", "id1")
+    }),
+    // reciprocal-rank fusion of two ANN retrievers (exact cosine +
+    // int8-quantized) — the hybrid-search merge; scores are IEEE-exact
+    // sums of two small-integer reciprocals, ranked after rounding
+    "q_rrf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      val int8 = Ann.int8TopK(e, q, "vec_id", "embedding", k = 10)
+      Ann.rrfFuse(Seq(exact, int8))
+        .where(col("fused_rank") <= 10)
+        .select("query_id", "neighbor_id", "rank_1", "rank_2",
+          "rrf_score", "fused_rank")
+        .orderBy("query_id", "fused_rank")
+    }),
     // CLK popcount-distribution QA (the upload sanity readout anonlink
     // surfaces: saturated or empty filters break Dice discrimination):
     // per-provider histogram of popcount DIV 32 with per-dp shares
@@ -5354,6 +5388,143 @@ object SparkEntry {
                   AS last_change_ts
          FROM f GROUP BY url
          ORDER BY url""",
+    // the SAME 2-iteration EM replay as q_fellegi_sunter with pair ids
+    // carried through; uncertainty = |posterior - scale/2| exact, then
+    // ORDER BY uncertainty, ids LIMIT 40
+    "q_uncertainty_sample" ->
+      """WITH base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                              p_type, p_size FROM part),
+         g AS (SELECT a.id AS id0, b.id AS id1,
+                      CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_type, g_size, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         e1 AS (SELECT pc.*,
+           (((((CAST(100000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000 AS a,
+           (((((CAST(900000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000 AS b
+           FROM pc),
+         w1 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e1),
+         p1 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w1),
+         e2 AS (SELECT pc.*,
+           (((((p1.lam * (CASE WHEN g_name = 1 THEN p1.mn ELSE 1000000000 - p1.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.mt ELSE 1000000000 - p1.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.ms ELSE 1000000000 - p1.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p1.lam) * (CASE WHEN g_name = 1 THEN p1.un ELSE 1000000000 - p1.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.ut ELSE 1000000000 - p1.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.us ELSE 1000000000 - p1.us END)) // 1000000000 AS b
+           FROM pc, p1),
+         w2 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e2),
+         p2 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w2),
+         e3 AS (SELECT pc.*,
+           (((((p2.lam * (CASE WHEN g_name = 1 THEN p2.mn ELSE 1000000000 - p2.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.mt ELSE 1000000000 - p2.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.ms ELSE 1000000000 - p2.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p2.lam) * (CASE WHEN g_name = 1 THEN p2.un ELSE 1000000000 - p2.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.ut ELSE 1000000000 - p2.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.us ELSE 1000000000 - p2.us END)) // 1000000000 AS b
+           FROM pc, p2),
+         post AS (SELECT g_name, g_type, g_size,
+                         CAST((a * 1000000000) // (a + b) AS BIGINT)
+                           AS posterior
+                  FROM e3)
+         SELECT g.id0, g.id1,
+                CAST(g.g_name AS INT) AS g_name,
+                CAST(g.g_type AS INT) AS g_type,
+                CAST(g.g_size AS INT) AS g_size,
+                post.posterior,
+                CAST(abs(post.posterior - 500000000) AS BIGINT)
+                  AS uncertainty
+         FROM g JOIN post USING (g_name, g_type, g_size)
+         ORDER BY uncertainty, g.id0, g.id1
+         LIMIT 40""",
+    // RRF: replay BOTH rankings (exact cosine + int8 integer-dot, each
+    // top-10 per query), full-outer merge, score = list-ordered sum of
+    // reciprocals rounded to 9dp, fused rank windows over the rounded
+    // score with neighbor tie-break
+    "q_rrf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         es AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.e, c.e), 6) AS cos
+           FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         er AS (
+           SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM es QUALIFY rank <= 10),
+         s0 AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc0
+                FROM v),
+         q8 AS (SELECT vec_id,
+                 list_transform(e, x -> CAST(round(
+                   x / (CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END)) AS INT)) AS qv
+               FROM s0),
+         n8 AS (SELECT vec_id, qv,
+                 sqrt(CAST(list_sum(list_transform(qv,
+                   x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS nrm
+               FROM q8),
+         is0 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                      ELSE round(CAST(list_sum(list_transform(
+                             range(1, len(a.qv) + 1),
+                             i -> CAST(a.qv[i] AS BIGINT) * b.qv[i])) AS DOUBLE)
+                           / (a.nrm * b.nrm), 6) END AS cos
+               FROM n8 a JOIN n8 b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         ir AS (
+           SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM is0 QUALIFY rank <= 10),
+         f AS (SELECT COALESCE(er.query_id, ir.query_id) AS query_id,
+                      COALESCE(er.neighbor_id, ir.neighbor_id) AS neighbor_id,
+                      er.rank AS ra, ir.rank AS rb
+               FROM er FULL OUTER JOIN ir
+                 ON er.query_id = ir.query_id
+                AND er.neighbor_id = ir.neighbor_id),
+         sc AS (SELECT query_id, neighbor_id,
+                      COALESCE(ra, 0) AS rank_1, COALESCE(rb, 0) AS rank_2,
+                      round(
+                        COALESCE(CAST(1 AS DOUBLE)
+                          / CAST(60 + ra AS DOUBLE), 0.0)
+                        + COALESCE(CAST(1 AS DOUBLE)
+                          / CAST(60 + rb AS DOUBLE), 0.0), 9) AS rrf_score
+                FROM f),
+         fr AS (SELECT *,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, neighbor_id) AS BIGINT)
+                    AS fused_rank
+                FROM sc)
+         SELECT query_id, neighbor_id, rank_1, rank_2, rrf_score,
+                fused_rank
+         FROM fr WHERE fused_rank <= 10
+         ORDER BY query_id, fused_rank""",
     // popcount histogram re-derived word-by-word from the fixture
     "q_clk_popcount_dist" ->
       """WITH c AS (SELECT dp,

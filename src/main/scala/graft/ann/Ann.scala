@@ -147,6 +147,46 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): combine
+    * N retrieval rankings of the same query set into one list by
+    * score(d) = Σ_i 1/(k0 + rank_i(d)), summing only the lists that
+    * returned d. The standard zero-training way to fuse heterogeneous
+    * retrievers (exact cosine + quantized ANN + lexical BM25 + LSH) —
+    * the hybrid-search primitive of a retrieval corpus.
+    *
+    * Determinism: each 1/(k0+r) is one IEEE divide of small integers and
+    * the terms are added in LIST ORDER, so the score is bit-identical in
+    * any engine; it is then rounded to 9 dp and the fused rank windows
+    * over the ROUNDED value (ties → neighbor_id), the same
+    * round-then-rank contract as [[bruteForceTopK]]'s cos.
+    *
+    * Input frames each carry (query_id, neighbor_id, rank). Output:
+    * (query_id, neighbor_id, rank_1..rank_N — 0 where that list missed
+    * the doc — rrf_score, fused_rank).
+    *
+    * Scale shape: N-1 equi-joins on (query, doc) — rankings are k rows
+    * per query, so the join inputs are tiny relative to the corpora that
+    * produced them — then one window partitioned by query. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k0 >= 1, s"rankings=${rankings.size} k0=$k0")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as(s"rank_${i + 1}"))
+    }
+    val joined = tagged.reduce((a, b) =>
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer"))
+    val score = tagged.indices.map(i =>
+        coalesce(lit(1.0) / (lit(k0.toDouble) +
+          col(s"rank_${i + 1}").cast("double")), lit(0.0)))
+      .reduce[Column](_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("rrf_score"), col("neighbor_id"))
+    joined
+      .withColumn("rrf_score", round(score, 9))
+      .na.fill(0L, tagged.indices.map(i => s"rank_${i + 1}"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic random hyperplanes: tables x bitsPerTable x dim. */
   private[ann] def hyperplanes(tables: Int, bits: Int, dim: Int,
       seed: Long): Array[Array[Array[Double]]] =

@@ -196,6 +196,37 @@ object FellegiSunter {
         expr(s"e.n_agree * ${scale}L DIV n").as("m_scaled"))
   }
 
+  /** Active-learning pair selection by uncertainty sampling: fit the FS
+    * model ([[emClassify]]) and surface the k candidate pairs whose
+    * posterior sits closest to 1/2 — exactly the pairs a clerical
+    * labeling budget buys the most model improvement from (the
+    * uncertainty-sampling loop splink/dedupe run between training
+    * rounds; contrast [[graft.link.Review.threeZone]], which queues by
+    * similarity band, not by model confidence).
+    *
+    * `pairs` carries `idCols` plus 0/1 `gammaCols`. Posteriors are the
+    * EM's exact scaled longs, so uncertainty = |posterior − scale/2| is
+    * integer-exact and the selection replays in SQL; ties (pairs sharing
+    * an agreement pattern share a posterior) break on `idCols`, making
+    * the selected set a pure function of the corpus.
+    *
+    * Scale shape: the model is ≤2^K pattern rows (broadcast back onto
+    * the distributed pair set — no second shuffle), and the global
+    * order-by-limit is a TakeOrdered: per-partition top-k then a k-row
+    * driver merge, never a full sort. */
+  def uncertaintySample(pairs: DataFrame, gammaCols: Seq[String],
+      idCols: Seq[String], k: Int, iters: Int = 2,
+      scale: Long = Scale): DataFrame = {
+    require(k > 0 && idCols.nonEmpty, s"k=$k idCols=$idCols")
+    val fit = emClassify(pairs.selectExpr(gammaCols: _*), gammaCols,
+        iters, scale)
+      .select((gammaCols.map(col) :+ col("posterior")): _*)
+    pairs.join(broadcast(fit), gammaCols)
+      .withColumn("uncertainty", abs(col("posterior") - lit(scale / 2)))
+      .orderBy((col("uncertainty").asc +: idCols.map(c => col(c).asc)): _*)
+      .limit(k)
+  }
+
   /** Multi-LEVEL Fellegi–Sunter (splink-style comparison levels): each
     * field's agreement is GRADED, γ_k ∈ {0..L_k−1} (e.g. exact / close /
     * different), with per-level probabilities m_k[l] = P(γ_k=l | M) and

@@ -245,6 +245,35 @@ class FellegiSunterSpec extends SparkSpec {
     assert(out("gy") == ((5L, 1L, BigInt(1) * S / 5)))
   }
 
+  test("uncertaintySample: k pairs nearest posterior 1/2, id tie-break") {
+    import spark.implicits._
+    val S = FellegiSunter.Scale
+    // pattern mix strong enough for EM to separate: ids encode pattern
+    val data = Seq.tabulate(240)(i =>
+      (i.toLong, (i + 1000).toLong, i % 2, (i / 2) % 2))
+    val pairs = data.toDF("id0", "id1", "gx", "gy")
+    val got = FellegiSunter.uncertaintySample(pairs, Seq("gx", "gy"),
+      Seq("id0", "id1"), k = 7).collect()
+    assert(got.length == 7)
+    // replicate: classify patterns, join, order
+    val fit = FellegiSunter.emClassify(
+        pairs.select("gx", "gy"), Seq("gx", "gy"), iters = 2)
+      .select($"gx".as[Int], $"gy".as[Int], $"posterior".as[Long])
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val want = data
+      .map { case (a, b, gx, gy) =>
+        (math.abs(fit((gx, gy)) - S / 2), a, b, gx, gy) }
+      .sorted.take(7)
+    val gotT = got.map(r => (r.getAs[Long]("uncertainty"),
+      r.getAs[Long]("id0"), r.getAs[Long]("id1"),
+      r.getAs[Int]("gx"), r.getAs[Int]("gy"))).toSeq
+    assert(gotT == want.toSeq)
+    // selected pairs carry the pattern posterior
+    got.foreach(r => assert(
+      r.getAs[Long]("posterior") ==
+        fit((r.getAs[Int]("gx"), r.getAs[Int]("gy")))))
+  }
+
   test("waterfall: factors select m/u by gamma; refold reproduces posterior") {
     import spark.implicits._
     val S = FellegiSunter.Scale

@@ -1034,6 +1034,27 @@ class AnnSpec extends SparkSpec {
     info(s"top-1 agreement = $agree/${exTop1.size}")
     assert(agree >= exTop1.size - 2)
   }
+
+  test("rrfFuse: hand-computed fusion, missing-list terms drop, 0-filled") {
+    import spark.implicits._
+    val l1 = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val l2 = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Ann.rrfFuse(Seq(l1, l2), k0 = 60)
+      .select("query_id", "neighbor_id", "rank_1", "rank_2",
+        "rrf_score", "fused_rank")
+      .as[(Long, Long, Long, Long, Double, Long)]
+      .collect().map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 11 in both lists: 1/62 + 1/61 beats 10's 1/61
+    assert(got(11L) == ((2L, 1L, r9(1.0 / 62 + 1.0 / 61), 1L)))
+    assert(got(10L) == ((1L, 0L, r9(1.0 / 61), 2L)))
+    assert(got(13L) == ((0L, 2L, r9(1.0 / 62), 3L)))
+    assert(got(12L) == ((3L, 0L, r9(1.0 / 63), 4L)))
+    assert(got.size == 4)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
