@@ -1339,6 +1339,12 @@ object SparkEntry {
           "rrf_score", "fused_rank")
         .orderBy("query_id", "fused_rank")
     }),
+    // BPE tokenizer training (Sennrich 2016): first 12 learned merges
+    // over the documents corpus — per-round vocab-level pair agg +
+    // TakeOrdered(1), merge rewrites as nested literal replaces; the
+    // oracle replays all 12 rounds as chained CTEs
+    "q_bpe_train" -> ((s, dir) =>
+      graft.textops.Bpe.train(docs(s, dir), "text", merges = 12)),
     // CLK popcount-distribution QA (the upload sanity readout anonlink
     // surfaces: saturated or empty filters break Dice discrimination):
     // per-provider histogram of popcount DIV 32 with per-dp shares
@@ -2398,9 +2404,48 @@ object SparkEntry {
     }),
   )
 
+  /** q_bpe_train's oracle, built per round count: w0 = the alpha-token
+    * frequency table with space-delimited char states; each round r
+    * counts adjacent pairs (lateral unnest over symbol positions), takes
+    * the (count DESC, pair ASC) argmax, and rewrites states with the
+    * same literal ` a b ` -> ` ab ` replace the Scala side uses; the
+    * final union reads the 12 argmax rows back in rank order. */
+  private def bpeOracleSql(merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+         w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+                       ' ' || regexp_replace(w, '(.)', '\1 ', 'g')
+                           || '</w> ' AS state
+                FROM t WHERE regexp_matches(w, '^[a-z]+$')
+                GROUP BY w)"""
+    for (r <- 1 to merges) {
+      sb ++= s""",
+         p$r AS (SELECT s[i] AS a, s[i + 1] AS b,
+                        CAST(sum(cnt) AS BIGINT) AS c
+                 FROM (SELECT string_split(trim(state), ' ') AS s, cnt
+                       FROM w${r - 1}),
+                      unnest(generate_series(1, len(s) - 1)) AS g(i)
+                 GROUP BY 1, 2),
+         b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         w$r AS (SELECT w, cnt,
+                        replace(state, ' ' || b$r.a || ' ' || b$r.b || ' ',
+                                ' ' || b$r.a || b$r.b || ' ') AS state
+                 FROM w${r - 1}, b$r)"""
+    }
+    sb ++= (1 to merges).map(r =>
+      s"""
+         SELECT CAST($r AS INT) AS merge_rank, a AS left_sym,
+                b AS right_sym, a || b AS merged, c AS pair_count
+         FROM b$r""").mkString("", " UNION ALL", "")
+    sb ++= "\n         ORDER BY merge_rank"
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeOracleSql(12),
     // The flagship CLK Dice kernel, replayed bit-for-bit by DuckDB from
     // the committed fixture dump (fixtures/febrl4_clks.parquet = the
     // febrl4 .bin CLKs as 16 bigint words + popcount per record; see

@@ -413,6 +413,47 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("bpeTrain: == local reference BPE (Sennrich) incl. overlap counting") {
+    import spark.implicits._
+    // classic BPE example corpus + an overlap probe ("aaa": pair (a,a)
+    // counts twice per word, merges leftmost-first to "aa a")
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest NO_TRAIN 42x",
+      "newest newest newest newest",
+      "widest widest widest aaa aaa")
+    val got = graft.textops.Bpe.train(corpus.toDF("text"), "text", 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // local reference: freq table -> iterate (count all adjacent
+    // positions, max by (count, lexicographic pair), merge leftmost
+    // non-overlapping)
+    var states: Map[Vector[String], Long] = corpus.flatMap(_.split(" "))
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, xs) =>
+        (w.map(_.toString).toVector :+ "</w>") -> xs.size.toLong }
+    val want = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (r <- 1 to 8) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      states.foreach { case (s, c) =>
+        s.sliding(2).foreach(p => counts((p(0), p(1))) += c) }
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      want += ((r, a, b, a + b, c))
+      states = states.map { case (s, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result() -> n
+      }
+    }
+    assert(got == want.toSeq)
+  }
+
   test("revisitDiff: changes vs revisits vs versions per url") {
     import spark.implicits._
     val snaps = Seq(
