@@ -1345,6 +1345,12 @@ object SparkEntry {
     // oracle replays all 12 rounds as chained CTEs
     "q_bpe_train" -> ((s, dir) =>
       graft.textops.Bpe.train(docs(s, dir), "text", merges = 12)),
+    // BPE encode readout: post-merge segmentation of the 30 most
+    // frequent trainable words under the 12 learned merges
+    "q_bpe_segment" -> ((s, dir) =>
+      graft.textops.Bpe.segmentTop(docs(s, dir), "text", merges = 12,
+          topK = 30)
+        .orderBy(col("cnt").desc, col("w"))),
     // CLK popcount-distribution QA (the upload sanity readout anonlink
     // surfaces: saturated or empty filters break Dice discrimination):
     // per-provider histogram of popcount DIV 32 with per-dp shares
@@ -2410,7 +2416,22 @@ object SparkEntry {
     * the (count DESC, pair ASC) argmax, and rewrites states with the
     * same literal ` a b ` -> ` ab ` replace the Scala side uses; the
     * final union reads the 12 argmax rows back in rank order. */
-  private def bpeOracleSql(merges: Int): String = {
+  private def bpeOracleSql(merges: Int): String =
+    bpeOracleCtes(merges) + (1 to merges).map(r =>
+      s"""
+         SELECT CAST($r AS INT) AS merge_rank, a AS left_sym,
+                b AS right_sym, a || b AS merged, c AS pair_count
+         FROM b$r""").mkString("", " UNION ALL", "") +
+      "\n         ORDER BY merge_rank"
+
+  /** q_bpe_segment's oracle: same chained rounds, final read of the
+    * post-merge states of the topK most frequent words. */
+  private def bpeSegmentOracleSql(merges: Int, topK: Int): String =
+    bpeOracleCtes(merges) + s"""
+         SELECT w, cnt, trim(state) AS seg FROM w$merges
+         ORDER BY cnt DESC, w LIMIT $topK"""
+
+  private def bpeOracleCtes(merges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
                          FROM documents),
@@ -2433,12 +2454,6 @@ object SparkEntry {
                                 ' ' || b$r.a || b$r.b || ' ') AS state
                  FROM w${r - 1}, b$r)"""
     }
-    sb ++= (1 to merges).map(r =>
-      s"""
-         SELECT CAST($r AS INT) AS merge_rank, a AS left_sym,
-                b AS right_sym, a || b AS merged, c AS pair_count
-         FROM b$r""").mkString("", " UNION ALL", "")
-    sb ++= "\n         ORDER BY merge_rank"
     sb.toString
   }
 
@@ -2446,6 +2461,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracleSql(12),
+    "q_bpe_segment" -> bpeSegmentOracleSql(12, 30),
     // The flagship CLK Dice kernel, replayed bit-for-bit by DuckDB from
     // the committed fixture dump (fixtures/febrl4_clks.parquet = the
     // febrl4 .bin CLKs as 16 bigint words + popcount per record; see

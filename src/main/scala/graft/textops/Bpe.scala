@@ -45,13 +45,11 @@ object Bpe {
   final case class Merge(merge_rank: Int, left_sym: String,
     right_sym: String, merged: String, pair_count: Long)
 
-  /** Train the first `merges` BPE merge operations on the corpus.
-    * @return (merge_rank, left_sym, right_sym, merged, pair_count)
-    *         ordered by merge_rank; pair_count is the frequency-weighted
-    *         adjacent-pair count AT THE ROUND THAT MERGED IT. */
-  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+  /** Shared fit loop: persisted word-frequency frame, learned merges,
+    * and the final state column (nested replaces). Caller unpersists. */
+  private def fit(docs: DataFrame, textCol: String,
+      merges: Int): (Seq[Merge], DataFrame, Column) = {
     require(merges >= 1 && merges <= 64, s"merges=$merges")
-    val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$"))
@@ -59,31 +57,64 @@ object Bpe {
       .withColumn("state", concat(lit(" "),
         regexp_replace(col("w"), "(.)", "$1 "), lit("</w> ")))
       .persist()
-    try {
-      var state: Column = col("state")
-      val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
-      var exhausted = false
-      for (r <- 1 to merges if !exhausted) {
-        val syms = split(trim(state), " ")
-        val prs = zip_with(
-          slice(syms, lit(1), size(syms) - 1),
-          slice(syms, lit(2), size(syms) - 1),
-          (x, y) => struct(x.as("a"), y.as("b")))
-        val best = words.select(col("cnt"), explode(prs).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (a, b, c) = (best(0).getString(0), best(0).getString(1),
-            best(0).getLong(2))
-          learned += Merge(r, a, b, a + b, c)
-          state = replace(state, lit(" " + a + " " + b + " "),
-            lit(" " + a + b + " "))
-        }
+    var state: Column = col("state")
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (r <- 1 to merges if !exhausted) {
+      val syms = split(trim(state), " ")
+      val prs = zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))
+      val best = words.select(col("cnt"), explode(prs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        learned += Merge(r, a, b, a + b, c)
+        state = replace(state, lit(" " + a + " " + b + " "),
+          lit(" " + a + b + " "))
       }
-      spark.createDataFrame(learned.toSeq).orderBy("merge_rank")
+    }
+    (learned.toSeq, words, state)
+  }
+
+  /** Train the first `merges` BPE merge operations on the corpus.
+    * @return (merge_rank, left_sym, right_sym, merged, pair_count)
+    *         ordered by merge_rank; pair_count is the frequency-weighted
+    *         adjacent-pair count AT THE ROUND THAT MERGED IT. */
+  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (learned, words, _) = fit(docs, textCol, merges)
+    try spark.createDataFrame(learned).orderBy("merge_rank")
+    finally words.unpersist()
+  }
+
+  /** The ENCODE side: train `merges` operations, then report the
+    * resulting subword segmentation of the `topK` most frequent words
+    * (count DESC, word ASC — deterministic) — the vocabulary readout a
+    * tokenizer build publishes (which frequent words are already single
+    * tokens, which still fragment = where the next merges would go).
+    * Output: (w, cnt, seg) with seg the space-joined subword symbols.
+    * The topK collect is a bounded model read (like the merge table
+    * itself); the segmentation of the full vocabulary stays distributed
+    * in the state column. */
+  def segmentTop(docs: DataFrame, textCol: String, merges: Int,
+      topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"topK=$topK")
+    val spark = docs.sparkSession
+    val (_, words, state) = fit(docs, textCol, merges)
+    try {
+      val rows = words.select(col("w"), col("cnt"), trim(state).as("seg"))
+        .orderBy(col("cnt").desc, col("w").asc)
+        .limit(topK)
+      spark.createDataFrame(rows.collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))))
+        .toDF("w", "cnt", "seg")
     } finally words.unpersist()
   }
 }

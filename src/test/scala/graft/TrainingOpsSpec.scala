@@ -452,6 +452,16 @@ class TextOpsSpec extends SparkSpec {
       }
     }
     assert(got == want.toSeq)
+    // encode side: segmentation of the top words == local final states
+    val seg = graft.textops.Bpe
+      .segmentTop(corpus.toDF("text"), "text", 8, 4)
+      .as[(String, Long, String)].collect().toSeq
+      .sortBy { case (w, c, _) => (-c, w) }
+    val localSeg = states.toSeq
+      .map { case (v, c) =>
+        (v.mkString.stripSuffix("</w>"), c, v.mkString(" ")) }
+      .sortBy { case (w, c, _) => (-c, w) }.take(4)
+    assert(seg == localSeg)
   }
 
   test("revisitDiff: changes vs revisits vs versions per url") {
