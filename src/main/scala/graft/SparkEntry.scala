@@ -351,6 +351,27 @@ object SparkEntry {
           upper = 0.8)
         .orderBy(col("zone"), col("dp0"), col("rec0"), col("queue_pos"),
           col("dp1"), col("rec1"))),
+    // unlinkables curve (splink's unlinkables_chart): per candidate
+    // threshold, the share of records whose BEST candidate score falls
+    // below it — the coverage cost of raising the cut, measured over the
+    // full record universe (no-candidate records count as best = 0)
+    "q_unlinkables" -> ((s, _) => {
+      val recs = ClkIO.readBinary(s, s"$FixturesDir/febrl4_a.bin", 0, 128)
+        .union(ClkIO.readBinary(s, s"$FixturesDir/febrl4_b.bin", 1, 128))
+        .toDF().select(col("dp"), col("entityId").as("rec"))
+      graft.link.Review.unlinkables(
+          Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.7)).toDF(),
+          recs, Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95))
+        .orderBy(col("threshold"))
+    }),
+    // Newman modularity of the greedy solver's clustering against the
+    // scored edge graph at the same threshold — unclustered endpoints
+    // get unique singleton labels so shredded components dilute Q
+    "q_modularity" -> ((s, _) =>
+      graft.cluster.Evaluation.modularity(
+        Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8)).toDF(),
+        febrl4Clusters(s).select(col("dp"), col("entityId").as("rec"),
+          col("clusterId").as("label")))),
     // deterministic rule-cascade tier (splink's deterministic rules in
     // front of the probabilistic kernel): ordered first-match-wins over
     // first-token-blocked document pairs — one codegen CASE projection,
@@ -1231,6 +1252,22 @@ object SparkEntry {
       graft.link.FellegiSunter
         .emClassify(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
         .orderBy("g_name", "g_type", "g_size")
+    }),
+    // EM convergence trace: the full per-iteration (λ, m, u) trajectory
+    // in the same exact fixed point — iteration i replays as the i-th
+    // chained CTE of the q_fellegi_sunter oracle
+    "q_em_trace" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+          .cast("int").as("g_name"),
+        (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
+        (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
+      graft.link.FellegiSunter
+        .emTrace(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
+        .orderBy("iter")
     }),
     // splink's estimate_u_using_random_sampling: per-field agreement
     // rates over a deterministic md5-gated record sample crossed with
@@ -2541,6 +2578,71 @@ object SparkEntry {
                   PARTITION BY (sim >= 0.8), dp0, rec0
                   ORDER BY sim DESC, dp1, rec1) AS INTEGER) END AS queue_pos
          FROM e""",
+    // unlinkables replay: kernel edges at the 0.7 floor, per-record best
+    // via endpoint union + left join onto the record universe, literal
+    // threshold list crossed with the per-record bests
+    "q_unlinkables" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.7),
+         ends AS (SELECT dp0 AS dp, rec0 AS rec, sim FROM e
+                  UNION ALL SELECT dp1, rec1, sim FROM e),
+         best AS (SELECT c.dp, c.entity_id AS rec,
+                         COALESCE(max(ends.sim), 0.0) AS best
+                  FROM c LEFT JOIN ends
+                    ON ends.dp = c.dp AND ends.rec = c.entity_id
+                  GROUP BY 1, 2),
+         t AS (SELECT CAST(unnest([0.7, 0.75, 0.8, 0.85, 0.9, 0.95])
+                 AS DOUBLE) AS threshold)
+         SELECT t.threshold,
+                CAST(count(*) AS BIGINT) AS n_records,
+                CAST(sum(CASE WHEN best.best < t.threshold
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_unlinkable,
+                round(CAST(sum(CASE WHEN best.best < t.threshold
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS frac
+         FROM t, best GROUP BY 1""",
+    // modularity replay: kernel edges at 0.8, the frozen golden
+    // clustering as labels (singleton fallback = -(packed node + 1)),
+    // Q from the exact integer sufficient statistics
+    "q_modularity" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.8),
+         lab AS (SELECT "dp" AS dp, "entityId" AS rec, "clusterId" AS label
+                 FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet'),
+         le AS (SELECT
+                  COALESCE(l0.label,
+                    -((e.dp0 * 1099511627776 + e.rec0) + 1)) AS lab0,
+                  COALESCE(l1.label,
+                    -((e.dp1 * 1099511627776 + e.rec1) + 1)) AS lab1
+                FROM e
+                LEFT JOIN lab l0 ON l0.dp = e.dp0 AND l0.rec = e.rec0
+                LEFT JOIN lab l1 ON l1.dp = e.dp1 AND l1.rec = e.rec1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                       CAST(sum(CASE WHEN lab0 = lab1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS intra
+                FROM le),
+         deg AS (SELECT lab, count(*) AS d
+                 FROM (SELECT lab0 AS lab FROM le
+                       UNION ALL SELECT lab1 FROM le)
+                 GROUP BY 1),
+         ds AS (SELECT CAST(sum(d * d) AS BIGINT) AS dsq FROM deg)
+         SELECT st.m AS n_edges, st.intra AS n_intra,
+                ds.dsq AS deg_sq_sum,
+                round((4.0 * st.m * st.intra - CAST(ds.dsq AS DOUBLE))
+                      / (4.0 * st.m * st.m), 6) AS modularity
+         FROM st, ds""",
     // rule cascade replayed as the same first-token-block join + one
     // CASE expression in the declared rule order
     "q_rule_cascade" ->
@@ -5352,6 +5454,65 @@ object SparkEntry {
                 p2.mn AS m_g_name, p2.mt AS m_g_type, p2.ms AS m_g_size,
                 p2.un AS u_g_name, p2.ut AS u_g_type, p2.us AS u_g_size
          FROM e3, p2""",
+    // EM trace replay: the SAME chained CTEs as q_fellegi_sunter, but
+    // emitting each iteration's parameter row instead of only the final
+    // pattern posteriors
+    "q_em_trace" ->
+      """WITH base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                              p_type, p_size FROM part),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_type, g_size, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         e1 AS (SELECT pc.*,
+           (((((CAST(100000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000 AS a,
+           (((((CAST(900000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000 AS b
+           FROM pc),
+         w1 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e1),
+         p1 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w1),
+         e2 AS (SELECT pc.*,
+           (((((p1.lam * (CASE WHEN g_name = 1 THEN p1.mn ELSE 1000000000 - p1.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.mt ELSE 1000000000 - p1.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.ms ELSE 1000000000 - p1.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p1.lam) * (CASE WHEN g_name = 1 THEN p1.un ELSE 1000000000 - p1.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.ut ELSE 1000000000 - p1.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.us ELSE 1000000000 - p1.us END)) // 1000000000 AS b
+           FROM pc, p1),
+         w2 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e2),
+         p2 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w2)
+         SELECT CAST(1 AS INT) AS iter, lam AS lambda,
+                mn AS m_g_name, mt AS m_g_type, ms AS m_g_size,
+                un AS u_g_name, ut AS u_g_type, us AS u_g_size
+         FROM p1
+         UNION ALL
+         SELECT CAST(2 AS INT), lam, mn, mt, ms, un, ut, us FROM p2""",
     // u estimation: same md5 sample gate + sampled cross join, one
     // aggregate melted by parallel unnest
     "q_estimate_u" ->

@@ -208,4 +208,59 @@ object Evaluation {
           col("n_records"), col("max_size"), lit(nEdges).as("n_edges"))
     }.reduce(_ union _)
   }
+
+  /** Newman modularity of a clustering against the scored edge graph:
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] where e_c = intra-cluster edges,
+    * d_c = total degree of cluster c, m = |edges| — the standard "is
+    * this partition better than chance on this graph" audit for a
+    * solver's output (Newman & Girvan 2004). A greedy 1:1 solver that
+    * shreds well-connected components shows up here as Q far below the
+    * single-link ceiling.
+    *
+    * Exact rational form: Q = (4m·Σe_c − Σd_c²) / (4m²). All three
+    * sufficient statistics are exact integers; only the final division
+    * is a double (single IEEE op — engine-identical, the accepted
+    * pattern). Σd_c² is summed with decimal(38,0) widening and reported
+    * as BIGINT — a graph where Σd_c² exceeds Long range fails the cast
+    * loudly under ANSI rather than wrapping.
+    *
+    * Endpoints absent from `labels` get a unique singleton label
+    * (−(packed node id + 1)), so unclustered-but-scored records dilute Q
+    * exactly as they should instead of silently merging.
+    *
+    * Scale shape: two keyed left joins (labels; broadcast-able when the
+    * cluster map is small), one union for degrees, three hash-aggs, one
+    * 1-row cross join. No windows, no collects.
+    *
+    * @param edges  Edge-shaped frame (sim, dp0, rec0, dp1, rec1) — the
+    *               graph, already thresholded.
+    * @param labels (dp, rec, label) cluster assignment.
+    * @return one row: (n_edges, n_intra, deg_sq_sum, modularity). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    def packed(dp: String, rec: String) =
+      shiftleft(col(dp).cast("long"), 40).bitwiseOR(col(rec))
+    val l0 = labels.select(col("dp").as("d0"), col("rec").as("r0"),
+      col("label").as("l0"))
+    val l1 = labels.select(col("dp").as("d1"), col("rec").as("r1"),
+      col("label").as("l1"))
+    val le = edges
+      .join(l0, col("dp0") === col("d0") && col("rec0") === col("r0"), "left")
+      .join(l1, col("dp1") === col("d1") && col("rec1") === col("r1"), "left")
+      .select(
+        coalesce(col("l0"), -(packed("dp0", "rec0") + 1)).as("lab0"),
+        coalesce(col("l1"), -(packed("dp1", "rec1") + 1)).as("lab1"))
+    val st = le.agg(count(lit(1)).as("m"),
+      sum(when(col("lab0") === col("lab1"), 1L).otherwise(0L)).as("intra"))
+    val dsq = le.select(col("lab0").as("lab"))
+      .unionByName(le.select(col("lab1").as("lab")))
+      .groupBy("lab").agg(count(lit(1)).as("d"))
+      .agg(sum((col("d") * col("d")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("dsq"))
+    st.crossJoin(dsq).select(
+      col("m").as("n_edges"), col("intra").as("n_intra"),
+      col("dsq").cast("long").as("deg_sq_sum"),
+      round((lit(4.0) * col("m") * col("intra")
+          - col("dsq").cast("double"))
+        / (lit(4.0) * col("m") * col("m")), 6).as("modularity"))
+  }
 }

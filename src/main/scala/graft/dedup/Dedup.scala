@@ -297,10 +297,12 @@ object Dedup {
     else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1)).distinct
   }
 
-  private def minhashBandKeys(sh: Array[String], bands: Int, rows: Int,
-      seed: Int): Array[String] = {
-    if (sh.isEmpty) return Array("b:empty")
-    val nh = bands * rows
+  /** Raw MinHash component values: component j = min over shingles of
+    * murmur3(s, seed + j·0x9e3779b1). Empty input keeps the all-MaxValue
+    * sentinel (so two empty docs estimate 1.0 — consistent with the
+    * "b:empty" band key colliding them). */
+  private def minhashValues(sh: Array[String], nh: Int,
+      seed: Int): Array[Int] = {
     val mins = Array.fill(nh)(Int.MaxValue)
     sh.foreach { s =>
       var j = 0
@@ -310,6 +312,13 @@ object Dedup {
         j += 1
       }
     }
+    mins
+  }
+
+  private def minhashBandKeys(sh: Array[String], bands: Int, rows: Int,
+      seed: Int): Array[String] = {
+    if (sh.isEmpty) return Array("b:empty")
+    val mins = minhashValues(sh, bands * rows, seed)
     Array.tabulate(bands) { b =>
       val sb = new StringBuilder(s"b$b")
       var r = 0

@@ -347,6 +347,16 @@ object FellegiSunter {
     * point. Exposed for the spec's independent-reimplementation gate. */
   private[link] def emFit(counts: Array[(Array[Int], Long)], K: Int,
       iters: Int, scale: Long): (Params, Array[Long]) = {
+    val (trace, posts) = emFitTrace(counts, K, iters, scale)
+    (trace.last, posts)
+  }
+
+  /** [[emFit]] with the full per-iteration parameter trajectory kept:
+    * element i of the returned vector is the parameter set after M-step
+    * i+1. Same exact fixed-point arithmetic — the trace rows replay in
+    * SQL as the same chained CTEs the final fit does. */
+  private[link] def emFitTrace(counts: Array[(Array[Int], Long)], K: Int,
+      iters: Int, scale: Long): (Vector[Params], Array[Long]) = {
     val S = BigInt(scale)
     def clamp(x: BigInt): Long =
       x.max(BigInt(1)).min(S - 1).toLong
@@ -370,6 +380,7 @@ object FellegiSunter {
       if (den == 0) 0L else (a * S / den).toLong
     }
 
+    val trace = Vector.newBuilder[Params]
     for (_ <- 1 to iters) {
       val w = eStep()
       var sumCW = BigInt(0)
@@ -391,8 +402,51 @@ object FellegiSunter {
       lam = clamp(sumCW / sumC)
       m = numM.map(n => clamp(if (sumCW == 0) BigInt(0) else n * S / sumCW))
       u = numU.map(n => clamp(if (sumCV == 0) BigInt(0) else n * S / sumCV))
+      trace += Params(lam, m.clone(), u.clone())
     }
-    (Params(lam, m, u), eStep())
+    (trace.result(), eStep())
+  }
+
+  /** EM convergence trace (splink's parameter-estimate history): one row
+    * per iteration with λ and every per-field m/u as the EXACT scaled
+    * integers the fixed-point fit produced — so the whole trajectory
+    * (not just the converged point) hash-replays in SQL as chained CTEs,
+    * and a user can see how far from converged `iters` left the model.
+    *
+    * Scale shape: identical to [[emClassify]] — the one distributed
+    * aggregation collapses the pair set to ≤2^K sufficient statistics;
+    * the iteration loop runs on the driver in exact integer arithmetic.
+    *
+    * @return one row per iteration: (iter, lambda, m_<field>...,
+    *         u_<field>...), all scaled longs. */
+  def emTrace(pairs: DataFrame, gammaCols: Seq[String], iters: Int = 2,
+      scale: Long = Scale): DataFrame = {
+    require(gammaCols.nonEmpty && gammaCols.size <= 16,
+      "1..16 gamma fields (2^K sufficient statistics must stay bounded)")
+    require(iters >= 1 && scale >= 1000L, "iters >= 1, scale >= 1000")
+    val spark = pairs.sparkSession
+    val K = gammaCols.size
+    val gs = gammaCols.map(c => coalesce(col(c).cast("int"), lit(0)).as(c))
+    val counts = pairs.select(gs: _*)
+      .groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect()
+      .map(r => (gammaCols.indices.map(r.getInt).toArray, r.getLong(K)))
+      .sortBy(_._1.mkString(","))
+    require(counts.nonEmpty, "no candidate pairs")
+    val (trace, _) = emFitTrace(counts, K, iters, scale)
+    val schema = StructType(
+      Seq(StructField("iter", IntegerType, nullable = false),
+        StructField("lambda", LongType, nullable = false)) ++
+        gammaCols.map(c => StructField(s"m_$c", LongType, nullable = false)) ++
+        gammaCols.map(c => StructField(s"u_$c", LongType, nullable = false)))
+    val rows = trace.zipWithIndex.map { case (p, i) =>
+      // Seq[Any] keeps the iter element an Int (a bare Seq(i+1, lambda)
+      // would widen it to Long and break the IntegerType encoder)
+      Row.fromSeq(Seq[Any](i + 1, p.lambda) ++ p.m.toSeq ++ p.u.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Splink-style TERM-FREQUENCY adjustment (splink's `tf_adjustments`;

@@ -35,4 +35,45 @@ object Review {
     z.withColumn("queue_pos",
       when(col("zone") === "review", row_number().over(w)).otherwise(lit(0)))
   }
+
+  /** Unlinkables curve (splink's `unlinkables_chart`): for each candidate
+    * threshold, the share of records whose BEST candidate score falls
+    * below it — i.e. records that no threshold choice at or above t can
+    * ever link. The deployment-tuning readout that shows what raising
+    * the cut costs in coverage before anyone reruns the pipeline.
+    *
+    * Scale shape: one union of the two edge endpoints, ONE max-aggregate
+    * keyed by record (map-side partial combine), a keyed left join onto
+    * the record universe (records with no candidate at the generation
+    * floor count as best = 0.0), then a literal threshold explode over
+    * the already-aggregated per-record frame — T·N rows into a T-key
+    * hash-agg, no window, no collect.
+    *
+    * @param edges   Edge-shaped frame (sim, dp0, rec0, dp1, rec1)
+    *                thresholded at the pipeline's generation floor; the
+    *                curve is exact for thresholds >= that floor.
+    * @param records record universe, columns (dp, rec) — one row per
+    *                record the coverage is measured over.
+    * @param thresholds candidate cuts to evaluate (each >= the floor).
+    * @return (threshold, n_records, n_unlinkable, frac) per threshold. */
+  def unlinkables(edges: DataFrame, records: DataFrame,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val ends = edges.select(col("dp0").as("dp"), col("rec0").as("rec"),
+        col("sim"))
+      .unionByName(edges.select(col("dp1").as("dp"), col("rec1").as("rec"),
+        col("sim")))
+    val best = ends.groupBy("dp", "rec").agg(max("sim").as("best"))
+    records.select(col("dp"), col("rec"))
+      .join(best, Seq("dp", "rec"), "left")
+      .select(coalesce(col("best"), lit(0.0)).as("best"))
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"),
+        col("best"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("best") < col("threshold"), 1L).otherwise(0L))
+          .as("n_unlinkable"))
+      .withColumn("frac",
+        round(col("n_unlinkable").cast("double") / col("n_records"), 6))
+  }
 }

@@ -88,6 +88,33 @@ class FellegiSunterSpec extends SparkSpec {
     }
   }
 
+  test("emTrace: row i == final params of an i-iteration fit; last == fit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dup = Seq.fill(50)((1, if (rnd.nextInt(10) < 9) 1 else 0,
+      if (rnd.nextInt(10) < 8) 1 else 0))
+    val non = Seq.fill(300)((if (rnd.nextInt(10) < 1) 1 else 0,
+      if (rnd.nextInt(10) < 2) 1 else 0, if (rnd.nextInt(10) < 1) 1 else 0))
+    val pairs = (dup ++ non).toDF("g_a", "g_b", "g_c").repartition(6)
+    val gcols = Seq("g_a", "g_b", "g_c")
+    val trace = FellegiSunter.emTrace(pairs, gcols, iters = 3)
+      .orderBy("iter").collect()
+    assert(trace.map(_.getAs[Int]("iter")).toSeq == Seq(1, 2, 3))
+    // prefix property: iteration i's row equals an i-iter fit's params
+    (1 to 3).foreach { i =>
+      val fit = FellegiSunter.emClassify(pairs, gcols, iters = i)
+        .collect().head
+      val row = trace(i - 1)
+      assert(row.getAs[Long]("lambda") == fit.getAs[Long]("lambda"), s"λ @ $i")
+      gcols.foreach { c =>
+        assert(row.getAs[Long](s"m_$c") == fit.getAs[Long](s"m_$c"), s"m @ $i")
+        assert(row.getAs[Long](s"u_$c") == fit.getAs[Long](s"u_$c"), s"u @ $i")
+      }
+    }
+    // the trajectory actually moves (iteration 1 != iteration 3)
+    assert(trace(0).getAs[Long]("lambda") != trace(2).getAs[Long]("lambda"))
+  }
+
   test("EM separates planted duplicates: m>u per field, posterior ordering") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

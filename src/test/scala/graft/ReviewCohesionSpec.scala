@@ -66,6 +66,72 @@ class ReviewSpec extends SparkSpec {
     assert(rows.forall(r => (r.getAs[Double]("sim") >= 0.8) ==
       (r.getAs[String]("zone") == "accept")))
   }
+
+  test("unlinkables == local best-score sweep incl. no-candidate records") {
+    import spark.implicits._
+    val e = Seq(
+      (0.95, 0, 1L, 1, 10L), (0.72, 0, 1L, 1, 11L),
+      (0.80, 0, 2L, 1, 10L), (0.71, 0, 3L, 1, 12L))
+      .toDF("sim", "dp0", "rec0", "dp1", "rec1")
+    // universe: 4 left + 3 right records, one (0,4) with no candidates
+    val recs = Seq((0, 1L), (0, 2L), (0, 3L), (0, 4L),
+      (1, 10L), (1, 11L), (1, 12L)).toDF("dp", "rec")
+    val thresholds = Seq(0.7, 0.8, 0.9)
+    val got = Review.unlinkables(e, recs, thresholds).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_records"), r.getAs[Long]("n_unlinkable")))
+      .toMap
+    // local: best per record over both endpoints, absent -> 0.0
+    val best = Map((0, 1L) -> 0.95, (0, 2L) -> 0.80, (0, 3L) -> 0.71,
+      (0, 4L) -> 0.0, (1, 10L) -> 0.95, (1, 11L) -> 0.72, (1, 12L) -> 0.71)
+    thresholds.foreach { t =>
+      val want = best.values.count(_ < t).toLong
+      assert(got(t) == (7L, want), s"t=$t")
+    }
+  }
+
+  test("unlinkables frac is n_unlinkable / n_records rounded to 6") {
+    import spark.implicits._
+    val e = Seq((0.9, 0, 1L, 1, 10L)).toDF("sim", "dp0", "rec0", "dp1", "rec1")
+    val recs = Seq((0, 1L), (0, 2L), (0, 3L)).toDF("dp", "rec")
+    val r = Review.unlinkables(e, recs, Seq(0.8)).collect().head
+    assert(r.getAs[Long]("n_unlinkable") == 2L)
+    assert(math.abs(r.getAs[Double]("frac") - 0.666667) < 1e-9)
+  }
+
+  test("modularity == local computation on a known two-cluster graph") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge; labels = the triangles
+    val e = Seq(
+      (1.0, 0, 1L, 0, 2L), (1.0, 0, 2L, 0, 3L), (1.0, 0, 1L, 0, 3L),
+      (1.0, 0, 4L, 0, 5L), (1.0, 0, 5L, 0, 6L), (1.0, 0, 4L, 0, 6L),
+      (0.9, 0, 3L, 0, 4L))
+      .toDF("sim", "dp0", "rec0", "dp1", "rec1")
+    val labels = Seq((0, 1L, 100L), (0, 2L, 100L), (0, 3L, 100L),
+      (0, 4L, 200L), (0, 5L, 200L), (0, 6L, 200L))
+      .toDF("dp", "rec", "label")
+    val r = Evaluation.modularity(e, labels).collect().head
+    // m=7, intra=6, degrees: cluster 100 d=7, cluster 200 d=7 -> dsq=98
+    assert(r.getAs[Long]("n_edges") == 7L)
+    assert(r.getAs[Long]("n_intra") == 6L)
+    assert(r.getAs[Long]("deg_sq_sum") == 98L)
+    val want = (4.0 * 7 * 6 - 98.0) / (4.0 * 7 * 7)
+    assert(math.abs(r.getAs[Double]("modularity") -
+      math.rint(want * 1e6) / 1e6) < 1e-12)
+  }
+
+  test("modularity: unlabeled endpoints get unique singleton labels") {
+    import spark.implicits._
+    val e = Seq((0.9, 0, 1L, 1, 2L), (0.9, 0, 1L, 1, 3L))
+      .toDF("sim", "dp0", "rec0", "dp1", "rec1")
+    // only record (0,1) is labeled; (1,2) and (1,3) are singletons
+    val labels = Seq((0, 1L, 7L)).toDF("dp", "rec", "label")
+    val r = Evaluation.modularity(e, labels).collect().head
+    assert(r.getAs[Long]("n_edges") == 2L)
+    assert(r.getAs[Long]("n_intra") == 0L)
+    // degrees: label 7 d=2, two singletons d=1 each -> dsq = 4+1+1
+    assert(r.getAs[Long]("deg_sq_sum") == 6L)
+  }
 }
 
 /** Cluster-cohesion audit: per-component implied-pair closure vs scored
