@@ -43,6 +43,10 @@ object SparkEntry {
         .toDF().where(col("ok")).select(col("doc"), col("cells"))),
     "minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")),
+    // raw component values ride along so the estimator-accuracy oracle
+    // re-derives n_eq/est/exact from the dump (hash family spec-gated)
+    "minhash_acc_sig" -> ((s, dir) =>
+      Dedup.minhashComponentSignatures(docs(s, dir), "doc_id", "text")),
     "wminhash_sig" -> ((s, dir) =>
       Dedup.weightedMinhashSignatures(docs(s, dir), "doc_id", "text")),
     "simhash_sig" -> ((s, dir) =>
@@ -733,6 +737,11 @@ object SparkEntry {
       val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
       base.select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
     }),
+    // Gopher (MassiveWeb) quality-filter flags: per-rule booleans +
+    // conjunction, thresholds tuned to this corpus register
+    "q_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // composite cleaning pipeline: quality window + language gate + dedup
     "q_clean_corpus" -> ((s, dir) =>
       TextOps.cleanCorpus(docs(s, dir), "doc_id", "text")
@@ -1268,6 +1277,37 @@ object SparkEntry {
       graft.link.FellegiSunter
         .emTrace(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
         .orderBy("iter")
+    }),
+    // model-expected PR curve: threshold selection from the fitted
+    // posteriors alone — exact scaled cumulative sums over the ≤2^K
+    // pattern rows, one row per distinct posterior cut
+    "q_fs_pr_curve" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+          .cast("int").as("g_name"),
+        (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
+        (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
+      graft.link.FellegiSunter
+        .modelPrCurve(pairs, Seq("g_name", "g_type", "g_size"), iters = 2)
+        .orderBy(desc("posterior"))
+    }),
+    // conditional-independence diagnostic: observed vs expected pattern
+    // counts under field independence, exact scaled lift per pattern
+    "q_pattern_indep" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+          .cast("int").as("g_name"),
+        (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
+        (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
+      graft.link.FellegiSunter
+        .patternIndependence(pairs, Seq("g_name", "g_type", "g_size"))
+        .orderBy("g_name", "g_type", "g_size")
     }),
     // splink's estimate_u_using_random_sampling: per-field agreement
     // rates over a deterministic md5-gated record sample crossed with
@@ -1814,6 +1854,11 @@ object SparkEntry {
     // ---- DedupSpec/AnnSpec) ----
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id0"), col("id1"))),
+    // estimator-accuracy audit: k-component MinHash estimate vs exact
+    // shingle Jaccard per LSH candidate (unthresholded — misses matter)
+    "q_minhash_acc" -> ((s, dir) =>
+      Dedup.minhashAccuracy(docs(s, dir), "doc_id", "text")
         .orderBy(col("id0"), col("id1"))),
     // weighted-minhash LSH: bag-similarity blocking WITHOUT a block key
     // (multiset-expansion minhash); exact capped-tf confirm
@@ -4087,6 +4132,28 @@ object SparkEntry {
            FROM m a JOIN m b ON a.doc < b.doc
              AND len(list_intersect(a.bks, b.bks)) > 0)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // estimator-accuracy replay: same pairing as q_minhash_pairs, n_eq
+    // from positional component equality over the dumped vals arrays
+    "q_minhash_acc" ->
+      s"""WITH m AS (SELECT doc, sh, vals, bks
+                     FROM '$OracleAuxDir/minhash_acc_sig/*.parquet'),
+         p AS (
+           SELECT a.doc AS id0, b.doc AS id1,
+                  CAST(list_sum(list_transform(range(1, 33),
+                    i -> CASE WHEN a.vals[i] = b.vals[i]
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_eq,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+           FROM m a JOIN m b ON a.doc < b.doc
+             AND len(list_intersect(a.bks, b.bks)) > 0),
+         q AS (SELECT id0, id1, n_eq,
+                      round(CAST(n_eq AS DOUBLE) / 32, 4) AS est_jaccard,
+                      jaccard
+               FROM p)
+         SELECT id0, id1, n_eq, est_jaccard, jaccard,
+                round(abs(est_jaccard - jaccard), 4) AS abs_err
+         FROM q""",
     // weighted-LSH replay from the wminhash_sig dump: candidates share a
     // band key; mem entries are unique ("tok§i"), so list_intersect IS
     // the capped Σmin and the integer cut replays exactly
@@ -4676,6 +4743,28 @@ object SparkEntry {
                 round(CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE)
                       / len(str_split(text, ' ')), 4) AS mean_token_len
          FROM documents""",
+    // Gopher flags replay: one tokenize, same unrounded-double rule
+    // comparisons, display columns rounded exactly as the Spark side
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+                CAST(len(str_split(text, ' ')) AS BIGINT) AS n,
+                CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS nd,
+                CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                  ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS nstop
+              FROM documents),
+         u AS (SELECT doc_id, n, nd, nstop,
+                 CAST(length(text) - (n - 1) AS DOUBLE) / n AS ml,
+                 CAST(n - nd AS DOUBLE) / n AS df
+               FROM t)
+         SELECT doc_id, n AS n_words, round(ml, 4) AS mean_word_len,
+                nstop AS n_stopwords, round(df, 4) AS dup_frac,
+                (n >= 15 AND n <= 40) AS ok_words,
+                (ml >= 3.0 AND ml <= 10.0) AS ok_mean_len,
+                (nstop >= 2) AS ok_stopwords,
+                (df <= 0.4) AS ok_dup,
+                ((n >= 15 AND n <= 40) AND (ml >= 3.0 AND ml <= 10.0)
+                 AND nstop >= 2 AND df <= 0.4) AS pass
+         FROM u""",
     // entropy replay: identical formula; libm log2 over small integer
     // tfs + round(6) is the accepted unigram-logprob FP pattern
     "q_entropy" ->
@@ -5513,6 +5602,126 @@ object SparkEntry {
          FROM p1
          UNION ALL
          SELECT CAST(2 AS INT), lam, mn, mt, ms, un, ut, us FROM p2""",
+    // model PR curve: the q_fellegi_sunter replay through e3, then the
+    // per-posterior-cut cumulative sums as HUGEINT window aggregates
+    "q_fs_pr_curve" ->
+      """WITH base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                              p_type, p_size FROM part),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_type, g_size, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         e1 AS (SELECT pc.*,
+           (((((CAST(100000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000 AS a,
+           (((((CAST(900000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 100000000 ELSE 900000000 END)) // 1000000000 AS b
+           FROM pc),
+         w1 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e1),
+         p1 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w1),
+         e2 AS (SELECT pc.*,
+           (((((p1.lam * (CASE WHEN g_name = 1 THEN p1.mn ELSE 1000000000 - p1.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.mt ELSE 1000000000 - p1.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.ms ELSE 1000000000 - p1.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p1.lam) * (CASE WHEN g_name = 1 THEN p1.un ELSE 1000000000 - p1.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.ut ELSE 1000000000 - p1.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.us ELSE 1000000000 - p1.us END)) // 1000000000 AS b
+           FROM pc, p1),
+         w2 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e2),
+         p2 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_name) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_type) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * (1000000000 - w) * g_size) AS HUGEINT) * 1000000000) // SUM(c * (1000000000 - w)))) AS BIGINT) AS us
+           FROM w2),
+         e3 AS (SELECT pc.*,
+           (((((p2.lam * (CASE WHEN g_name = 1 THEN p2.mn ELSE 1000000000 - p2.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.mt ELSE 1000000000 - p2.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.ms ELSE 1000000000 - p2.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p2.lam) * (CASE WHEN g_name = 1 THEN p2.un ELSE 1000000000 - p2.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.ut ELSE 1000000000 - p2.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.us ELSE 1000000000 - p2.us END)) // 1000000000 AS b
+           FROM pc, p2),
+         posts AS (SELECT CAST((e3.a * 1000000000) // (e3.a + e3.b) AS BIGINT)
+                            AS posterior,
+                          e3.c AS n
+                   FROM e3),
+         byw AS (SELECT posterior, CAST(sum(n) AS BIGINT) AS n_pairs
+                 FROM posts GROUP BY 1),
+         cum AS (SELECT posterior, n_pairs,
+                   CAST(sum(CAST(n_pairs AS HUGEINT) * posterior)
+                        OVER (ORDER BY posterior DESC) AS BIGINT)
+                     AS exp_tp_scaled,
+                   CAST(sum(CAST(n_pairs AS HUGEINT) * (1000000000 - posterior))
+                        OVER (ORDER BY posterior DESC) AS BIGINT)
+                     AS exp_fp_scaled,
+                   CAST(sum(CAST(n_pairs AS HUGEINT) * posterior)
+                        OVER () AS BIGINT) AS exp_matches_scaled
+                 FROM byw)
+         SELECT posterior, n_pairs, exp_tp_scaled, exp_fp_scaled,
+                exp_matches_scaled,
+                round(CAST(exp_tp_scaled AS DOUBLE)
+                      / (exp_tp_scaled + exp_fp_scaled), 6) AS precision,
+                round(CAST(exp_tp_scaled AS DOUBLE)
+                      / exp_matches_scaled, 6) AS recall
+         FROM cum""",
+    // independence diagnostic: expected = Π marginals / N^(K-1) and the
+    // capped lift, all HUGEINT floor arithmetic over the pattern counts
+    "q_pattern_indep" ->
+      """WITH base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                              p_type, p_size FROM part),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_type, g_size, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         st AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                       CAST(sum(c * g_name) AS HUGEINT) AS o1,
+                       CAST(sum(c * g_type) AS HUGEINT) AS o2,
+                       CAST(sum(c * g_size) AS HUGEINT) AS o3
+                FROM pc),
+         e AS (SELECT pc.*, st.n AS n,
+                 (CASE WHEN g_name = 1 THEN st.o1 ELSE st.n - st.o1 END)
+               * (CASE WHEN g_type = 1 THEN st.o2 ELSE st.n - st.o2 END)
+               * (CASE WHEN g_size = 1 THEN st.o3 ELSE st.n - st.o3 END)
+                 AS prod
+               FROM pc, st)
+         SELECT CAST(g_name AS INT) AS g_name,
+                CAST(g_type AS INT) AS g_type,
+                CAST(g_size AS INT) AS g_size,
+                c AS n_pairs,
+                CAST((prod * 1000000000) // (n * n) AS BIGINT)
+                  AS expected_scaled,
+                CAST(CASE WHEN prod = 0 THEN 0
+                     ELSE LEAST((CAST(c AS HUGEINT) * 1000000000 * n * n)
+                                  // prod,
+                                CAST(1000000 AS HUGEINT) * 1000000000) END
+                  AS BIGINT) AS lift_scaled
+         FROM e""",
     // u estimation: same md5 sample gate + sampled cross join, one
     // aggregate melted by parallel unnest
     "q_estimate_u" ->

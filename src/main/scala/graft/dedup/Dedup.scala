@@ -341,6 +341,71 @@ object Dedup {
       .withColumn("bks", keysUdf(col("sh")))
   }
 
+  /** [[minhashSignatures]] plus the raw per-component minimum hash
+    * values (`vals`, length bands·rowsPerBand) — the state the
+    * estimator-accuracy audit and its oracle replay need. Kept separate
+    * from the production signature table so the band keys stay the only
+    * thing the LSH hot path carries. */
+  def minhashComponentSignatures(df: DataFrame, id: String, text: String,
+      bands: Int = 8, rowsPerBand: Int = 4, seed: Int = 0xd5ed): DataFrame = {
+    val nh = bands * rowsPerBand
+    val shUdf = udf((t: String) => shingles2(if (t == null) "" else t))
+    val valsUdf = udf((sh: Seq[String]) =>
+      minhashValues(if (sh == null) Array.empty else sh.toArray, nh, seed))
+    val keysUdf = udf((sh: Seq[String]) =>
+      minhashBandKeys(if (sh == null) Array.empty else sh.toArray, bands,
+        rowsPerBand, seed))
+    df.select(col(id).as("doc"), shUdf(col(text)).as("sh"))
+      .withColumn("vals", valsUdf(col("sh")))
+      .withColumn("bks", keysUdf(col("sh")))
+  }
+
+  /** MinHash estimator-accuracy audit: for every LSH candidate pair, the
+    * k-component MinHash Jaccard estimate (share of equal components —
+    * the textbook unbiased estimator) NEXT TO the exact shingle Jaccard,
+    * with the absolute error. The tuning readout that says whether
+    * bands·rows is enough signature for the corpus before anyone trusts
+    * the LSH recall at 100 TB — a fat error tail means more rows per
+    * band, not a lower threshold.
+    *
+    * Scale shape: identical to [[minhashLshPairs]] — pair generation
+    * carries bare (bucket, id) through the salted join; signatures join
+    * back once per side; the component-equality count is a codegen'd
+    * zip_with/aggregate over two fixed-length int arrays.
+    *
+    * @return (id0, id1, n_eq, est_jaccard, jaccard, abs_err) per LSH
+    *         candidate pair (unthresholded — the audit wants the
+    *         misses too). */
+  def minhashAccuracy(df: DataFrame, id: String, text: String,
+      bands: Int = 8, rowsPerBand: Int = 4, seed: Int = 0xd5ed,
+      aim: Long = PairAim): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = persistLatest("minhash_acc",
+      minhashComponentSignatures(df, id, text, bands, rowsPerBand, seed)
+        .withColumn("shh", hashedSet(col("sh"))))
+    val ids = sig.select(explode(col("bks")).as("bk"), col("doc").as("id"))
+    val pairs = saltedSelfPairs(ids, aim)
+      .select("id0", "id1")
+      .dropDuplicates("id0", "id1")
+    val joined = pairs
+      .join(sig.select(col("doc").as("id0"), col("shh").as("sh0"),
+        col("vals").as("v0")), "id0")
+      .join(sig.select(col("doc").as("id1"), col("shh").as("sh1"),
+        col("vals").as("v1")), "id1")
+    val inter = graft.expr.sortedIntersectCount(col("sh0"), col("sh1"))
+      .cast("double")
+    val nEq = aggregate(
+      zip_with(col("v0"), col("v1"),
+        (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    joined.select(col("id0"), col("id1"), nEq.as("n_eq"),
+        round(nEq.cast("double") / k, 4).as("est_jaccard"),
+        round(inter / (size(col("sh0")) + size(col("sh1")) - inter), 4)
+          .as("jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("jaccard")), 4))
+  }
+
   /** MinHash-LSH near-dup candidate pairs over word-bigram shingles:
     * band-bucket join, then exact shingle-Jaccard confirm.
     *

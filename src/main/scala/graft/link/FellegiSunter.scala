@@ -1,6 +1,7 @@
 package graft.link
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -136,6 +137,102 @@ object FellegiSunter {
         col("e.field").as("field"), col("e.f_m").as("f_m"),
         col("e.f_u").as("f_u"),
         expr(s"e.f_m * ${scale}L DIV e.f_u").as("bayes_scaled")): _*)
+  }
+
+  /** Model-expected precision/recall curve — threshold selection FROM
+    * the fitted model, before any labels exist (the readout splink users
+    * build from `predict()` histograms): treating the fitted posterior
+    * w(γ) as each pattern's match probability, cutting at posterior p
+    * accepts all patterns with w ≥ p and expects
+    * TP = Σ_{w≥p} n·w, FP = Σ_{w≥p} n·(S−w), FN = Σ_{w<p} n·w.
+    * Every sum is an EXACT scaled integer (decimal-widened against the
+    * n·w ≈ 10^12·10^9 product; reported columns cast back to BIGINT — a
+    * corpus whose sums exceed Long range fails loudly under ANSI).
+    *
+    * Scale shape: runs entirely on [[emClassify]]'s ≤2^K pattern rows —
+    * the global window is over a MODEL table bounded by K ≤ 16, never
+    * the pairs.
+    *
+    * @return one row per distinct posterior cut, descending:
+    *         (posterior, n_pairs, exp_tp_scaled, exp_fp_scaled,
+    *         exp_matches_scaled, precision, recall). */
+  def modelPrCurve(pairs: DataFrame, gammaCols: Seq[String],
+      iters: Int = 2, scale: Long = Scale): DataFrame = {
+    val fit = emClassify(pairs, gammaCols, iters, scale)
+    val byw = fit.groupBy(col("posterior"))
+      .agg(sum(col("n_pairs")).as("n"))
+    val nw = col("n").cast("decimal(38,0)") * col("posterior")
+    val nv = col("n").cast("decimal(38,0)") * (lit(scale) - col("posterior"))
+    val w = Window.orderBy(col("posterior").desc)
+    val tot = byw.agg(sum(nw).cast("decimal(38,0)").cast("long")
+      .as("exp_matches_scaled"))
+    byw
+      .withColumn("exp_tp_scaled", sum(nw).over(w).cast("long"))
+      .withColumn("exp_fp_scaled", sum(nv).over(w).cast("long"))
+      .crossJoin(tot)
+      .select(col("posterior"), col("n").as("n_pairs"),
+        col("exp_tp_scaled"), col("exp_fp_scaled"),
+        col("exp_matches_scaled"),
+        round(col("exp_tp_scaled").cast("double")
+          / (col("exp_tp_scaled") + col("exp_fp_scaled")), 6).as("precision"),
+        round(col("exp_tp_scaled").cast("double")
+          / col("exp_matches_scaled"), 6).as("recall"))
+  }
+
+  /** Conditional-independence diagnostic (the assumption the whole
+    * Fellegi–Sunter factorisation stands on): per observed pattern γ,
+    * the EXPECTED pair count under full field independence — the
+    * product of per-field marginals, E[γ] = N·Π_k (n_k(γ_k)/N) — next
+    * to the observed count, plus the lift obs/expected. Patterns with
+    * lift far from 1 mark correlated fields (splink's comparison-level
+    * correlation warning; Winkler's interaction-term diagnostics).
+    *
+    * Exact fixed point: expected_scaled = (Π n_k(γ_k))·scale / N^(K−1)
+    * and lift_scaled = obs·scale·N^(K−1) / Π n_k(γ_k), both BigInt floor
+    * divisions on the driver over the ≤2^K sufficient statistics (the
+    * [[emClassify]] collect discipline). lift saturates at 10^6·scale —
+    * a vanishing expected count would otherwise overflow the output
+    * long. expected_scaled overflows long once E ≥ 2^63/scale pairs
+    * (≈9.2e9 at the default 10^9); pass a smaller scale beyond that.
+    *
+    * @return one row per observed pattern: (gammas..., n_pairs,
+    *         expected_scaled, lift_scaled). */
+  def patternIndependence(pairs: DataFrame, gammaCols: Seq[String],
+      scale: Long = Scale): DataFrame = {
+    require(gammaCols.nonEmpty && gammaCols.size <= 16,
+      "1..16 gamma fields (2^K sufficient statistics must stay bounded)")
+    val spark = pairs.sparkSession
+    val K = gammaCols.size
+    val gs = gammaCols.map(c => coalesce(col(c).cast("int"), lit(0)).as(c))
+    val counts = pairs.select(gs: _*)
+      .groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect()
+      .map(r => (gammaCols.indices.map(r.getInt).toArray, r.getLong(K)))
+      .sortBy(_._1.mkString(","))
+    require(counts.nonEmpty, "no candidate pairs")
+    val n = BigInt(counts.map(_._2).sum)
+    val ones = Array.tabulate(K)(k =>
+      BigInt(counts.collect { case (g, c) if g(k) == 1 => c }.sum))
+    val s = BigInt(scale)
+    val liftCap = s * 1000000L
+    val nPow = n.pow(K - 1)
+    val rows = counts.map { case (g, c) =>
+      val prod = (0 until K).map(k =>
+        if (g(k) == 1) ones(k) else n - ones(k)).product
+      val expected = (prod * s / nPow).toLong
+      val lift =
+        if (prod == 0) 0L
+        else (BigInt(c) * s * nPow / prod).min(liftCap).toLong
+      Row.fromSeq(g.toSeq ++ Seq(c, expected, lift))
+    }
+    val schema = StructType(
+      gammaCols.map(c => StructField(c, IntegerType, nullable = false)) ++
+        Seq(StructField("n_pairs", LongType, nullable = false),
+          StructField("expected_scaled", LongType, nullable = false),
+          StructField("lift_scaled", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
   /** Direct u estimation from a record sample (splink's

@@ -53,6 +53,43 @@ object TextOps {
   /** Stopword hits for heuristic language ID. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
+  /** Gopher quality-filter flags (Rae et al. 2021, "Scaling Language
+    * Models" Appendix A — the MassiveWeb rule set), with the thresholds
+    * parameterised for corpus register: word-count window, mean-word-
+    * length window, distinct-stopword floor, duplicate-word ceiling.
+    * Emits every per-rule boolean PLUS the conjunction, so a curation
+    * run can report which rule rejected what instead of one opaque drop
+    * count — the per-rule attrition is the tuning signal.
+    *
+    * All pure column algebra over one tokenize: map-side only, no
+    * shuffle — at 100 TB this is a scan. The rule flags compare the
+    * UNROUNDED doubles (the reported columns are display-rounded).
+    *
+    * @return (id, n_words, mean_word_len, n_stopwords, dup_frac,
+    *         ok_words, ok_mean_len, ok_stopwords, ok_dup, pass). */
+  def gopherRules(df: DataFrame, id: String, text: String,
+      minWords: Long = 15L, maxWords: Long = 40L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopwords: Long = 2L, maxDupFrac: Double = 0.4): DataFrame = {
+    val toks = split(col(text), " ")
+    val n = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    val meanLen = (length(col(text)) - (n - 1)).cast("double") / n
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(EnStopwords.map(lit): _*))).cast("long")
+    val dupFrac = (n - nd).cast("double") / n
+    val okWords = n >= minWords && n <= maxWords
+    val okMean = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val okStop = nStop >= minStopwords
+    val okDup = dupFrac <= maxDupFrac
+    df.select(col(id), n.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"), nStop.as("n_stopwords"),
+      round(dupFrac, 4).as("dup_frac"), okWords.as("ok_words"),
+      okMean.as("ok_mean_len"), okStop.as("ok_stopwords"),
+      okDup.as("ok_dup"),
+      (okWords && okMean && okStop && okDup).as("pass"))
+  }
+
   /** Heuristic language ID: fraction of tokens that are English stopwords;
     * >= 0.05 classifies "en", else "unk". (An n-gram frequency heuristic;
     * deterministic, SQL-replayable.) */

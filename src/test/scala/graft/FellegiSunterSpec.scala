@@ -115,6 +115,78 @@ class FellegiSunterSpec extends SparkSpec {
     assert(trace(0).getAs[Long]("lambda") != trace(2).getAs[Long]("lambda"))
   }
 
+  test("modelPrCurve == local BigInt cumulative sums over the fitted patterns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dup = Seq.fill(40)((1, if (rnd.nextInt(10) < 9) 1 else 0,
+      if (rnd.nextInt(10) < 8) 1 else 0))
+    val non = Seq.fill(250)((if (rnd.nextInt(10) < 1) 1 else 0,
+      if (rnd.nextInt(10) < 2) 1 else 0, if (rnd.nextInt(10) < 1) 1 else 0))
+    val pairs = (dup ++ non).toDF("g_a", "g_b", "g_c").repartition(5)
+    val gcols = Seq("g_a", "g_b", "g_c")
+    val fit = FellegiSunter.emClassify(pairs, gcols, iters = 2).collect()
+      .map(r => (r.getAs[Long]("posterior"), r.getAs[Long]("n_pairs")))
+    val byw = fit.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(-_._1)
+    val S = BigInt(scale)
+    val totTp = byw.map { case (w, n) => BigInt(n) * w }.sum
+    var tp = BigInt(0); var fp = BigInt(0)
+    val want = byw.map { case (w, n) =>
+      tp += BigInt(n) * w; fp += BigInt(n) * (S - w)
+      (w, n, tp.toLong, fp.toLong, totTp.toLong)
+    }
+    val got = FellegiSunter.modelPrCurve(pairs, gcols, iters = 2)
+      .orderBy(org.apache.spark.sql.functions.desc("posterior")).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (w, n, etp, efp, tot)) =>
+      assert(r.getAs[Long]("posterior") == w)
+      assert(r.getAs[Long]("n_pairs") == n)
+      assert(r.getAs[Long]("exp_tp_scaled") == etp)
+      assert(r.getAs[Long]("exp_fp_scaled") == efp)
+      assert(r.getAs[Long]("exp_matches_scaled") == tot)
+      assert(math.abs(r.getAs[Double]("precision") -
+        math.rint(etp.toDouble / (etp + efp) * 1e6) / 1e6) < 1e-12)
+      assert(math.abs(r.getAs[Double]("recall") -
+        math.rint(etp.toDouble / tot * 1e6) / 1e6) < 1e-12)
+    }
+    // precision falls and recall rises as the cut loosens
+    val precs = got.map(_.getAs[Double]("precision")).toSeq
+    val recs = got.map(_.getAs[Double]("recall")).toSeq
+    assert(recs == recs.sorted)
+    assert(precs.head >= precs.last)
+  }
+
+  test("patternIndependence == local BigInt marginal products; lift caps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(500)((if (rnd.nextInt(4) == 0) 1 else 0,
+      if (rnd.nextInt(3) == 0) 1 else 0, if (rnd.nextInt(5) == 0) 1 else 0))
+    val pairs = rows.toDF("g_a", "g_b", "g_c").repartition(4)
+    val gcols = Seq("g_a", "g_b", "g_c")
+    val got = FellegiSunter.patternIndependence(pairs, gcols)
+      .collect()
+      .map(r => Seq(r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("expected_scaled"),
+          r.getAs[Long]("lift_scaled"))).toMap
+    val counts = rows.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = BigInt(rows.size)
+    val S = BigInt(scale)
+    val ones = (0 until 3).map(k => BigInt(rows.count(r =>
+      k match { case 0 => r._1 == 1; case 1 => r._2 == 1; case _ => r._3 == 1 })))
+    assert(got.size == counts.size)
+    counts.foreach { case (g, c) =>
+      val gs = Seq(g._1, g._2, g._3)
+      val prod = (0 until 3).map(k =>
+        if (gs(k) == 1) ones(k) else n - ones(k)).product
+      val expected = (prod * S / n.pow(2)).toLong
+      val lift = if (prod == 0) 0L
+        else (BigInt(c) * S * n.pow(2) / prod).min(S * 1000000L).toLong
+      val (gn, ge, gl) = got(gs)
+      assert(gn == c && ge == expected && gl == lift, s"pattern $gs")
+    }
+  }
+
   test("EM separates planted duplicates: m>u per field, posterior ordering") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -488,6 +488,42 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("gopherRules: flags match a local rule evaluation incl. edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog of the north and to all men"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "x y z"),
+      (4L, ("the a of and to " + (1 to 20).map(i => s"w$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.collect().foreach { row =>
+      val id = row.getLong(0); val t = row.getString(1)
+      val toks = t.split(" ")
+      val n = toks.length.toLong
+      val nd = toks.distinct.length.toLong
+      val ml = (t.length - (n - 1)).toDouble / n
+      val nstop = toks.distinct
+        .count(Set("the", "a", "of", "and", "to")).toLong
+      val df = (n - nd).toDouble / n
+      val r = got(id)
+      assert(r.getAs[Long]("n_words") == n)
+      assert(r.getAs[Long]("n_stopwords") == nstop)
+      assert(r.getAs[Boolean]("ok_words") == (n >= 15 && n <= 40), s"id=$id")
+      assert(r.getAs[Boolean]("ok_mean_len") == (ml >= 3.0 && ml <= 10.0))
+      assert(r.getAs[Boolean]("ok_stopwords") == (nstop >= 2))
+      assert(r.getAs[Boolean]("ok_dup") == (df <= 0.4))
+      assert(r.getAs[Boolean]("pass") ==
+        ((n >= 15 && n <= 40) && (ml >= 3.0 && ml <= 10.0) &&
+          nstop >= 2 && df <= 0.4), s"pass id=$id")
+    }
+    // the fixture corpus exercises both outcomes
+    assert(got(1L).getAs[Boolean]("pass"))
+    assert(!got(2L).getAs[Boolean]("pass")) // all-dup, no stopwords
+    assert(!got(3L).getAs[Boolean]("pass")) // too short
+  }
+
   test("fingerprint64: FNV-1a vectors + determinism") {
     // FNV-1a 64 known vectors
     assert(TextOps.fingerprint64("") == 0xcbf29ce484222325L)
@@ -532,6 +568,54 @@ class DedupSpec extends SparkSpec {
     val recall = if (truth.isEmpty) 1.0 else got.size.toDouble / truth.size
     info(s"lsh pairs=${got.size} truth=${truth.size} recall=$recall")
     assert(recall >= 0.9, s"LSH recall $recall")
+  }
+
+  test("minhashAccuracy == independent minhash/jaccard reimplementation") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    val seed = 0xd5ed
+    val k = 32
+    val got = Dedup.minhashAccuracy(documents, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id0"), r.getAs[Long]("id1")) ->
+        (r.getAs[Long]("n_eq"), r.getAs[Double]("est_jaccard"),
+          r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err"))).toMap
+    assert(got.nonEmpty)
+    // independent reimplementation of the hash family + banding
+    val txts = documents.select($"doc_id".as[Long], $"text".as[String])
+      .collect()
+    def mins(t: String): Array[Int] = {
+      val sh = Dedup.shingles2(t)
+      Array.tabulate(k)(j =>
+        sh.foldLeft(Int.MaxValue)((m, s) =>
+          math.min(m, MurmurHash3.stringHash(s, seed + j * 0x9e3779b1))))
+    }
+    def bands(v: Array[Int]): Set[String] =
+      (0 until 8).map(b => s"b$b:" + (0 until 4).map(r =>
+        v(b * 4 + r)).mkString(":")).toSet
+    val sigs = txts.map { case (id, t) => (id, Dedup.shingles2(t).toSet,
+      mins(t)) }
+    var checked = 0
+    for {
+      (i, si, vi) <- sigs; (j, sj, vj) <- sigs
+      if i < j && bands(vi).intersect(bands(vj)).nonEmpty
+    } {
+      val nEq = (0 until k).count(x => vi(x) == vj(x)).toLong
+      // HALF_UP like Spark's round (n/32 hits exact .5 boundaries)
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val est = r4(nEq.toDouble / k)
+      val in = si.intersect(sj).size.toDouble
+      val jac = r4(in / (si.size + sj.size - in))
+      val err = r4(math.abs(est - jac))
+      assert(got.contains((i, j)), s"missing candidate ($i,$j)")
+      val (gn, ge, gj, ga) = got((i, j))
+      assert(gn == nEq && math.abs(ge - est) < 1e-12 &&
+        math.abs(gj - jac) < 1e-12 && math.abs(ga - err) < 1e-12,
+        s"pair ($i,$j)")
+      checked += 1
+    }
+    assert(checked == got.size, s"extra pairs: got ${got.size}, want $checked")
   }
 
   test("weighted minhash LSH: subset of bag brute force, exact values, high recall") {
