@@ -2394,6 +2394,34 @@ object SparkEntry {
         fix("febrl4_golden_clusters_t075.parquet"),
         fix("febrl4_golden_clusters.parquet"), "id", "clusterId")
     }),
+    // persistent cluster ids across the t075 -> t08 runs: a new cluster
+    // adopts an old id only as its RECIPROCAL best-overlap partner
+    "q_persistent_ids" -> ((s, _) => {
+      def fix(f: String) = s.read.parquet(s"$FixturesDir/$f")
+        .select((col("dp").cast("long") * 10000 + col("entityId")).as("id"),
+          col("clusterId"))
+      graft.cluster.Evaluation.persistentIds(
+          fix("febrl4_golden_clusters_t075.parquet"),
+          fix("febrl4_golden_clusters.parquet"), "id", "clusterId")
+        .orderBy(col("new_cluster"))
+    }),
+    // 1:many violation audit: distribution of per-record accepted-edge
+    // counts per provider at the accept threshold
+    "q_match_multiplicity" -> ((s, _) =>
+      graft.cluster.Evaluation.matchMultiplicity(
+          Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8)).toDF())
+        .orderBy(col("dp"), col("n_matches"))),
+    // transitive-closure quality: exact Dice over every IMPLIED member
+    // pair of each golden cluster (kernel recomputed from packed words)
+    "q_cluster_sim_range" -> ((s, _) => {
+      val labels = s.read.parquet(s"$FixturesDir/febrl4_golden_clusters.parquet")
+        .select(col("dp"), col("entityId").as("rec"),
+          col("clusterId").as("label"))
+      val clks = s.read.parquet(s"$FixturesDir/febrl4_clks.parquet")
+        .select(col("dp"), col("entity_id").as("rec"), col("pc"), col("words"))
+      graft.cluster.Evaluation.intraClusterSims(labels, clks)
+        .orderBy(col("label"))
+    }),
     // active-learning labeling sampler: k candidate pairs per similarity
     // band from one low-threshold kernel pass, hash-ordered (md5 — pure
     // SQL in both engines) so the labeling batch is reproducible at any
@@ -3760,6 +3788,64 @@ object SparkEntry {
          SELECT n_records, n_clusters_old, n_clusters_new, n_split,
                 n_merged, n_stable
          FROM nr, oa, na""",
+    // persistent ids: the same member-overlap table, reciprocal-best via
+    // two row_number windows over it (both computed on the FULL table)
+    "q_persistent_ids" ->
+      """WITH o AS (SELECT dp * 10000 + entityId AS id, clusterId AS old_c
+                    FROM '/root/repo/fixtures/febrl4_golden_clusters_t075.parquet'),
+         n AS (SELECT dp * 10000 + entityId AS id, clusterId AS new_c
+               FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet'),
+         sizes AS (SELECT new_c, CAST(count(*) AS BIGINT) AS n_members
+                   FROM n GROUP BY 1),
+         ov AS (SELECT new_c, old_c, CAST(count(*) AS BIGINT) AS overlap
+                FROM n JOIN o USING (id) GROUP BY 1, 2),
+         mutual AS (SELECT new_c, old_c AS persistent_id, overlap FROM ov
+                    QUALIFY row_number() OVER (PARTITION BY new_c
+                        ORDER BY overlap DESC, old_c) = 1
+                      AND row_number() OVER (PARTITION BY old_c
+                        ORDER BY overlap DESC, new_c) = 1)
+         SELECT s.new_c AS new_cluster, s.n_members, m.persistent_id,
+                COALESCE(m.overlap, 0) AS overlap,
+                m.persistent_id IS NOT NULL AS carried
+         FROM sizes s LEFT JOIN mutual m ON s.new_c = m.new_c""",
+    // multiplicity replay: kernel edges at 0.8, endpoint union, two aggs
+    "q_match_multiplicity" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.8),
+         ends AS (SELECT dp0 AS dp, rec0 AS rec FROM e
+                  UNION ALL SELECT dp1, rec1 FROM e),
+         per AS (SELECT dp, rec, CAST(count(*) AS BIGINT) AS n_matches
+                 FROM ends GROUP BY 1, 2)
+         SELECT dp, n_matches, CAST(count(*) AS BIGINT) AS n_records
+         FROM per GROUP BY 1, 2""",
+    // implied-pair Dice range per golden cluster: members join the CLK
+    // fixture, within-label ordered pairing, the same kernel expression
+    "q_cluster_sim_range" ->
+      """WITH lab AS (SELECT dp, entityId AS rec, clusterId AS label
+                      FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet'),
+         c AS (SELECT dp, entity_id AS rec, pc, words
+               FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         m AS (SELECT lab.label, c.dp, c.rec, c.pc, c.words
+               FROM lab JOIN c USING (dp, rec)),
+         p AS (SELECT a.label,
+                 2.0 * list_sum(list_transform(range(1, 17),
+                   i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc)
+                   AS sim
+               FROM m a JOIN m b ON a.label = b.label
+                 AND (a.dp < b.dp OR (a.dp = b.dp AND a.rec < b.rec))),
+         st AS (SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+                       min(sim) AS min_sim, max(sim) AS max_sim
+                FROM p GROUP BY 1),
+         sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+                FROM lab GROUP BY 1)
+         SELECT st.label, sz.n_members, st.n_pairs, st.min_sim, st.max_sim
+         FROM st JOIN sz USING (label)""",
     // kernel replay at t=0.5 + identical banding and md5 hash order —
     // the labeling batch is engine-independent by construction
     "q_label_sample" ->

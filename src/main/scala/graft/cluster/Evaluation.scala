@@ -1,6 +1,7 @@
 package graft.cluster
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cluster-level linkage evaluation. [[graft.link.Pipeline.pairwiseF1]]
@@ -207,6 +208,108 @@ object Evaluation {
         .select(lit(t).as("threshold"), col("n_clusters"),
           col("n_records"), col("max_size"), lit(nEdges).as("n_edges"))
     }.reduce(_ union _)
+  }
+
+  /** Match-multiplicity audit — the 1:many violation readout for a
+    * pipeline whose solver assumes each record links at most once (the
+    * reference's greedy 1:1 solver, `entityservice` permutation output):
+    * the distribution of per-record accepted-edge counts, per provider.
+    * Rows with n_matches ≥ 2 are the records the 1:1 assumption throws
+    * into the conflict queue; their volume is the health metric.
+    *
+    * Scale shape: one endpoint union + two hash-aggs over bare ids.
+    *
+    * @param edges Edge-shaped frame (sim, dp0, rec0, dp1, rec1), already
+    *              thresholded at the accept cut.
+    * @return (dp, n_matches, n_records) — how many records of provider
+    *         dp have exactly n_matches accepted candidates. */
+  def matchMultiplicity(edges: DataFrame): DataFrame =
+    edges.select(col("dp0").as("dp"), col("rec0").as("rec"))
+      .unionByName(edges.select(col("dp1").as("dp"), col("rec1").as("rec")))
+      .groupBy("dp", "rec").agg(count(lit(1)).as("n_matches"))
+      .groupBy("dp", "n_matches").agg(count(lit(1)).as("n_records"))
+
+  /** Persistent cluster ids across two linkage runs: each new cluster
+    * adopts an old cluster's id exactly when the two are RECIPROCAL
+    * best-overlap partners (the mutual-best discipline — a split's
+    * fragments can't both claim the old id, a merge adopts the old id
+    * it best continues). Deterministic tie-breaks: (overlap DESC,
+    * partner id ASC) on both sides. Clusters with no reciprocal partner
+    * get carried = false and a null persistent id — the caller mints
+    * fresh ids for those, keeping the id space collision-free.
+    *
+    * Scale shape: one member join keyed by record id, one hash-agg to
+    * the overlap table (one row per intersecting cluster pair), two
+    * keyed windows over it, one size agg. Nothing scales with pairs.
+    *
+    * @param oldA,newA one row per record: (idCol, clusterCol).
+    * @return one row per NEW cluster: (new_cluster, n_members,
+    *         persistent_id, overlap, carried). */
+  def persistentIds(oldA: DataFrame, newA: DataFrame, idCol: String,
+      clusterCol: String): DataFrame = {
+    val o = oldA.select(col(idCol).as("id"), col(clusterCol).as("old_c"))
+    val n = newA.select(col(idCol).as("id"), col(clusterCol).as("new_c"))
+    val sizes = n.groupBy("new_c").agg(count(lit(1)).as("n_members"))
+    val ov = n.join(o, "id")
+      .groupBy("new_c", "old_c").agg(count(lit(1)).as("overlap"))
+    val bestOldForNew = Window.partitionBy("new_c")
+      .orderBy(col("overlap").desc, col("old_c"))
+    val bestNewForOld = Window.partitionBy("old_c")
+      .orderBy(col("overlap").desc, col("new_c"))
+    val mutual = ov
+      .withColumn("rn_new", row_number().over(bestOldForNew))
+      .withColumn("rn_old", row_number().over(bestNewForOld))
+      .where(col("rn_new") === 1 && col("rn_old") === 1)
+      .select(col("new_c"), col("old_c").as("persistent_id"),
+        col("overlap"))
+    sizes.join(mutual, Seq("new_c"), "left")
+      .select(col("new_c").as("new_cluster"), col("n_members"),
+        col("persistent_id"), coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("persistent_id").isNotNull.as("carried"))
+  }
+
+  /** Intra-cluster similarity range — the transitive-closure QUALITY
+    * audit [[clusterCohesion]]'s edge-support counts can't give: for
+    * every IMPLIED member pair of each cluster (not just the scored
+    * edges), the exact Dice similarity, reduced to per-cluster
+    * (min, max). A cluster whose min_sim is far below the run threshold
+    * was built by transitive chaining, not pairwise evidence — the
+    * standard argument for splitting review.
+    *
+    * The kernel is recomputed inline from the packed CLK words
+    * (codegen'd zip_with/bit_count — the same integer Dice the linker
+    * scores), so no edge set has to be kept around at any threshold.
+    *
+    * Scale shape: the self-join is keyed by cluster label and bounded by
+    * the max cluster size squared (linkage clusters are small by
+    * construction; the guardrail operators bound them upstream).
+    *
+    * @param labels (dp, rec, label) cluster assignment.
+    * @param clks   (dp, rec, pc, words) packed encodings.
+    * @return one row per cluster with ≥2 members: (label, n_members,
+    *         n_pairs, min_sim, max_sim). */
+  def intraClusterSims(labels: DataFrame, clks: DataFrame): DataFrame = {
+    val m = labels.join(clks, Seq("dp", "rec"))
+      .select(col("label"), col("dp"), col("rec"), col("pc"), col("words"))
+    val a = m.select(col("label"), col("dp").as("dp0"), col("rec").as("rec0"),
+      col("pc").as("pc0"), col("words").as("w0"))
+    val b = m.select(col("label"), col("dp").as("dp1"), col("rec").as("rec1"),
+      col("pc").as("pc1"), col("words").as("w1"))
+    val pairs = a.join(b, Seq("label"))
+      .where(col("dp0") < col("dp1") ||
+        (col("dp0") === col("dp1") && col("rec0") < col("rec1")))
+    val inter = aggregate(
+      zip_with(col("w0"), col("w1"), (x, y) => bit_count(x.bitwiseAND(y))),
+      lit(0L), (acc, x) => acc + x)
+    val sim = lit(2.0) * inter / (col("pc0") + col("pc1"))
+    pairs.select(col("label"), sim.as("sim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"), min(col("sim")).as("min_sim"),
+        max(col("sim")).as("max_sim"))
+      .join(labels.groupBy("label").agg(count(lit(1)).as("n_members")),
+        Seq("label"))
+      .select(col("label"), col("n_members"), col("n_pairs"),
+        col("min_sim"), col("max_sim"))
   }
 
   /** Newman modularity of a clustering against the scored edge graph:

@@ -120,6 +120,84 @@ class ReviewSpec extends SparkSpec {
       math.rint(want * 1e6) / 1e6) < 1e-12)
   }
 
+  test("matchMultiplicity: per-record accepted-edge count distribution") {
+    import spark.implicits._
+    val e = Seq(
+      (0.9, 0, 1L, 1, 10L), (0.9, 0, 1L, 1, 11L), (0.9, 0, 1L, 1, 12L),
+      (0.9, 0, 2L, 1, 10L), (0.9, 0, 3L, 1, 13L))
+      .toDF("sim", "dp0", "rec0", "dp1", "rec1")
+    val got = Evaluation.matchMultiplicity(e).collect()
+      .map(r => (r.getAs[Int]("dp"), r.getAs[Long]("n_matches")) ->
+        r.getAs[Long]("n_records")).toMap
+    // dp0: rec1 has 3 matches, rec2 and rec3 one each
+    // dp1: rec10 has 2 matches, rec11/12/13 one each
+    assert(got == Map((0, 3L) -> 1L, (0, 1L) -> 2L,
+      (1, 2L) -> 1L, (1, 1L) -> 3L))
+  }
+
+  test("persistentIds: reciprocal best carries; splits/merges don't double-claim") {
+    import spark.implicits._
+    // old: A={1,2,3}, B={4,5}, C={6}
+    val oldA = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 30L)).toDF("id", "c")
+    // new: X={1,2} (best of A), Y={3,4,5} (overlaps A(1) and B(2) ->
+    // best old is B), Z={7} (no overlap)
+    val newA = Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L),
+      (5L, 200L), (7L, 300L)).toDF("id", "c")
+    val got = Evaluation.persistentIds(oldA, newA, "id", "c").collect()
+      .map(r => r.getAs[Long]("new_cluster") ->
+        (Option(r.getAs[java.lang.Long]("persistent_id")).map(_.toLong),
+          r.getAs[Long]("overlap"), r.getAs[Boolean]("carried"),
+          r.getAs[Long]("n_members"))).toMap
+    assert(got(100L) == (Some(10L), 2L, true, 2L)) // X <-> A reciprocal
+    assert(got(200L) == (Some(20L), 2L, true, 3L)) // Y <-> B reciprocal
+    assert(got(300L) == (None, 0L, false, 1L))     // Z: fresh id needed
+  }
+
+  test("persistentIds: a split's two fragments cannot both claim the old id") {
+    import spark.implicits._
+    val oldA = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)).toDF("id", "c")
+    // split into X={1,2,3} and Y={4}: only X (larger overlap) carries
+    val newA = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L))
+      .toDF("id", "c")
+    val got = Evaluation.persistentIds(oldA, newA, "id", "c").collect()
+      .map(r => r.getAs[Long]("new_cluster") -> r.getAs[Boolean]("carried"))
+      .toMap
+    assert(got == Map(100L -> true, 200L -> false))
+  }
+
+  test("intraClusterSims == local popcount Dice over implied member pairs") {
+    import spark.implicits._
+    val clks = spark.read.parquet(s"$fixturesDir/febrl4_clks.parquet")
+      .select(col("dp"), col("entity_id").as("rec"), col("pc"), col("words"))
+      .where(col("rec") < 100)
+    // labels: pair each record (0, r) with (1, r) — entity-truth-ish
+    val labels = clks.select(col("dp"), col("rec"),
+      col("rec").as("label"))
+    val got = Evaluation.intraClusterSims(labels, clks).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_pairs"),
+          r.getAs[Double]("min_sim"), r.getAs[Double]("max_sim"))).toMap
+    val local = clks.collect()
+      .map(r => (r.getAs[Int]("dp"), r.getAs[Long]("rec")) ->
+        (r.getAs[Int]("pc").toLong, r.getAs[Seq[Long]]("words").toArray))
+      .toMap
+    def dice(a: (Long, Array[Long]), b: (Long, Array[Long])): Double = {
+      val inter = a._2.zip(b._2)
+        .map { case (x, y) => java.lang.Long.bitCount(x & y).toLong }.sum
+      2.0 * inter / (a._1 + b._1)
+    }
+    var n = 0
+    local.keys.filter(_._1 == 0).foreach { case (_, r) =>
+      if (local.contains((1, r))) {
+        val s = dice(local((0, r)), local((1, r)))
+        assert(got(r) == (2L, 1L, s, s), s"label $r")
+        n += 1
+      }
+    }
+    assert(n > 10 && got.size == n)
+  }
+
   test("modularity: unlabeled endpoints get unique singleton labels") {
     import spark.implicits._
     val e = Seq((0.9, 0, 1L, 1, 2L), (0.9, 0, 1L, 1, 3L))
