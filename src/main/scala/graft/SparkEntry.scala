@@ -1511,6 +1511,27 @@ object SparkEntry {
         .select(col("orig"), col("qname"), col("cand"), col("dist"))
         .orderBy(col("orig"), col("cand"))
     }),
+    // true Damerau-Levenshtein matching (codegen expression; DuckDB's
+    // damerau_levenshtein is the same unrestricted variant — parity also
+    // pinned by fixtures/damerau_vectors.csv): queries corrupt names by
+    // one adjacent-character SWAP, which DL prices at 1 where plain
+    // Levenshtein needs 2
+    "q_dl_match" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_name")).distinct()
+      val mid = floor(length(col("p_name")) / 2).cast("int")
+      val queries = names.select(col("p_name").as("orig"),
+        concat(col("p_name").substr(lit(1), mid - 1),
+          col("p_name").substr(mid + lit(1), lit(1)),
+          col("p_name").substr(mid, lit(1)),
+          col("p_name").substr(mid + lit(2), length(col("p_name"))))
+          .as("qname"))
+      val corpus = names.select(col("p_name").as("cand"))
+      graft.link.Fuzzy.fuzzyJoinDL(queries, "qname", corpus, "cand",
+          maxDist = 2)
+        .select(col("orig"), col("qname"), col("cand"), col("dist"))
+        .orderBy(col("orig"), col("cand"))
+    }),
     // phonetic blocking: soundex of the name as the block key (the
     // classical pre-Bloom-filter linkage blocking), threshold-Levenshtein
     // confirm; the oracle replays the pairing from the soundex_sig dump
@@ -6251,6 +6272,27 @@ object SparkEntry {
            FROM q JOIN names n ON right(q.qname, 2) = right(n.p_name, 2))
          SELECT orig, qname, cand, CAST(levenshtein(qname, cand) AS INT) AS dist
          FROM cand WHERE levenshtein(qname, cand) <= 2""",
+    // DL matching replay: same corruption + dual-affix blocking, DuckDB's
+    // own damerau_levenshtein as the independent distance engine
+    "q_dl_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+         q AS (SELECT p_name AS orig,
+                      substring(p_name, 1, m - 1) ||
+                      substring(p_name, m + 1, 1) ||
+                      substring(p_name, m, 1) ||
+                      substring(p_name, m + 2) AS qname
+               FROM (SELECT p_name,
+                            CAST(floor(length(p_name)/2) AS INT) AS m
+                     FROM names)),
+         cand AS (
+           SELECT q.orig, q.qname, n.p_name AS cand
+           FROM q JOIN names n ON substring(q.qname, 1, 2) = substring(n.p_name, 1, 2)
+           UNION
+           SELECT q.orig, q.qname, n.p_name
+           FROM q JOIN names n ON right(q.qname, 2) = right(n.p_name, 2))
+         SELECT orig, qname, cand,
+                CAST(damerau_levenshtein(qname, cand) AS INT) AS dist
+         FROM cand WHERE damerau_levenshtein(qname, cand) <= 2""",
     // pairing replay from the soundex_sig dump + DuckDB's own
     // levenshtein confirm (key computation spec-gated — FuzzySpec NARA
     // vectors)

@@ -153,6 +153,27 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 }
 
+/** TRUE Damerau–Levenshtein distance (Lowrance–Wagner, adjacent
+  * transpositions first-class) — codegen'd; the variant DuckDB's
+  * damerau_levenshtein implements. See graft.core.StringSim. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.StringSim.damerauLevenshtein(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.core.StringSim.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "damerau_levenshtein"
+}
+
 /** Dice with precomputed popcount sum (the join carries per-record
   * popcounts, mirroring the reference's popcount cache
   * `cache/encodings.py:42-45`) — saves two popcount passes per pair. */

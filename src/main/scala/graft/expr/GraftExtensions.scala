@@ -47,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings " +
           "(0.0 on empty input, boost above jaro 0.7, prefix cap 4)"),
       (es: Seq[Expression]) => JaroWinklerSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - true (unrestricted) Damerau-" +
+          "Levenshtein distance, adjacent transpositions first-class"),
+      (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1))))
   }
 }

@@ -39,6 +39,10 @@ package object expr {
   def jaroWinkler(a: Column, b: Column): Column =
     col(JaroWinklerSimilarity(ex(a), ex(b)))
 
+  /** True Damerau-Levenshtein distance of two string columns. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    col(DamerauLevenshtein(ex(a), ex(b)))
+
   /** 16-bit Morton code of two pre-quantized 8-bit int columns. */
   def morton16(x: Column, y: Column): Column =
     col(MortonInterleave(ex(x), ex(y)))
@@ -68,5 +72,7 @@ package object expr {
       es => HashedCharNgrams(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler",
       es => JaroWinklerSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      es => DamerauLevenshtein(es(0), es(1)), "scala_udf")
   }
 }

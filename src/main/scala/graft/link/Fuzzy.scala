@@ -125,6 +125,23 @@ object Fuzzy {
       .where(col("dist") >= 0)
   }
 
+  /** [[fuzzyJoin]] under TRUE Damerau–Levenshtein (codegen'd
+    * [[graft.expr.DamerauLevenshtein]]): a swap of adjacent characters
+    * costs 1 instead of 2, so transposition typos ("mathcing") land at
+    * distance 1. Same dual-affix blocking — DL ≤ Levenshtein, and one
+    * edit (including a transposition inside the string) can break at
+    * most one affix, never both; an edit that TOUCHES an affix is still
+    * found through the other one. */
+  def fuzzyJoinDL(queries: DataFrame, qCol: String,
+                  corpus: DataFrame, cCol: String,
+                  maxDist: Int, affixLen: Int = 2): DataFrame = {
+    require(maxDist >= 0)
+    affixCandidates(queries, qCol, corpus, cCol, affixLen)
+      .withColumn("dist",
+        graft.expr.damerauLevenshtein(col(qCol), col(cCol)))
+      .where(col("dist") <= maxDist)
+  }
+
   /** End-to-end fuzzy dedup: blocked edit-distance self-pairs over a
     * name table → distributed connected components → canonical min-id
     * group per name. The un-encoded analogue of the full CLK pipeline

@@ -96,6 +96,60 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("damerauLevenshtein == 1509 committed DuckDB vectors (true DL)") {
+    // fixtures/damerau_vectors.csv: DuckDB-generated random pairs over
+    // small alphabets (transposition-dense) + the OSA-vs-DL separators
+    // ("CA"/"ABC" = 2 under true DL, 3 under restricted OSA)
+    val src = scala.io.Source.fromFile(s"$fixturesDir/damerau_vectors.csv")
+    val lines = try src.getLines().drop(1).toVector finally src.close()
+    assert(lines.size >= 1500)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    lines.foreach { ln =>
+      // alphabet is [a-zA-Z] only — plain split is safe
+      val parts = ln.split(",", -1)
+      val (a, b, want) = (parts(0), parts(1), parts(2).toInt)
+      val got = graft.core.StringSim.damerauLevenshtein(u(a), u(b))
+      assert(got == want, s"DL('$a','$b') = $got, want $want")
+    }
+    // and the codegen'd expression path agrees with the kernel
+    import spark.implicits._
+    val df = lines.take(200).map { ln =>
+      val p = ln.split(",", -1); (p(0), p(1), p(2).toInt)
+    }.toDF("a", "b", "want")
+    val bad = df.where(
+      graft.expr.damerauLevenshtein(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")) =!= $"want").count()
+    assert(bad == 0L)
+  }
+
+  test("fuzzyJoinDL: transposition found at dist 1; subset relation to lev") {
+    import spark.implicits._
+    val q = Seq(("mathcing", "mathcing")).toDF("orig", "qname")
+    val c = Seq("matching", "watching", "thatching").toDF("cand")
+    val got = graft.link.Fuzzy.fuzzyJoinDL(q, "qname", c, "cand", maxDist = 1)
+      .select($"cand".as[String], $"dist".as[Int]).collect().toMap
+    // swap ("th"<->"ht") is 1 edit under DL; plain levenshtein says 2
+    assert(got("matching") == 1)
+    assert(!got.contains("thatching"))
+    // DL <= levenshtein everywhere on the vector corpus
+    val src = scala.io.Source.fromFile(s"$fixturesDir/damerau_vectors.csv")
+    val lines = try src.getLines().drop(1).toVector finally src.close()
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    lines.take(500).foreach { ln =>
+      val p = ln.split(",", -1)
+      val dl = graft.core.StringSim.damerauLevenshtein(u(p(0)), u(p(1)))
+      assert(dl <= lev(p(0), p(1)), s"DL > lev on ('${p(0)}','${p(1)}')")
+    }
+  }
+
   test("mongeElkanPairs: == brute force; tolerates token order and count") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
