@@ -2459,6 +2459,18 @@ object SparkEntry {
         .where(col("sample_rank") <= 5)
         .orderBy(col("band"), col("sample_rank"))
     }),
+    // reliability diagram: observed match rate (vs febrl4 truth) per
+    // similarity bin over the 0.5-floored kernel edges
+    "q_score_calibration" -> ((s, _) => {
+      val truth = s.read.option("header", "true")
+        .schema("row_a LONG, row_b LONG")
+        .csv(s"$FixturesDir/febrl4_truth.csv")
+        .select(col("row_a").as("rec0"), col("row_b").as("rec1"))
+      graft.cluster.Evaluation.scoreCalibration(
+          Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.5)).toDF(),
+          truth)
+        .orderBy(col("bin"))
+    }),
     // blocking privacy: per-provider k-anonymity of the block
     // collection (blocks below k re-identify members by membership
     // alone — the threat the reference's BLAKE2b block-name hashing
@@ -3867,6 +3879,31 @@ object SparkEntry {
                 FROM lab GROUP BY 1)
          SELECT st.label, sz.n_members, st.n_pairs, st.min_sim, st.max_sim
          FROM st JOIN sz USING (label)""",
+    // calibration replay: kernel at 0.5, truth CSV left join, same
+    // floor-binning and rounded rates
+    "q_score_calibration" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.entity_id AS rec0, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.5),
+         t AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                      CAST(row_b AS BIGINT) AS rec1, 1 AS is_true
+               FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                             header = true)),
+         j AS (SELECT e.sim, COALESCE(t.is_true, 0) AS is_true
+               FROM e LEFT JOIN t ON e.rec0 = t.rec0 AND e.rec1 = t.rec1),
+         b AS (SELECT CAST(floor(sim * 20) AS BIGINT) AS bin,
+                      CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(is_true) AS BIGINT) AS n_true
+               FROM j GROUP BY 1)
+         SELECT bin, n_pairs, n_true,
+                round(CAST(n_true AS DOUBLE) / n_pairs, 6) AS match_rate,
+                round(CAST(bin AS DOUBLE) / 20, 4) AS bin_lo
+         FROM b""",
     // kernel replay at t=0.5 + identical banding and md5 hash order —
     // the labeling batch is engine-independent by construction
     "q_label_sample" ->

@@ -268,6 +268,36 @@ object Evaluation {
         col("persistent_id").isNotNull.as("carried"))
   }
 
+  /** Score-calibration table (reliability diagram) against labeled
+    * truth: scored pairs bucketed by similarity bin, with the OBSERVED
+    * match rate per bin — the readout that says whether "sim 0.85" means
+    * the same thing this run as last run, and where the accept threshold
+    * actually sits on the precision surface. A well-calibrated kernel
+    * shows match_rate rising steeply through the chosen cut.
+    *
+    * Scale shape: one keyed left join onto the truth pair set (truth is
+    * label-sized, usually broadcast-able) and one hash-agg to `bins`
+    * rows. No windows, no collects.
+    *
+    * @param edges Edge-shaped frame (sim, dp0, rec0, dp1, rec1), floored
+    *              at the generation threshold.
+    * @param truth positive pairs as (rec0, rec1) in the same id space.
+    * @return per bin: (bin, n_pairs, n_true, match_rate, bin_lo). */
+  def scoreCalibration(edges: DataFrame, truth: DataFrame,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val t = truth.select(col("rec0"), col("rec1"))
+      .withColumn("is_true", lit(1L))
+    edges.select(col("rec0"), col("rec1"), col("sim"))
+      .join(t, Seq("rec0", "rec1"), "left")
+      .groupBy(floor(col("sim") * bins).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_true"))
+      .withColumn("match_rate",
+        round(col("n_true").cast("double") / col("n_pairs"), 6))
+      .withColumn("bin_lo", round(col("bin").cast("double") / bins, 4))
+  }
+
   /** Intra-cluster similarity range — the transitive-closure QUALITY
     * audit [[clusterCohesion]]'s edge-support counts can't give: for
     * every IMPLIED member pair of each cluster (not just the scored

@@ -120,6 +120,25 @@ class ReviewSpec extends SparkSpec {
       math.rint(want * 1e6) / 1e6) < 1e-12)
   }
 
+  test("scoreCalibration: per-bin observed match rates == local bucketing") {
+    import spark.implicits._
+    val e = Seq(
+      (0.52, 0, 1L, 1, 10L), (0.54, 0, 2L, 1, 11L), // bin 10: 1 true of 2
+      (0.81, 0, 3L, 1, 12L), (0.83, 0, 4L, 1, 13L), // bin 16: 2 true of 2
+      (0.95, 0, 5L, 1, 14L))                         // bin 19: 0 true of 1
+      .toDF("sim", "dp0", "rec0", "dp1", "rec1")
+    val truth = Seq((1L, 10L), (3L, 12L), (4L, 13L), (9L, 99L))
+      .toDF("rec0", "rec1")
+    val got = Evaluation.scoreCalibration(e, truth).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_true"),
+          r.getAs[Double]("match_rate"), r.getAs[Double]("bin_lo"))).toMap
+    assert(got(10L) == (2L, 1L, 0.5, 0.5))
+    assert(got(16L) == (2L, 2L, 1.0, 0.8))
+    assert(got(19L) == (1L, 0L, 0.0, 0.95))
+    assert(got.size == 3)
+  }
+
   test("matchMultiplicity: per-record accepted-edge count distribution") {
     import spark.implicits._
     val e = Seq(
