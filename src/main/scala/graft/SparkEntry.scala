@@ -737,6 +737,21 @@ object SparkEntry {
       val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
       base.select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
     }),
+    // canopy blocking (McCallum et al. 2000, hash-seeded distributed
+    // variant): overlapping cheap-distance canopies + singleton orphans
+    "q_canopy_block" -> ((s, dir) =>
+      graft.ingest.Blocking.canopyAssign(docs(s, dir), "doc_id", "text")
+        .orderBy(col("rec"), col("canopy"))),
+    // relational pivot: per-source language mix via the DataFrame pivot
+    // API (explicit value list keeps the plan static; absent cells are
+    // 0, not null, so the layout is stable for downstream math)
+    "q_pivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = docs(s, dir).groupBy(col("source")).pivot("lang", langs).count()
+      p.select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+        .orderBy(col("source"))
+    }),
     // Gopher (MassiveWeb) quality-filter flags: per-rule booleans +
     // conjunction, thresholds tuned to this corpus register
     "q_gopher_rules" -> ((s, dir) =>
@@ -1307,6 +1322,36 @@ object SparkEntry {
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
       graft.link.FellegiSunter
         .patternIndependence(pairs, Seq("g_name", "g_type", "g_size"))
+        .orderBy("g_name", "g_type", "g_size")
+    }),
+    // splink's full two-stage training: u frozen from the unblocked
+    // md5-sample estimate, EM fits only lambda and m over the blocked
+    // pairs — removes the agreement bias blocking builds into u
+    "q_em_fixed_u" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/part.parquet").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
+        col("p_name"), col("p_type"), col("p_size"))
+      val gcols = Seq("g_name", "g_type", "g_size")
+      val sampled = base
+        .where(substring(md5(col("id").cast("string").cast("binary")),
+          1, 1).isin("0", "1", "2", "3"))
+      val uPairs = sampled.as("a").join(sampled.as("b"),
+          col("a.id") < col("b.id"))
+        .select(
+          (levenshtein(col("a.p_name"), col("b.p_name"), 4) >= 0)
+            .cast("int").as("g_name"),
+          (col("a.p_type") === col("b.p_type")).cast("int").as("g_type"),
+          (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int").as("g_size"))
+      val uMap = graft.link.FellegiSunter.estimateU(uPairs, gcols)
+        .collect().map(r => r.getAs[String]("field") ->
+          r.getAs[Long]("u_scaled")).toMap
+      val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
+        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+          .cast("int").as("g_name"),
+        (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
+        (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
+      graft.link.FellegiSunter
+        .emClassifyFixedU(pairs, gcols, gcols.map(uMap), iters = 2)
         .orderBy("g_name", "g_type", "g_size")
     }),
     // splink's estimate_u_using_random_sampling: per-field agreement
@@ -5866,6 +5911,120 @@ object SparkEntry {
                                 CAST(1000000 AS HUGEINT) * 1000000000) END
                   AS BIGINT) AS lift_scaled
          FROM e""",
+    // two-stage training replay: the q_estimate_u sample CTE yields the
+    // frozen (clamped) u scalars; the EM chain re-estimates only lam/m
+    "q_em_fixed_u" ->
+      """WITH sbase AS (SELECT p_partkey AS id, p_name, p_type, p_size
+                        FROM part
+                        WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1)
+                              IN ('0', '1', '2', '3')),
+         sg AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                            THEN 1 ELSE 0 END AS g_name,
+                       CASE WHEN a.p_type = b.p_type
+                            THEN 1 ELSE 0 END AS g_type,
+                       CASE WHEN abs(a.p_size - b.p_size) <= 2
+                            THEN 1 ELSE 0 END AS g_size
+                FROM sbase a JOIN sbase b ON a.id < b.id),
+         su AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(g_name) AS BIGINT) AS an,
+                       CAST(sum(g_type) AS BIGINT) AS at2,
+                       CAST(sum(g_size) AS BIGINT) AS asz
+                FROM sg),
+         uu AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, (an * 1000000000) // n)) AS BIGINT) AS un,
+           CAST(GREATEST(1, LEAST(999999999, (at2 * 1000000000) // n)) AS BIGINT) AS ut,
+           CAST(GREATEST(1, LEAST(999999999, (asz * 1000000000) // n)) AS BIGINT) AS us
+           FROM su),
+         base AS (SELECT p_partkey AS id, p_brand AS bk, p_name,
+                         p_type, p_size FROM part),
+         g AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                           THEN 1 ELSE 0 END AS g_name,
+                      CASE WHEN a.p_type = b.p_type
+                           THEN 1 ELSE 0 END AS g_type,
+                      CASE WHEN abs(a.p_size - b.p_size) <= 2
+                           THEN 1 ELSE 0 END AS g_size
+               FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id),
+         pc AS (SELECT g_name, g_type, g_size, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         e1 AS (SELECT pc.*,
+           (((((CAST(100000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN 900000000 ELSE 100000000 END)) // 1000000000 AS a,
+           (((((CAST(900000000 AS BIGINT)
+              * (CASE WHEN g_name = 1 THEN uu.un ELSE 1000000000 - uu.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN uu.ut ELSE 1000000000 - uu.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN uu.us ELSE 1000000000 - uu.us END)) // 1000000000 AS b
+           FROM pc, uu),
+         w1 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e1),
+         p1 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms
+           FROM w1),
+         e2 AS (SELECT pc.*,
+           (((((p1.lam * (CASE WHEN g_name = 1 THEN p1.mn ELSE 1000000000 - p1.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p1.mt ELSE 1000000000 - p1.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p1.ms ELSE 1000000000 - p1.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p1.lam) * (CASE WHEN g_name = 1 THEN uu.un ELSE 1000000000 - uu.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN uu.ut ELSE 1000000000 - uu.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN uu.us ELSE 1000000000 - uu.us END)) // 1000000000 AS b
+           FROM pc, p1, uu),
+         w2 AS (SELECT *, (a * 1000000000) // (a + b) AS w FROM e2),
+         p2 AS (SELECT
+           CAST(GREATEST(1, LEAST(999999999, SUM(c * w) // SUM(c))) AS BIGINT) AS lam,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_name) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mn,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_type) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS mt,
+           CAST(GREATEST(1, LEAST(999999999, (CAST(SUM(c * w * g_size) AS HUGEINT) * 1000000000) // SUM(c * w))) AS BIGINT) AS ms
+           FROM w2),
+         e3 AS (SELECT pc.*,
+           (((((p2.lam * (CASE WHEN g_name = 1 THEN p2.mn ELSE 1000000000 - p2.mn END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN p2.mt ELSE 1000000000 - p2.mt END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN p2.ms ELSE 1000000000 - p2.ms END)) // 1000000000 AS a,
+           ((((((1000000000 - p2.lam) * (CASE WHEN g_name = 1 THEN uu.un ELSE 1000000000 - uu.un END)) // 1000000000)
+              * (CASE WHEN g_type = 1 THEN uu.ut ELSE 1000000000 - uu.ut END)) // 1000000000)
+              * (CASE WHEN g_size = 1 THEN uu.us ELSE 1000000000 - uu.us END)) // 1000000000 AS b
+           FROM pc, p2, uu)
+         SELECT CAST(e3.g_name AS INT) AS g_name,
+                CAST(e3.g_type AS INT) AS g_type,
+                CAST(e3.g_size AS INT) AS g_size,
+                e3.c AS n_pairs,
+                CAST((e3.a * 1000000000) // (e3.a + e3.b) AS BIGINT) AS posterior,
+                ((e3.a * 1000000000) // (e3.a + e3.b)) * 2 > 1000000000 AS is_match,
+                p2.lam AS lambda,
+                p2.mn AS m_g_name, p2.mt AS m_g_type, p2.ms AS m_g_size,
+                uu.un AS u_g_name, uu.ut AS u_g_type, uu.us AS u_g_size
+         FROM e3, p2, uu""",
+    // canopy assignment replay: same md5 seed gate, same distinct-token
+    // inverted-index join, orphans via NOT IN over the assigned recs
+    "q_canopy_block" ->
+      """WITH toks AS (
+           SELECT doc_id AS rec,
+                  unnest(list_distinct(str_split(text, ' '))) AS tok
+           FROM documents),
+         seeds AS (
+           SELECT doc_id AS canopy,
+                  unnest(list_distinct(str_split(text, ' '))) AS tok
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')),
+         a AS (
+           SELECT t.rec, s.canopy, CAST(count(*) AS BIGINT) AS shared
+           FROM toks t JOIN seeds s USING (tok)
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT rec, canopy, shared FROM a
+         UNION ALL
+         SELECT doc_id AS rec, doc_id AS canopy, CAST(0 AS BIGINT) AS shared
+         FROM documents WHERE doc_id NOT IN (SELECT rec FROM a)""",
+    // pivot = conditional sums per fixed lang list (absent cells 0)
+    "q_pivot" ->
+      """SELECT source,
+                CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+         FROM documents GROUP BY source""",
     // u estimation: same md5 sample gate + sampled cross join, one
     // aggregate melted by parallel unnest
     "q_estimate_u" ->

@@ -324,4 +324,50 @@ object Blocking {
       .select(col("_rt_id").as("id"), col("tok").as("block_key"),
         col("_rt_n").as("key_count"))
   }
+
+  /** Canopy-style blocking (McCallum, Nigam & Ungar 2000): overlapping
+    * canopies built with a CHEAP distance (shared distinct tokens); the
+    * expensive comparison then runs only within canopies. This is the
+    * deterministic DISTRIBUTED variant: seeds are a hash-drawn record
+    * sample (md5-prefix gate — the [[graft.link.FellegiSunter.estimateU]]
+    * sampling discipline) instead of the paper's sequential
+    * remove-as-you-go seed scan, which has no parallel equivalent; the
+    * canonical overlap property (a record may fall in several canopies)
+    * is preserved, and records matching no seed become their own
+    * singleton canopy so coverage is total.
+    *
+    * Scale shape: one distinct-token explode per side, one inverted-
+    * index equi-join on token (seed side is sample-rate-bounded), one
+    * (record, seed) hash-agg, one anti-join for orphans. Hot tokens are
+    * bounded by the seed sample rate; cap them upstream with a df filter
+    * if the corpus has stopword-like keys.
+    *
+    * @param df corpus; @param id record id column; @param text token
+    *           source (whitespace split, distinct).
+    * @param seedHexPrefixes md5 first-hex-char values that make a record
+    *                        a seed (2 chars ≈ 1/8 of the corpus).
+    * @param minShared cheap-distance threshold: distinct shared tokens
+    *                  required to join a seed's canopy.
+    * @return (rec, canopy, shared) — canopy = seed id, or the record's
+    *         own id with shared = 0 for orphans. */
+  def canopyAssign(df: DataFrame, id: String, text: String,
+      seedHexPrefixes: Seq[String] = Seq("0", "1"),
+      minShared: Int = 2): DataFrame = {
+    require(seedHexPrefixes.nonEmpty && minShared >= 1,
+      "need seed prefixes and minShared >= 1")
+    val toks = df.select(col(id).as("rec"),
+      explode(array_distinct(split(col(text), " "))).as("tok"))
+    val seedToks = df
+      .where(substring(md5(col(id).cast("string").cast("binary")), 1, 1)
+        .isin(seedHexPrefixes: _*))
+      .select(col(id).as("canopy"), explode(array_distinct(split(col(text),
+        " "))).as("tok"))
+    val assigned = toks.join(seedToks, "tok")
+      .groupBy("rec", "canopy").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    val orphans = df.select(col(id).as("rec"))
+      .join(assigned.select(col("rec")).distinct(), Seq("rec"), "left_anti")
+      .select(col("rec"), col("rec").as("canopy"), lit(0L).as("shared"))
+    assigned.unionByName(orphans)
+  }
 }

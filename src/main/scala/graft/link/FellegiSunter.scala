@@ -139,6 +139,91 @@ object FellegiSunter {
         expr(s"e.f_m * ${scale}L DIV e.f_u").as("bayes_scaled")): _*)
   }
 
+  /** EM with the u side FROZEN — splink's canonical two-stage training
+    * recipe (`estimate_u_using_random_sampling` then
+    * `estimate_parameters_using_expectation_maximisation` with u fixed):
+    * the blocked candidate pairs over-represent agreement by
+    * construction, so u estimated from them is biased high; anchoring u
+    * to the unblocked record-sample estimate ([[estimateU]]) and letting
+    * EM fit only λ and m removes exactly that bias. Same exact
+    * fixed-point arithmetic, same ≤2^K sufficient-statistics collect;
+    * the M-step simply skips u.
+    *
+    * @param uScaled one frozen u per gamma column, already scaled (the
+    *                `u_scaled` column of [[estimateU]]'s output, in
+    *                gammaCols order). Clamped to [1, scale−1].
+    * @return [[emClassify]]-shaped rows (the u_ columns echo the frozen
+    *         values). */
+  def emClassifyFixedU(pairs: DataFrame, gammaCols: Seq[String],
+      uScaled: Seq[Long], iters: Int = 2, scale: Long = Scale): DataFrame = {
+    require(gammaCols.nonEmpty && gammaCols.size <= 16,
+      "1..16 gamma fields (2^K sufficient statistics must stay bounded)")
+    require(uScaled.size == gammaCols.size, "one frozen u per gamma field")
+    require(iters >= 1 && scale >= 1000L, "iters >= 1, scale >= 1000")
+    val spark = pairs.sparkSession
+    val K = gammaCols.size
+    val gs = gammaCols.map(c => coalesce(col(c).cast("int"), lit(0)).as(c))
+    val counts = pairs.select(gs: _*)
+      .groupBy(gammaCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect()
+      .map(r => (gammaCols.indices.map(r.getInt).toArray, r.getLong(K)))
+      .sortBy(_._1.mkString(","))
+    require(counts.nonEmpty, "no candidate pairs")
+
+    val S = BigInt(scale)
+    def clamp(x: BigInt): Long = x.max(BigInt(1)).min(S - 1).toLong
+    val u = uScaled.map(v => clamp(BigInt(v))).toArray
+    var lam = scale / 10L
+    var m = Array.fill(K)(scale * 9L / 10L)
+    def eStep(): Array[Long] = counts.map { case (g, _) =>
+      var a = BigInt(lam)
+      var b = S - BigInt(lam)
+      var k = 0
+      while (k < K) {
+        a = a * (if (g(k) == 1) BigInt(m(k)) else S - BigInt(m(k))) / S
+        b = b * (if (g(k) == 1) BigInt(u(k)) else S - BigInt(u(k))) / S
+        k += 1
+      }
+      val den = a + b
+      if (den == 0) 0L else (a * S / den).toLong
+    }
+    for (_ <- 1 to iters) {
+      val w = eStep()
+      var sumCW = BigInt(0)
+      var sumC = BigInt(0)
+      val numM = Array.fill(K)(BigInt(0))
+      counts.indices.foreach { i =>
+        val (g, c) = counts(i)
+        val cw = BigInt(c) * BigInt(w(i))
+        sumCW += cw; sumC += BigInt(c)
+        var k = 0
+        while (k < K) {
+          if (g(k) == 1) numM(k) += cw
+          k += 1
+        }
+      }
+      lam = clamp(sumCW / sumC)
+      m = numM.map(n => clamp(if (sumCW == 0) BigInt(0) else n * S / sumCW))
+    }
+    val posts = eStep()
+
+    val schema = StructType(
+      gammaCols.map(c => StructField(c, IntegerType, nullable = false)) ++
+        Seq(StructField("n_pairs", LongType, nullable = false),
+          StructField("posterior", LongType, nullable = false),
+          StructField("is_match", BooleanType, nullable = false),
+          StructField("lambda", LongType, nullable = false)) ++
+        gammaCols.map(c => StructField(s"m_$c", LongType, nullable = false)) ++
+        gammaCols.map(c => StructField(s"u_$c", LongType, nullable = false)))
+    val rows = counts.zip(posts).map { case ((g, c), w) =>
+      Row.fromSeq(g.toSeq ++ Seq(c, w, w * 2 > scale, lam) ++
+        m.toSeq ++ u.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
   /** Model-expected precision/recall curve — threshold selection FROM
     * the fitted model, before any labels exist (the readout splink users
     * build from `predict()` histograms): treating the fitted posterior

@@ -115,6 +115,59 @@ class FellegiSunterSpec extends SparkSpec {
     assert(trace(0).getAs[Long]("lambda") != trace(2).getAs[Long]("lambda"))
   }
 
+  test("emClassifyFixedU == independent fixed-u EM; u echoes frozen values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dup = Seq.fill(45)((1, if (rnd.nextInt(10) < 9) 1 else 0,
+      if (rnd.nextInt(10) < 8) 1 else 0))
+    val non = Seq.fill(350)((if (rnd.nextInt(10) < 1) 1 else 0,
+      if (rnd.nextInt(10) < 2) 1 else 0, if (rnd.nextInt(10) < 1) 1 else 0))
+    val pairs = (dup ++ non).toDF("g_a", "g_b", "g_c").repartition(7)
+    val gcols = Seq("g_a", "g_b", "g_c")
+    val frozen = Seq(123456789L, 87654321L, 0L) // 0 must clamp to 1
+    val got = FellegiSunter
+      .emClassifyFixedU(pairs, gcols, frozen, iters = 3)
+      .orderBy("g_a", "g_b", "g_c").collect()
+    // independent reimplementation with frozen u (functional folds)
+    val S = BigInt(scale)
+    def clamp(x: BigInt) = x.max(1).min(S - 1).toLong
+    val u = frozen.map(v => clamp(BigInt(v)))
+    val counts = (dup ++ non).groupBy(identity)
+      .map { case (g, v) => (Seq(g._1, g._2, g._3), v.size.toLong) }
+      .toSeq.sortBy(_._1.mkString(","))
+    def post(lam: Long, m: Seq[Long])(g: Seq[Int]): Long = {
+      val a = g.zipWithIndex.foldLeft(BigInt(lam)) { case (acc, (gi, k)) =>
+        acc * (if (gi == 1) BigInt(m(k)) else S - BigInt(m(k))) / S }
+      val b = g.zipWithIndex.foldLeft(S - BigInt(lam)) { case (acc, (gi, k)) =>
+        acc * (if (gi == 1) BigInt(u(k)) else S - BigInt(u(k))) / S }
+      if (a + b == 0) 0L else (a * S / (a + b)).toLong
+    }
+    var (lam, m) = (scale / 10, Seq.fill(3)(scale * 9 / 10))
+    for (_ <- 1 to 3) {
+      val w = counts.map { case (g, _) => post(lam, m)(g) }
+      val cw = counts.zip(w).map { case ((_, c), wi) => BigInt(c) * wi }
+      val sumCW = cw.sum
+      lam = clamp(sumCW / counts.map(c => BigInt(c._2)).sum)
+      m = (0 until 3).map { k =>
+        val num = counts.indices.filter(i => counts(i)._1(k) == 1)
+          .map(cw).sum
+        clamp(if (sumCW == 0) BigInt(0) else num * S / sumCW)
+      }
+    }
+    val posts = counts.map { case (g, _) => post(lam, m)(g) }
+    assert(got.length == counts.size)
+    got.zip(counts.zip(posts)).foreach { case (r, ((g, c), w)) =>
+      assert(Seq(r.getInt(0), r.getInt(1), r.getInt(2)) == g)
+      assert(r.getAs[Long]("n_pairs") == c)
+      assert(r.getAs[Long]("posterior") == w, s"posterior @ $g")
+      assert(r.getAs[Long]("lambda") == lam)
+      gcols.zipWithIndex.foreach { case (cn, k) =>
+        assert(r.getAs[Long](s"m_$cn") == m(k))
+        assert(r.getAs[Long](s"u_$cn") == u(k), "frozen u echoed")
+      }
+    }
+  }
+
   test("modelPrCurve == local BigInt cumulative sums over the fitted patterns") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
