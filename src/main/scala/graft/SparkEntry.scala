@@ -988,6 +988,12 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
+    // prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin
+    // family): no blocking key, no LSH recall loss — the df-ordered
+    // prefix IS the join key; all cuts are integer rationals
+    "q_prefix_join" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.7).orderBy(col("id0"), col("id1"))),
     // character-trigram Jaccard (one-pass codegen'd gram signature +
     // merge-scan confirm; same salted pairing)
     "q_jaccard_char3" -> ((s, dir) =>
@@ -5009,6 +5015,39 @@ object SparkEntry {
                     4) AS jaccard
            FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // full AllPairs/PPJoin replay: df-ordered prefixes, length filter,
+    // exact-rational accept — every cut an integer cross-multiply
+    "q_prefix_join" ->
+      """WITH toks AS (
+           SELECT doc_id AS id, unnest(list_distinct(str_split(text, ' '))) AS tok
+           FROM documents),
+         n AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY id),
+         dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         ranked AS (
+           SELECT t.id, t.tok, n.sz,
+                  row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
+           FROM toks t JOIN dfreq d USING (tok) JOIN n USING (id)),
+         prefix AS (
+           SELECT id, tok, sz FROM ranked
+           WHERE rn <= sz - ((sz * 7000 + 9999) // 10000) + 1),
+         cand AS (
+           SELECT DISTINCT a.id AS id0, b.id AS id1, a.sz AS sz0, b.sz AS sz1
+           FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+           WHERE least(a.sz, b.sz) * 10000 >= greatest(a.sz, b.sz) * 7000),
+         sets AS (SELECT doc_id AS id,
+                         list_distinct(str_split(text, ' ')) AS s
+                  FROM documents),
+         conf AS (
+           SELECT id0, id1,
+                  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+                  sz0, sz1
+           FROM cand
+           JOIN sets sa ON sa.id = cand.id0
+           JOIN sets sb ON sb.id = cand.id1)
+         SELECT id0, id1, inter, sz0, sz1,
+                round(CAST(inter AS DOUBLE) / (sz0 + sz1 - inter), 4) AS jaccard
+         FROM conf
+         WHERE inter * 10000 >= (sz0 + sz1 - inter) * 7000""",
     "q_jaccard_char3" ->
       """WITH b AS (
            SELECT str_split(text, ' ')[1] AS bk, doc_id AS id,

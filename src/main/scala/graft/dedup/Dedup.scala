@@ -233,6 +233,64 @@ object Dedup {
       threshold, "id0", "id1", "containment")
   }
 
+  /** Prefix-filtered exact set-similarity self-join (the AllPairs /
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): find
+    * EVERY pair with token-set Jaccard ≥ t, no LSH recall loss and no
+    * external blocking key. Under a global token order, two sets with
+    * J ≥ t must share a token inside each other's first
+    * p = |x| − ⌈t·|x|⌉ + 1 tokens, so the prefix (not the whole set) is
+    * the join key. Ordering tokens by ascending document frequency
+    * (ties lexicographic) makes prefixes the RAREST tokens of each
+    * record — the candidate join is skew-light by construction, and the
+    * length filter min·D ≥ t·max (J ≤ min/max) prunes before any
+    * intersection. The threshold is carried as the exact rational
+    * ⌈t·10⁴⌉/10⁴: prefix length, length filter, and the final
+    * inter·D ≥ t·(union) accept are all integer cross-multiplications —
+    * bit-exact and SQL-replayable; the double ratio is reporting only.
+    *
+    * Scale shape: one token explode + one df hash-agg; the per-record
+    * rank is a window over single-record partitions (bounded by doc
+    * length); candidates route through [[saltedSelfPairs]] keyed on the
+    * prefix token (a pathological corpus where one token is rare AND
+    * shared by millions of records still fans out); the confirm is the
+    * codegen sorted-long merge scan on per-document hashed sets
+    * computed once. Prefixes shuffle (id, sz) only — never the arrays. */
+  def prefixFilterPairs(df: DataFrame, id: String, text: String,
+      threshold: Double, aim: Long = PairAim, maxK: Int = 4096): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val D = 10000L
+    val tnum = math.ceil(threshold * D).toLong
+    val elems = array_distinct(split(col(text), " "))
+    val toks = df.select(col(id).cast("long").as("id"),
+      explode(elems).as("tok"))
+    val sig = persistLatest("prefixfilter",
+      df.select(col(id).cast("long").as("id"), hashedSet(elems).as("toks"))
+        .withColumn("sz", size(col("toks")).cast("long")))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .join(sig.select(col("id"), col("sz")), "id")
+      .where(col("rn") <=
+        col("sz") - expr(s"(sz * $tnum + ${D - 1}) DIV $D") + 1)
+      .select(col("tok").as("bk"), col("id"), col("sz"))
+    val cand = saltedSelfPairs(prefix, aim, maxK)
+      .where(least(col("sz0"), col("sz1")) * D >=
+        greatest(col("sz0"), col("sz1")) * tnum)
+      .select("id0", "id1", "sz0", "sz1").distinct()
+    val withSets = cand
+      .join(sig.select(col("id").as("id0"), col("toks").as("toks0")), "id0")
+      .join(sig.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
+      .withColumn("inter",
+        graft.expr.sortedIntersectCount(col("toks0"), col("toks1"))
+          .cast("long"))
+    withSets
+      .where(col("inter") * D >= (col("sz0") + col("sz1") - col("inter")) * tnum)
+      .select(col("id0"), col("id1"), col("inter"), col("sz0"), col("sz1"),
+        round(col("inter").cast("double") /
+          (col("sz0") + col("sz1") - col("inter")), 4).as("jaccard"))
+  }
+
   /** Weighted (multiset / bag) Jaccard near-dup pairs:
     * Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) over term frequencies —
     * catches copies that token-SET Jaccard overrates or underrates when

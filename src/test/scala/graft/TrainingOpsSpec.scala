@@ -570,6 +570,37 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall")
   }
 
+  test("prefixFilterPairs == brute-force thresholded set jaccard (exact)") {
+    import spark.implicits._
+    val t = 0.7
+    val tnum = math.ceil(t * 10000).toLong
+    val got = Dedup.prefixFilterPairs(documents.repartition(7), "doc_id",
+        "text", t)
+      .collect()
+      .map(r => (r.getAs[Long]("id0"), r.getAs[Long]("id1")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("sz0"), r.getAs[Long]("sz1"),
+          r.getAs[Double]("jaccard"))).toMap
+    val txts = documents.select($"doc_id".as[Long], $"text".as[String])
+      .collect()
+    val sets = txts.map { case (id, tx) => id -> tx.split(" ").toSet }
+    val truth = (for {
+      (i, si) <- sets.iterator
+      (j, sj) <- sets.iterator
+      if i < j
+      inter = (si intersect sj).size.toLong
+      union = si.size + sj.size - inter
+      if inter * 10000 >= union * tnum // same rational cut, no FP boundary
+    } yield (i, j) -> (inter, si.size.toLong, sj.size.toLong,
+      math.rint(inter.toDouble / union * 10000) / 10000)).toMap
+    // exact algorithm: got and truth must be IDENTICAL sets with equal stats
+    assert(got.keySet == truth.keySet,
+      s"missed=${(truth.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- truth.keySet).take(5)}")
+    truth.foreach { case (k, v) => assert(got(k) == v, s"stats @ $k") }
+    assert(got.nonEmpty)
+    info(s"prefix-filter exact pairs=${got.size}")
+  }
+
   test("minhashAccuracy == independent minhash/jaccard reimplementation") {
     import spark.implicits._
     import scala.util.hashing.MurmurHash3
