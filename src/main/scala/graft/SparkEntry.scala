@@ -409,6 +409,20 @@ object SparkEntry {
         .select(col("rec0"), col("rec1"), col("matched_rule"))
         .orderBy(col("rec0"), col("rec1"))
     }),
+    // splink's estimate_probability_two_random_records_match: the EM
+    // λ prior from deterministic equality rules at an assumed recall
+    // of 0.9 — exact integer λ over the C(n,2) pair universe
+    "q_lambda_prior" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val x = docs(s, dir).select(col("doc_id").as("id"),
+        substring(col("text"), 1, 40).as("h40"),
+        concat_ws(" ", slice(toks, 1, 3)).as("t3"),
+        col("lang"), length(col("text")).as("len"))
+      graft.link.Rules.lambdaPrior(x, "id", Seq(
+        "r1_head40" -> Seq("h40"),
+        "r2_tok3" -> Seq("t3"),
+        "r3_lang_len" -> Seq("lang", "len")), recallScaled = 9000L)
+    }),
     // cluster-cohesion audit: CC at t=0.75 over the kernel edges, then
     // per-component implied-pair closure vs actually-scored edges; the
     // oracle recomputes the components themselves with a recursive
@@ -2589,6 +2603,24 @@ object SparkEntry {
         embs(s, dir).where(col("vec_id") < 10)
           .select(col("vec_id").cast("long").as("query_id")), k = 5)
         .orderBy(col("query_id"), col("rank"))),
+    // ANN quality gate: recall@5 of the IVF index against brute-force
+    // exact cosine per query — the accuracy/cost readout every approx
+    // index deployment needs before it replaces the exact path
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Ann.ivfTopKFromAssignments(ivfSig(s, dir),
+          q.select(col("vec_id").cast("long").as("query_id")), k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits") * 2000L).as("recall_scaled"))
+        .orderBy("query_id")
+    }),
     // product-quantization ANN (Jegou et al. 2011) — the memory-bound
     // scale path: 8 one-byte codes per 64-dim vector, ADC table-lookup
     // distances; integer-exact end to end, so the oracle re-derives code
@@ -2821,6 +2853,31 @@ object SparkEntry {
              END AS matched_rule
            FROM p) q
          WHERE matched_rule IS NOT NULL""",
+    // λ prior: union-distinct of the three equality-rule pair sets over
+    // the FULL C(n,2) universe, floored HUGEINT divide at recall 0.9
+    "q_lambda_prior" ->
+      """WITH d AS (SELECT doc_id AS id, substr(text, 1, 40) AS h40,
+                         array_to_string(string_split(text, ' ')[1:3], ' ') AS t3,
+                         lang, length(text) AS len
+                  FROM documents),
+         m AS (
+           SELECT a.id AS id0, b.id AS id1 FROM d a JOIN d b
+             ON a.h40 = b.h40 AND a.id < b.id
+           UNION
+           SELECT a.id, b.id FROM d a JOIN d b
+             ON a.t3 = b.t3 AND a.id < b.id
+           UNION
+           SELECT a.id, b.id FROM d a JOIN d b
+             ON a.lang = b.lang AND a.len = b.len AND a.id < b.id),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n_matched FROM m),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+         SELECT c.n_matched,
+                CAST(t.n * (t.n - 1) // 2 AS BIGINT) AS total_pairs,
+                CAST(9000 AS BIGINT) AS recall_scaled,
+                CAST((CAST(c.n_matched AS HUGEINT) * 1000000000 * 10000)
+                     // (CAST(t.n * (t.n - 1) // 2 AS HUGEINT) * 9000)
+                     AS BIGINT) AS lambda_scaled
+         FROM c, t""",
     // cohesion audit: recursive min-label connected components over the
     // replayed t=0.75 edge set (labels propagate along edges until the
     // UNION fixpoint; min reachable packed node id == the engine's
@@ -4522,6 +4579,37 @@ object SparkEntry {
                   CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM s)
          SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""",
+    // recall@5 = the q_topk_cosine exact chain LEFT-joined with the
+    // q_ann_ivf_topk probe chain, hits counted per query
+    "q_ann_recall" ->
+      s"""WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         ex_s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.e, c.e), 6) AS cos
+           FROM ve q JOIN ve c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         ex_r AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank FROM ex_s),
+         exact AS (SELECT query_id, neighbor_id FROM ex_r WHERE rank <= 5),
+         vi AS (SELECT vid, v, list, probes FROM '$OracleAuxDir/ivf_sig/*.parquet'),
+         iv_s AS (
+           SELECT q.vid AS query_id, c.vid AS neighbor_id,
+                  round(list_dot_product(q.v, c.v), 6) AS cos
+           FROM vi q JOIN vi c ON q.vid < 10 AND c.vid <> q.vid
+             AND list_contains(q.probes, c.list)),
+         iv_r AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank FROM iv_s),
+         ivf AS (SELECT query_id, neighbor_id, 1 AS hit
+                 FROM iv_r WHERE rank <= 5)
+         SELECT e.query_id,
+                CAST(sum(coalesce(i.hit, 0)) AS BIGINT) AS n_hits,
+                CAST(sum(coalesce(i.hit, 0)) * 2000 AS BIGINT) AS recall_scaled
+         FROM exact e LEFT JOIN ivf i
+           ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         GROUP BY e.query_id""",
     // full PQ replay from the dumped quantized vectors + codebooks:
     // code assignment (argmin integer subspace distance, (dist, cid)
     // tie-break) and the ADC search (summed table distances, ascending

@@ -371,4 +371,32 @@ class RulesSpec extends SparkSpec {
   test("empty rule list is rejected") {
     intercept[IllegalArgumentException] { Rules.cascade(pairs(), Nil) }
   }
+
+  test("lambdaPrior == local union-of-rule-pairs estimate (exact)") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha", "en", 10), (2L, "alpha", "en", 10), // r1 AND r2 pair
+      (3L, "alpha", "de", 11), // r1 with 1,2
+      (4L, "beta", "en", 10),  // r2 with 1,2
+      (5L, "gamma", "fr", 99), (6L, "delta", "fr", 99), // r2 pair only
+      (7L, "omega", "zz", 1))  // matches nothing
+    val df = recs.toDF("id", "key", "lang", "len").repartition(3)
+    val got = Rules.lambdaPrior(df, "id",
+      Seq("r1_key" -> Seq("key"), "r2_lang_len" -> Seq("lang", "len")),
+      recallScaled = 8000L).collect().head
+    // local brute force: union-distinct of per-rule equality pairs
+    val byKey = recs.combinations(2).filter(p => p(0)._2 == p(1)._2)
+    val byLL = recs.combinations(2)
+      .filter(p => p(0)._3 == p(1)._3 && p(0)._4 == p(1)._4)
+    val matched = (byKey ++ byLL)
+      .map(p => (math.min(p(0)._1, p(1)._1), math.max(p(0)._1, p(1)._1)))
+      .toSet
+    val total = recs.size.toLong * (recs.size - 1) / 2
+    val lam = (BigInt(matched.size) * 1000000000L * 10000L /
+      (BigInt(total) * 8000L)).toLong
+    assert(got.getAs[Long]("n_matched") == matched.size.toLong)
+    assert(got.getAs[Long]("total_pairs") == total)
+    assert(got.getAs[Long]("recall_scaled") == 8000L)
+    assert(got.getAs[Long]("lambda_scaled") == lam)
+  }
 }
