@@ -2634,6 +2634,35 @@ object SparkEntry {
           k = 5, numSub = 8, subDim = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // KMV bottom-k distinct sketch: per-source token-vocabulary estimate
+    // with the exact count riding along as the estimator audit; estimate
+    // is a floored-integer divide so the oracle replays it bit-for-bit
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.rel.Sketches.kmvDistinct(
+          docs(s, dir).select(col("source"),
+            explode(split(col("text"), " ")).as("tok")),
+          "source", "tok", k = 64)
+        .orderBy(col("source"))),
+    // HyperLogLog registers + FP-free raw estimate per language (the
+    // scaled-integer Σ2^-reg trick — see Sketches.hllDistinct)
+    "q_hll_distinct" -> ((s, dir) =>
+      graft.rel.Sketches.hllDistinct(
+          docs(s, dir).select(col("lang"),
+            explode(split(col("text"), " ")).as("tok")),
+          "lang", "tok", p = 6)
+        .orderBy(col("lang"))),
+    // count-min sketch point estimates for the exact top-30 tokens:
+    // 4x256 cells, min-of-cells never underestimates (and the output
+    // proves it per candidate)
+    "q_cms_heavy" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cand = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(30).select("tok")
+      graft.rel.Sketches.cmsEstimate(toks, "tok", cand, "tok",
+          d = 4, w = 256)
+        .orderBy(col("tok"))
+    }),
   )
 
   /** q_bpe_train's oracle, built per round count: w0 = the alpha-token
@@ -6773,5 +6802,90 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
                 event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // KMV bottom-k sketch replayed exactly: same md5-derived 60-bit hash,
+    // same bottom-64 per source, same floored (k-1)*2^60/kth_min estimate
+    "q_kmv_distinct" ->
+      """WITH t AS (SELECT source, unnest(str_split(text, ' ')) AS tok
+                    FROM documents),
+         h AS (SELECT DISTINCT source,
+                      CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+               FROM t),
+         r AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+               FROM h),
+         k AS (SELECT source, CAST(max(r) AS INT) AS k_used,
+                      max(CASE WHEN r = 64 THEN h END) AS kth_min
+               FROM r WHERE r <= 64 GROUP BY source),
+         e AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+               FROM h GROUP BY source)
+         SELECT k.source, 64 AS k, k.k_used, k.kth_min,
+                CASE WHEN k.k_used < 64 THEN e.exact_distinct
+                     ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
+                               // k.kth_min AS BIGINT)
+                END AS est_distinct,
+                e.exact_distinct
+         FROM k JOIN e ON k.source = e.source""",
+    // HLL registers + the scaled-integer estimate: bucket = top 6 hash
+    // bits, rho = leftmost-1 position of the 54-bit remainder (via the
+    // same lpad(bin(...)) string both engines build), s_scaled =
+    // sum(2^(55-reg)) over the full 64-bucket grid, est = one floored
+    // HUGEINT divide with alpha = 709/1000
+    "q_hll_distinct" ->
+      """WITH t AS (SELECT lang, unnest(str_split(text, ' ')) AS tok
+                    FROM documents),
+         h AS (SELECT lang,
+                      CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+               FROM t),
+         b AS (SELECT lang, h // 18014398509481984 AS bucket,
+                      h % 18014398509481984 AS rem FROM h),
+         rr AS (SELECT lang, bucket,
+                  CASE WHEN rem = 0 THEN 55
+                       ELSE CAST(strpos(lpad(bin(rem), 54, '0'), '1') AS INT)
+                  END AS rho
+                FROM b),
+         regs AS (SELECT lang, bucket, max(rho) AS reg FROM rr GROUP BY 1, 2),
+         grid AS (SELECT DISTINCT lang, g AS bucket FROM h, range(0, 64) t(g)),
+         fl AS (SELECT grid.lang, grid.bucket, COALESCE(regs.reg, 0) AS reg
+                FROM grid LEFT JOIN regs
+                  ON grid.lang = regs.lang AND grid.bucket = regs.bucket),
+         s AS (SELECT lang,
+                  CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT)
+                    AS s_scaled,
+                  CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v_zero
+               FROM fl GROUP BY lang),
+         e AS (SELECT lang, CAST(count(DISTINCT h) AS BIGINT)
+                              AS exact_distinct
+               FROM h GROUP BY lang)
+         SELECT s.lang, 64 AS m, s.v_zero, s.s_scaled,
+                CAST((CAST(709 AS HUGEINT) * 4096 * (CAST(1 AS BIGINT) << 55))
+                     // (1000 * CAST(s_scaled AS HUGEINT)) AS BIGINT)
+                  AS est_raw,
+                e.exact_distinct
+         FROM s JOIN e ON s.lang = e.lang""",
+    // count-min sketch replay: 4x256 occurrence cells from the same
+    // "seed#token" hashes, point estimate = min of the candidate's 4
+    // cells; candidates = the exact top-30 tokens (count DESC, tok ASC)
+    "q_cms_heavy" ->
+      """WITH t AS (SELECT unnest(str_split(text, ' ')) AS tok
+                    FROM documents),
+         e AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
+               FROM t GROUP BY tok),
+         cand AS (SELECT tok FROM e ORDER BY exact DESC, tok LIMIT 30),
+         cells AS (SELECT seed,
+                     CAST('0x' || substr(md5(seed || '#' || tok), 1, 15)
+                          AS BIGINT) % 256 AS bucket,
+                     CAST(count(*) AS BIGINT) AS cell
+                   FROM t, range(0, 4) s(seed) GROUP BY 1, 2),
+         q AS (SELECT cand.tok, seed,
+                 CAST('0x' || substr(md5(seed || '#' || cand.tok), 1, 15)
+                      AS BIGINT) % 256 AS bucket
+               FROM cand, range(0, 4) s(seed)),
+         est AS (SELECT q.tok, min(COALESCE(cells.cell, 0)) AS est
+                 FROM q LEFT JOIN cells
+                   ON q.seed = cells.seed AND q.bucket = cells.bucket
+                 GROUP BY q.tok)
+         SELECT est.tok, est.est, e.exact, est.est >= e.exact AS never_under
+         FROM est JOIN e ON est.tok = e.tok""",
   )
 }
