@@ -2651,6 +2651,33 @@ object SparkEntry {
             explode(split(col("text"), " ")).as("tok")),
           "lang", "tok", p = 6)
         .orderBy(col("lang"))),
+    // adjusted Rand index of the golden febrl4 clustering vs truth —
+    // randIndex corrected for chance; integer-exact sufficient
+    // statistics and a floored scaled divide (see Evaluation scaladoc)
+    "q_adjusted_rand" -> ((s, _) =>
+      graft.cluster.Evaluation.adjustedRandIndex(febrl4Assignment(s),
+        "pred", "truth")),
+    // block l-diversity: the attribute-disclosure companion to
+    // q_block_kanon over the same first-token blocking, sensitive
+    // attribute = lang
+    "q_l_diversity" -> ((s, dir) =>
+      graft.ingest.Blocking.lDiversityStats(
+          docs(s, dir).select((col("doc_id") % 2).cast("int").as("dp"),
+            element_at(split(col("text"), " "), 1).as("block_key"),
+            col("lang")),
+          "lang", l = 3)
+        .orderBy(col("dp"))),
+    // one-round star clustering over the thinned co-purchase graph —
+    // the bounded-diameter alternative to CC (local-degree-max centers,
+    // best-center satellite attach, orphans stand alone)
+    "q_star_cluster" -> ((s, dir) =>
+      graft.cluster.Star.assign(coPurchaseEdgesThinned(s, dir))
+        .orderBy(col("id"))),
+    // per-edge triangle support (embeddedness): zero-support accepted
+    // edges are lone bridges — the review queue for transitive closure
+    "q_edge_support" -> ((s, dir) =>
+      graft.cluster.Triangles.edgeSupport(coPurchaseEdgesThinned(s, dir))
+        .orderBy(col("u"), col("v"))),
     // count-min sketch point estimates for the exact top-30 tokens:
     // 4x256 cells, min-of-cells never underestimates (and the output
     // proves it per candidate)
@@ -6802,6 +6829,135 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
                 event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // adjusted Rand: q_rand_index's comb-2 sufficient statistics, then
+    // num = 2(C*Sij - Sa*Sb), den = C*(Sa+Sb) - 2*Sa*Sb in HUGEINT
+    // (arrow decimal128(38,0) == Spark's decimal(38,0)) and ONE floored
+    // scaled divide
+    "q_adjusted_rand" ->
+      """WITH uni AS (SELECT i AS id FROM range(0, 2000) t(i)
+                      UNION ALL SELECT i + 10000 FROM range(0, 2000) t(i)),
+         g AS (SELECT dp * 10000 + entityId AS id, clusterId AS pred
+               FROM '/root/repo/fixtures/febrl4_golden_clusters.parquet'),
+         tp AS (SELECT CAST(row_a AS BIGINT) AS id,
+                       CAST(row_a AS BIGINT) AS t
+                FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                  header = true)
+                UNION ALL
+                SELECT CAST(row_b AS BIGINT) + 10000, CAST(row_a AS BIGINT)
+                FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                  header = true)),
+         a AS (SELECT coalesce(g.pred, -uni.id - 1) AS c,
+                      coalesce(tp.t, -uni.id - 1) AS e
+               FROM uni LEFT JOIN g ON uni.id = g.id
+                        LEFT JOIN tp ON uni.id = tp.id),
+         ss AS (SELECT CAST(sum((n_ce * (n_ce - 1)) // 2) AS BIGINT)
+                         AS s_ij,
+                       CAST(sum(n_ce) AS BIGINT) AS n FROM
+                  (SELECT CAST(count(*) AS BIGINT) AS n_ce FROM a
+                   GROUP BY c, e)),
+         pp AS (SELECT CAST(sum((n_c * (n_c - 1)) // 2) AS BIGINT)
+                         AS s_a FROM
+                  (SELECT CAST(count(*) AS BIGINT) AS n_c FROM a
+                   GROUP BY c)),
+         tt AS (SELECT CAST(sum((n_e * (n_e - 1)) // 2) AS BIGINT)
+                         AS s_b FROM
+                  (SELECT CAST(count(*) AS BIGINT) AS n_e FROM a
+                   GROUP BY e)),
+         x AS (SELECT n, (n * (n - 1)) // 2 AS pairs_total, s_ij, s_a, s_b,
+                      2 * (CAST((n * (n - 1)) // 2 AS HUGEINT) * s_ij
+                           - CAST(s_a AS HUGEINT) * s_b) AS ari_num,
+                      CAST((n * (n - 1)) // 2 AS HUGEINT) * (s_a + s_b)
+                        - 2 * CAST(s_a AS HUGEINT) * s_b AS ari_den
+               FROM ss, pp, tt)
+         SELECT n, pairs_total, s_ij, s_a, s_b, ari_num, ari_den,
+                CAST(ari_num * 1000000000 // ari_den AS BIGINT)
+                  AS ari_scaled
+         FROM x""",
+    // l-diversity over the q_block_kanon blocking, sensitive = lang:
+    // distinct-(dp, block, lang) then per-block distinct counts
+    "q_l_diversity" ->
+      """WITH b AS (SELECT DISTINCT CAST(doc_id % 2 AS INT) AS dp,
+                      string_split(text, ' ')[1] AS block_key, lang
+                    FROM documents),
+         d AS (SELECT dp, block_key,
+                      CAST(count(*) AS BIGINT) AS n_distinct
+               FROM b GROUP BY dp, block_key)
+         SELECT dp, CAST(count(*) AS BIGINT) AS n_blocks,
+                CAST(sum(CASE WHEN n_distinct < 3 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS blocks_below_l,
+                min(n_distinct) AS min_diversity,
+                max(n_distinct) AS max_diversity, 3 AS l
+         FROM d GROUP BY dp""",
+    // one-round star cover replay: same degree table, center = local
+    // (deg, id) maximum (strict, so adjacent centers are impossible),
+    // satellite attach = (deg, id)-argmax over center neighbors via
+    // QUALIFY-style row_number
+    "q_star_cluster" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_orderkey % 4 = 0 AND l_partkey % 2 = 0),
+         e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                       greatest(a.l_partkey, b.l_partkey) AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey),
+         adj AS (SELECT u AS id, v AS nb FROM e0
+                 UNION ALL SELECT v, u FROM e0),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM adj
+                 GROUP BY id),
+         nbd AS (SELECT adj.id, d1.deg AS deg, adj.nb, d2.deg AS nb_deg
+                 FROM adj JOIN deg d1 ON adj.id = d1.id
+                          JOIN deg d2 ON adj.nb = d2.id),
+         mx AS (SELECT id, deg, nb_deg, nb,
+                       row_number() OVER (PARTITION BY id
+                         ORDER BY nb_deg DESC, nb DESC) AS r
+                FROM nbd),
+         flag AS (SELECT id, deg,
+                         (deg > nb_deg OR (deg = nb_deg AND id > nb))
+                           AS is_center
+                  FROM mx WHERE r = 1),
+         cent AS (SELECT id, deg FROM flag WHERE is_center),
+         att AS (SELECT nbd.id, nbd.nb,
+                        row_number() OVER (PARTITION BY nbd.id
+                          ORDER BY nbd.nb_deg DESC, nbd.nb DESC) AS r
+                 FROM nbd JOIN cent ON nbd.nb = cent.id),
+         a1 AS (SELECT id, nb AS star_c FROM att WHERE r = 1)
+         SELECT f.id,
+                CASE WHEN f.is_center THEN 'center'
+                     WHEN a1.star_c IS NOT NULL THEN 'satellite'
+                     ELSE 'orphan' END AS role,
+                CASE WHEN f.is_center OR a1.star_c IS NULL THEN f.id
+                     ELSE a1.star_c END AS star
+         FROM flag f LEFT JOIN a1 ON f.id = a1.id""",
+    // per-edge triangle support: q_triangles' oriented wedge join, each
+    // triangle charging its three canonical edges, zero-support edges
+    // kept by the left join
+    "q_edge_support" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_orderkey % 4 = 0 AND l_partkey % 2 = 0),
+         e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                       greatest(a.l_partkey, b.l_partkey) AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT id, count(*) AS dg FROM
+                   (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+                 GROUP BY id),
+         o AS (SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                      THEN u ELSE v END AS a,
+                      CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND u < v)
+                      THEN v ELSE u END AS b
+               FROM e0 JOIN deg d1 ON e0.u = d1.id
+                       JOIN deg d2 ON e0.v = d2.id),
+         tri AS (SELECT w.a, w.b, w.c FROM
+                   (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                    FROM o e1 JOIN o e2 ON e1.b = e2.a) w
+                 JOIN o ON o.a = w.a AND o.b = w.c),
+         ch AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+                UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+                UNION ALL SELECT least(a, c), greatest(a, c) FROM tri),
+         sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS support
+                 FROM ch GROUP BY u, v)
+         SELECT e0.u, e0.v, COALESCE(sup.support, 0) AS support,
+                COALESCE(sup.support, 0) = 0 AS is_bridge_candidate
+         FROM e0 LEFT JOIN sup ON e0.u = sup.u AND e0.v = sup.v""",
     // KMV bottom-k sketch replayed exactly: same md5-derived 60-bit hash,
     // same bottom-64 per source, same floored (k-1)*2^60/kth_min estimate
     "q_kmv_distinct" ->

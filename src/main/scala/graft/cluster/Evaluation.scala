@@ -88,6 +88,50 @@ object Evaluation {
           / col("pairs_total")).as("rand_index"))
   }
 
+  /** Adjusted Rand index (Hubert & Arabie 1985) — [[randIndex]] corrected
+    * for chance, the comparison that stays meaningful when cluster-size
+    * distributions differ between runs. Same comb-2 sufficient statistics
+    * (S_ij = same-same pair count, S_a / S_b = within-pred /
+    * within-truth pair counts, C = C(n,2)); cleared of fractions so the
+    * whole computation is integer-exact:
+    *   num = 2·(C·S_ij − S_a·S_b),  den = C·(S_a+S_b) − 2·S_a·S_b,
+    *   ARI = num/den, emitted as floor(scale·num/den) in DECIMAL(38,0).
+    * The truncating DIV matches DuckDB's // only for num ≥ 0 — a
+    * negative ARI (worse-than-chance clustering) is visible in the raw
+    * `ari_num` sign, which ships precisely so that case can't hide.
+    *
+    * Scale shape: identical to [[randIndex]] — three hash aggs to one
+    * row each, never a pair enumeration. */
+  def adjustedRandIndex(assign: DataFrame, predCol: String,
+      truthCol: String, scale: Long = 1000000000L): DataFrame = {
+    val a = assign.select(col(predCol).as("c"), col(truthCol).as("e"))
+    val sameSame = a.groupBy("c", "e").agg(count(lit(1)).as("n_ce"))
+      .agg(sum(expr("CAST((n_ce * (n_ce - 1)) DIV 2 AS BIGINT)"))
+          .cast("long").as("s_ij"),
+        sum(col("n_ce")).cast("long").as("n"))
+    val predPairs = a.groupBy("c").agg(count(lit(1)).as("n_c"))
+      .agg(sum(expr("CAST((n_c * (n_c - 1)) DIV 2 AS BIGINT)"))
+        .cast("long").as("s_a"))
+    val truthPairs = a.groupBy("e").agg(count(lit(1)).as("n_e"))
+      .agg(sum(expr("CAST((n_e * (n_e - 1)) DIV 2 AS BIGINT)"))
+        .cast("long").as("s_b"))
+    sameSame.crossJoin(predPairs).crossJoin(truthPairs)
+      .withColumn("pairs_total", expr("(n * (n - 1)) DIV 2"))
+      .withColumn("ari_num", expr(
+        """2 * (CAST(pairs_total AS DECIMAL(38,0)) * s_ij
+           - CAST(s_a AS DECIMAL(38,0)) * s_b)"""))
+      .withColumn("ari_den", expr(
+        """CAST(pairs_total AS DECIMAL(38,0)) * (s_a + s_b)
+           - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b"""))
+      .select(col("n"), col("pairs_total"), col("s_ij"), col("s_a"),
+        col("s_b"),
+        col("ari_num").cast("decimal(38,0)").as("ari_num"),
+        col("ari_den").cast("decimal(38,0)").as("ari_den"),
+        expr(s"CAST(CAST(ari_num AS DECIMAL(38,0)) * ${scale}L" +
+          " DIV CAST(ari_den AS DECIMAL(38,0)) AS BIGINT)")
+          .as("ari_scaled"))
+  }
+
   /** Cluster churn between two clusterings of one record universe — the
     * monitoring metric for incremental linkage
     * ([[graft.link.Pipeline.edgesDelta]] consumers): after a re-run or a

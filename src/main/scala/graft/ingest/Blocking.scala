@@ -172,6 +172,33 @@ object Blocking {
       .withColumn("k", lit(k))
   }
 
+  /** Block l-diversity diagnostics — the attribute-disclosure companion
+    * to [[kAnonymityStats]] (Machanavajjhala et al., ICDE 2006): a block
+    * can satisfy k-anonymity yet be HOMOGENEOUS in a sensitive
+    * attribute, so block membership alone reveals that attribute. A
+    * block is l-diverse when its members span at least l distinct
+    * sensitive values; reported per provider: block count, how many
+    * blocks fall below l, and the min/max diversity observed.
+    *
+    * Scale shape: one distinct-(dp, block, value) hash-agg, one
+    * (dp, block) count agg, one per-dp rollup — same two-phase shape as
+    * [[blockStats]], output one row per dp. */
+  def lDiversityStats(blocked: DataFrame, sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(l >= 2, "l-diversity below 2 is vacuous")
+    val div = blocked
+      .select(col("dp"), col("block_key"), col(sensitiveCol).as("_sv"))
+      .distinct()
+      .groupBy("dp", "block_key").agg(count(lit(1)).as("n_distinct"))
+    div.groupBy("dp").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("n_distinct") < l, 1L).otherwise(0L))
+        .cast("long").as("blocks_below_l"),
+      min(col("n_distinct")).as("min_diversity"),
+      max(col("n_distinct")).as("max_diversity"))
+      .withColumn("l", lit(l))
+  }
+
   /** Multi-pass blocking with provenance — the standard recall hedge
     * (Hernández & Stolfo's multi-pass sorted neighborhood generalised to
     * key union): run several cheap blocking schemes, union the candidate

@@ -112,4 +112,57 @@ class GraphOpsSpec extends SparkSpec {
     val lb = (20L to 31L).map(lab).distinct
     assert(la.size == 1 && lb.size == 1 && la != lb)
   }
+
+  test("Star.assign == local one-round star cover; no adjacent centers") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ =>
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+    val und = undirect(edges)
+    val adj = und.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    def key(n: Long) = (deg(n), n)
+    val expect = adj.keys.map { n =>
+      val isCenter = adj(n).forall(z =>
+        Ordering[(Long, Long)].gt(key(n), key(z)))
+      if (isCenter) (n, "center", n)
+      else {
+        val cNbs = adj(n).filter(z =>
+          adj(z).forall(w => Ordering[(Long, Long)].gt(key(z), key(w))))
+        if (cNbs.isEmpty) (n, "orphan", n)
+        else { val c = cNbs.maxBy(key); (n, "satellite", c) }
+      }
+    }.toSet
+    val got = graft.cluster.Star.assign(
+        edges.toDF("src", "dst").repartition(7))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expect)
+    // structural invariants: centers never adjacent; satellites point at
+    // an adjacent center
+    val centers = got.filter(_._2 == "center").map(_._1)
+    centers.foreach(c => assert((adj(c) intersect centers).isEmpty))
+    got.filter(_._2 == "satellite").foreach { case (n, _, s) =>
+      assert(centers(s) && adj(n)(s))
+    }
+  }
+
+  test("Triangles.edgeSupport == brute-force common-neighbor counts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val edges = (1 to 350).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val und = undirect(edges)
+    val adj = und.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = und.map { case (u, v) =>
+      val s = (adj(u) intersect adj(v)).size.toLong
+      (u, v, s, s == 0L)
+    }
+    val got = graft.cluster.Triangles.edgeSupport(
+        edges.toDF("src", "dst").repartition(5))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == expect)
+    assert(got.exists(_._3 > 0) && expect.nonEmpty)
+  }
 }

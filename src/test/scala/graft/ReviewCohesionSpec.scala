@@ -313,6 +313,62 @@ class CohesionSpec extends SparkSpec {
       assert(r.getAs[Double]("max_sim") == inEdges.map(_._1).max)
     }
   }
+
+  test("adjustedRandIndex == exact BigInt ARI; perfect match scores 1.0") {
+    import spark.implicits._
+    import graft.cluster.Evaluation
+    val rng = new scala.util.Random(17)
+    // 200 items, 12 true clusters, prediction = truth with 15% noise
+    val assign = (0 until 200).map { i =>
+      val t = (i % 12).toLong
+      val p = if (rng.nextDouble() < 0.15) rng.nextInt(12).toLong else t
+      (p, t)
+    }
+    val r = Evaluation.adjustedRandIndex(
+      assign.toDF("pred", "truth"), "pred", "truth").collect().head
+
+    def comb2(x: Long) = BigInt(x) * (x - 1) / 2
+    val sij = assign.groupBy(identity).values
+      .map(g => comb2(g.size.toLong)).sum
+    val sa = assign.groupBy(_._1).values.map(g => comb2(g.size.toLong)).sum
+    val sb = assign.groupBy(_._2).values.map(g => comb2(g.size.toLong)).sum
+    val c = comb2(assign.size.toLong)
+    val num = 2 * (c * sij - sa * sb)
+    val den = c * (sa + sb) - 2 * sa * sb
+    assert(BigInt(r.getAs[Long]("s_ij")) == sij)
+    assert(BigInt(r.getDecimal(5).toBigInteger) == num)
+    assert(BigInt(r.getDecimal(6).toBigInteger) == den)
+    assert(r.getAs[Long]("ari_scaled") ==
+      (num * 1000000000L / den).toLong)
+    // noisy-but-correlated prediction: well inside (0, 1)
+    assert(r.getAs[Long]("ari_scaled") > 400000000L &&
+      r.getAs[Long]("ari_scaled") < 1000000000L)
+    // identical clusterings hit exactly scale
+    val perfect = Evaluation.adjustedRandIndex(
+      assign.map(t => (t._2, t._2)).toDF("pred", "truth"), "pred", "truth")
+      .collect().head
+    assert(perfect.getAs[Long]("ari_scaled") == 1000000000L)
+  }
+
+  test("lDiversityStats == brute-force distinct-sensitive-per-block") {
+    import spark.implicits._
+    import graft.ingest.Blocking
+    val rng = new scala.util.Random(19)
+    val rows = (0 until 300).map { i =>
+      (i % 2, i.toLong, s"b${rng.nextInt(20)}", s"s${rng.nextInt(4)}")
+    }
+    val df = rows.toDF("dp", "entity_id", "block_key", "sens")
+    val got = Blocking.lDiversityStats(df, "sens", l = 3).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toMap
+    val expect = rows.groupBy(_._1).view.mapValues { g =>
+      val div = g.groupBy(_._3).view
+        .mapValues(_.map(_._4).distinct.size.toLong)
+      (div.size.toLong, div.values.count(_ < 3).toLong,
+        div.values.min, div.values.max, 3)
+    }.toMap
+    assert(got == expect)
+  }
 }
 
 /** Deterministic rule cascade: first-match-wins over an ordered rule
