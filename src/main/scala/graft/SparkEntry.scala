@@ -2651,6 +2651,29 @@ object SparkEntry {
             explode(split(col("text"), " ")).as("tok")),
           "lang", "tok", p = 6)
         .orderBy(col("lang"))),
+    // Hilbert-curve layout clustering over the same 2D key as q_zorder —
+    // the locality upgrade (unit-step walk => tighter per-bucket
+    // zone-map envelopes); per-bucket file-skipping stats
+    "q_hilbert" -> ((s, dir) =>
+      graft.rel.Layout.hilbertStats(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          "l_partkey", "l_suppkey", bucketBits = 8)
+        .orderBy(col("bucket"))),
+    // zone-map file-skipping plan under two layouts of the same rows:
+    // orderkey-clustered files prune to a handful for an orderkey range
+    // predicate, hash-scattered files must all be read — the quantified
+    // case for clustering layouts
+    "q_zonemap_prune" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def plan(layout: String, fileId: Column) =
+        graft.rel.Layout.zonemapPrunePlan(
+            li.select(fileId.as("f"), col("l_orderkey")),
+            "f", "l_orderkey", lo = 1000L, hi = 3000L)
+          .withColumn("layout", lit(layout))
+      plan("clustered", expr("l_orderkey DIV 2048"))
+        .unionByName(plan("scattered", expr("l_orderkey % 64")))
+        .orderBy(col("layout"), col("file_id"))
+    }),
     // adjusted Rand index of the golden febrl4 clustering vs truth —
     // randIndex corrected for chance; integer-exact sufficient
     // statistics and a floored scaled divide (see Evaluation scaladoc)
@@ -2739,9 +2762,66 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q_hilbert's oracle: the same iterative xy→d Hilbert transform as
+    * Layout.hilbertAssign, one chained CTE per bit level (s = 128 … 1),
+    * each round re-deriving (rx, ry) masks inline — keep-or-flip-and-
+    * swap frame rotation and the (3·rx)^ry quadrant order spelled as the
+    * identical CASE in both engines. */
+  private def hilbertOracleSql(): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH st AS (SELECT min(l_partkey) AS minx, max(l_partkey) AS maxx,
+                           min(l_suppkey) AS miny, max(l_suppkey) AS maxy
+                    FROM lineitem),
+         r0 AS (SELECT qx, qy, qx AS hx, qy AS hy, CAST(0 AS BIGINT) AS h
+                FROM (SELECT
+                        ((l_partkey - minx) * 256) // (maxx - minx + 1) AS qx,
+                        ((l_suppkey - miny) * 256) // (maxy - miny + 1) AS qy
+                      FROM lineitem, st))"""
+    val levels = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+    levels.zipWithIndex.foreach { case (s, i) =>
+      sb ++= s""",
+         r${i + 1} AS (SELECT qx, qy,
+             CASE WHEN (hy & $s) > 0 THEN hx
+                  WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END AS hx,
+             CASE WHEN (hy & $s) > 0 THEN hy
+                  WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END AS hy,
+             h + ${s.toLong * s} *
+               (CASE WHEN (hx & $s) > 0 AND (hy & $s) > 0 THEN 2
+                     WHEN (hx & $s) > 0 THEN 3
+                     WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS h
+           FROM r$i)"""
+    }
+    sb ++= s"""
+         SELECT h >> 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(qx) AS INT) AS min_qx, CAST(max(qx) AS INT) AS max_qx,
+                CAST(min(qy) AS INT) AS min_qy, CAST(max(qy) AS INT) AS max_qy
+         FROM r${levels.size} GROUP BY 1"""
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_hilbert" -> hilbertOracleSql(),
+    // per-file min/max envelopes + the overlap verdict, both layouts
+    "q_zonemap_prune" ->
+      """WITH c AS (SELECT l_orderkey // 2048 AS file_id, l_orderkey
+                    FROM lineitem),
+         sc AS (SELECT l_orderkey % 64 AS file_id, l_orderkey
+                FROM lineitem),
+         pc AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(min(l_orderkey) AS BIGINT) AS zmin,
+                       CAST(max(l_orderkey) AS BIGINT) AS zmax,
+                       'clustered' AS layout
+                FROM c GROUP BY file_id),
+         ps AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(min(l_orderkey) AS BIGINT) AS zmin,
+                       CAST(max(l_orderkey) AS BIGINT) AS zmax,
+                       'scattered' AS layout
+                FROM sc GROUP BY file_id)
+         SELECT file_id, n_rows, zmin, zmax,
+                zmin <= 3000 AND zmax >= 1000 AS must_read, layout
+         FROM (SELECT * FROM pc UNION ALL SELECT * FROM ps)""",
     "q_bpe_train" -> bpeOracleSql(12),
     "q_bpe_segment" -> bpeSegmentOracleSql(12, 30),
     // The flagship CLK Dice kernel, replayed bit-for-bit by DuckDB from

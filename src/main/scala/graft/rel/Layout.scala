@@ -79,6 +79,101 @@ object Layout {
         min("qx").as("min_qx"), max("qx").as("max_qx"),
         min("qy").as("min_qy"), max("qy").as("max_qy"))
 
+  /** Hilbert-curve layout clustering — the locality upgrade over
+    * [[zorderAssign]]: the Hilbert walk visits every cell of the 256×256
+    * quantized grid through ADJACENT cells only (Morton order takes long
+    * diagonal jumps at every power-of-two boundary), so consecutive
+    * index ranges cover more compact rectangles and the per-bucket
+    * min/max envelopes — exactly what zone-map file skipping prunes
+    * with — are tighter for range predicates on either dimension.
+    *
+    * Same 8-bit-per-dimension quantization as zorder; the index is the
+    * textbook iterative xy→d transform (one quadrant classification +
+    * frame rotation per bit level, 8 rounds), all integer CASE/mask
+    * arithmetic — no UDF, one codegen projection, and replayable as
+    * chained SQL rounds. Row-local after one broadcast min/max agg.
+    *
+    * @return (x, y, qx, qy, h, bucket) with h the 16-bit Hilbert index
+    *         and bucket its top `bucketBits` bits. */
+  def hilbertAssign(df: DataFrame, xCol: String, yCol: String,
+      bucketBits: Int = 8): DataFrame = {
+    require(bucketBits >= 2 && bucketBits <= 16,
+      s"bucketBits in [2,16]: $bucketBits")
+    val stats = df.agg(
+      min(col(xCol)).cast("long").as("minx"),
+      max(col(xCol)).cast("long").as("maxx"),
+      min(col(yCol)).cast("long").as("miny"),
+      max(col(yCol)).cast("long").as("maxy"))
+    val base = df
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .crossJoin(broadcast(stats))
+      .withColumn("qx",
+        expr("CAST(((x - minx) * 256) DIV (maxx - minx + 1) AS INT)"))
+      .withColumn("qy",
+        expr("CAST(((y - miny) * 256) DIV (maxy - miny + 1) AS INT)"))
+      .withColumn("hx", col("qx"))
+      .withColumn("hy", col("qy"))
+      .withColumn("h", lit(0L))
+    val walked = Seq(128, 64, 32, 16, 8, 4, 2, 1).foldLeft(base) {
+      (cur, s) =>
+        val rx = when(col("hx").bitwiseAND(lit(s)) > 0, 1).otherwise(0)
+        val ry = when(col("hy").bitwiseAND(lit(s)) > 0, 1).otherwise(0)
+        // quadrant order under the current frame: (3*rx) xor ry, spelled
+        // as a CASE so both engines share one formulation
+        val quad = when(rx === 1 && ry === 1, 2).when(rx === 1, 3)
+          .when(ry === 1, 1).otherwise(0)
+        cur
+          .withColumn("_rx", rx).withColumn("_ry", ry)
+          .withColumn("h", col("h") + lit(s.toLong * s) * quad)
+          // rotate the frame for the next level: ry=0 flips (when rx=1)
+          // then swaps the axes; ry=1 leaves them
+          .withColumn("_nhx",
+            when(col("_ry") === 0,
+              when(col("_rx") === 1, lit(s - 1) - col("hy"))
+                .otherwise(col("hy"))).otherwise(col("hx")))
+          .withColumn("hy",
+            when(col("_ry") === 0,
+              when(col("_rx") === 1, lit(s - 1) - col("hx"))
+                .otherwise(col("hx"))).otherwise(col("hy")))
+          .withColumn("hx", col("_nhx"))
+          .drop("_rx", "_ry", "_nhx")
+    }
+    walked.withColumn("bucket", shiftright(col("h"), 16 - bucketBits))
+      .select("x", "y", "qx", "qy", "h", "bucket")
+  }
+
+  /** Per-bucket file-skipping envelope of the Hilbert layout — same
+    * readout as [[zorderStats]], directly comparable bucket for bucket. */
+  def hilbertStats(df: DataFrame, xCol: String, yCol: String,
+      bucketBits: Int = 8): DataFrame =
+    hilbertAssign(df, xCol, yCol, bucketBits)
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        min("qx").as("min_qx"), max("qx").as("max_qx"),
+        min("qy").as("min_qy"), max("qy").as("max_qy"))
+
+  /** Zone-map file-skipping plan — the min/max metadata pruning an
+    * Iceberg/parquet reader runs BEFORE touching data: a file must be
+    * read iff its [min, max] envelope for the predicate column overlaps
+    * the query range; every other file is skipped on metadata alone.
+    * This surfaces that decision as a plan: per file, its row count,
+    * envelope, and the must-read verdict — the readout that quantifies
+    * what a clustering layout ([[zorderAssign]] / [[hilbertAssign]])
+    * actually buys, since clustering exists precisely to shrink the
+    * must-read set for range predicates.
+    *
+    * Scale shape: ONE hash-agg to metadata scale (a row per file —
+    * ~10^5-10^6 for a 100-TB table) + a row-local overlap test. */
+  def zonemapPrunePlan(df: DataFrame, fileCol: String, valueCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty predicate range [$lo, $hi]")
+    df.groupBy(col(fileCol).cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).cast("long").as("zmin"),
+        max(col(valueCol)).cast("long").as("zmax"))
+      .withColumn("must_read",
+        col("zmin") <= hi && col("zmax") >= lo)
+  }
+
   /** Rendezvous (highest-random-weight) shard routing — the consistent
     * assignment a growing corpus store needs: key k goes to the shard s
     * maximising md5(k || '#' || s), so adding a shard steals ~1/(n+1) of

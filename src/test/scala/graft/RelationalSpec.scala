@@ -5,6 +5,58 @@ import graft.rel.Relational
 
 class RelationalSpec extends SparkSpec {
 
+  test("hilbertAssign == textbook xy2d; bijective; unit-step walk") {
+    import spark.implicits._
+    // full 256x256 grid: quantization is the identity (min=0, max=255)
+    val grid = spark.range(65536L)
+      .select((col("id") / 256).cast("long").as("x"),
+        (col("id") % 256).cast("long").as("y"))
+    val got = graft.rel.Layout.hilbertAssign(grid, "x", "y")
+      .select("x", "y", "h").as[(Long, Long, Long)].collect()
+
+    def xy2d(n: Int, xi: Int, yi: Int): Long = {
+      var x = xi; var y = yi; var d = 0L; var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    got.foreach { case (x, y, h) =>
+      assert(h == xy2d(256, x.toInt, y.toInt), s"($x,$y)")
+    }
+    // bijective onto [0, 65536) and every consecutive step is a unit
+    // move — THE Hilbert property (Morton fails this at every
+    // power-of-two boundary)
+    val byH = got.sortBy(_._3)
+    assert(byH.map(_._3).toSeq == (0L until 65536L))
+    byH.sliding(2).foreach { case Array((x0, y0, _), (x1, y1, _)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1)
+    }
+  }
+
+  test("zonemapPrunePlan == brute-force envelopes; clustered prunes") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(v => (v / 100, v)) // 20 sorted files
+    val got = graft.rel.Layout.zonemapPrunePlan(
+        rows.toDF("f", "v"), "f", "v", lo = 450L, hi = 760L)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val expect = rows.groupBy(_._1).map { case (f, g) =>
+      val vs = g.map(_._2)
+      (f, vs.size.toLong, vs.min, vs.max,
+        vs.min <= 760L && vs.max >= 450L)
+    }.toSet
+    assert(got == expect)
+    // only files 4..7 overlap [450, 760]
+    assert(got.filter(_._5).map(_._1) == Set(4L, 5L, 6L, 7L))
+  }
+
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
 
   // deterministic corpus with equal-time collisions: times land on a
