@@ -2713,6 +2713,25 @@ object SparkEntry {
           d = 4, w = 256)
         .orderBy(col("tok"))
     }),
+    // block t-closeness (the distributional tightening of q_l_diversity,
+    // same blocking): TVD between each block's language distribution and
+    // its provider's global one, integer-exact, absent cells collapsed
+    "q_t_closeness" -> ((s, dir) =>
+      graft.ingest.Blocking.tClosenessStats(
+          docs(s, dir).select((col("doc_id") % 2).cast("int").as("dp"),
+            element_at(split(col("text"), " "), 1).as("block_key"),
+            col("lang")),
+          "lang", tScaled = 300000L)
+        .orderBy(col("dp"))),
+    // KMV set-operation estimates for every source pair: union /
+    // Jaccard / intersection straight from the per-source bottom-64
+    // sketches, with the exact counts riding as the audit
+    "q_kmv_setops" -> ((s, dir) =>
+      graft.rel.Sketches.kmvSetOps(
+          docs(s, dir).select(col("source"),
+            explode(split(col("text"), " ")).as("tok")),
+          "source", "tok", k = 64)
+        .orderBy(col("grp0"), col("grp1"))),
   )
 
   /** q_bpe_train's oracle, built per round count: w0 = the alpha-token
@@ -7123,5 +7142,97 @@ object SparkEntry {
                  GROUP BY q.tok)
          SELECT est.tok, est.est, e.exact, est.est >= e.exact AS never_under
          FROM est JOIN e ON est.tok = e.tok""",
+    // t-closeness replay: same (block, value) cells, same algebraic
+    // collapse of absent grid cells (n_b*N + sum over present cells),
+    // same floored scaled divide — all HUGEINT
+    "q_t_closeness" ->
+      """WITH r AS (SELECT CAST(doc_id % 2 AS INT) AS dp,
+                      string_split(text, ' ')[1] AS block_key, lang AS sv
+                    FROM documents),
+         c AS (SELECT dp, block_key, sv, CAST(count(*) AS HUGEINT) AS c
+               FROM r GROUP BY 1, 2, 3),
+         bn AS (SELECT dp, block_key, CAST(sum(c) AS HUGEINT) AS n_b
+                FROM c GROUP BY 1, 2),
+         g AS (SELECT dp, sv, CAST(count(*) AS HUGEINT) AS cv
+               FROM r GROUP BY 1, 2),
+         tt AS (SELECT dp, CAST(sum(cv) AS HUGEINT) AS n_tot
+                FROM g GROUP BY 1),
+         pb AS (SELECT c.dp, c.block_key, max(bn.n_b) AS n_b,
+                       max(tt.n_tot) AS n_tot,
+                       sum(abs(c.c * tt.n_tot - g.cv * bn.n_b)
+                           - g.cv * bn.n_b) AS term_sum
+                FROM c JOIN g ON c.dp = g.dp AND c.sv = g.sv
+                       JOIN bn ON c.dp = bn.dp AND c.block_key = bn.block_key
+                       JOIN tt ON c.dp = tt.dp
+                GROUP BY 1, 2),
+         tb AS (SELECT dp, (n_b * n_tot + term_sum) * 1000000
+                           // (2 * n_b * n_tot) AS t_block
+                FROM pb)
+         SELECT dp, CAST(count(*) AS BIGINT) AS n_blocks,
+                CAST(sum(CASE WHEN t_block > 300000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS blocks_above_t,
+                CAST(min(t_block) AS BIGINT) AS min_t_scaled,
+                CAST(max(t_block) AS BIGINT) AS max_t_scaled,
+                CAST(300000 AS BIGINT) AS t_scaled,
+                CAST(1000000 AS BIGINT) AS scale
+         FROM tb GROUP BY dp""",
+    // KMV set-ops replay: same per-source bottom-64 sketches, same
+    // union-sketch rank/kth/membership math, same floored divides
+    "q_kmv_setops" ->
+      """WITH t AS (SELECT source, unnest(str_split(text, ' ')) AS tok
+                    FROM documents),
+         h AS (SELECT DISTINCT source AS grp,
+                      CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+               FROM t),
+         r AS (SELECT grp, h,
+                      row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+               FROM h),
+         sk AS (SELECT grp, h FROM r WHERE r <= 64),
+         p AS (SELECT a.grp AS grp0, b.grp AS grp1
+               FROM (SELECT DISTINCT grp FROM sk) a
+                    JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp),
+         m AS (SELECT grp0, grp1, h, max(in0) AS in0, max(in1) AS in1
+               FROM (SELECT p.grp0, p.grp1, sk.h, 1 AS in0, 0 AS in1
+                     FROM p JOIN sk ON sk.grp = p.grp0
+                     UNION ALL
+                     SELECT p.grp0, p.grp1, sk.h, 0, 1
+                     FROM p JOIN sk ON sk.grp = p.grp1)
+               GROUP BY 1, 2, 3),
+         rk AS (SELECT grp0, grp1, h, in0, in1,
+                  row_number() OVER (PARTITION BY grp0, grp1 ORDER BY h)
+                    AS r
+                FROM m),
+         pp AS (SELECT grp0, grp1, CAST(max(r) AS INT) AS k_used,
+                  max(CASE WHEN r = 64 THEN h END) AS kth_union,
+                  CAST(sum(CASE WHEN in0 = 1 AND in1 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS inter_bottomk
+                FROM rk WHERE r <= 64 GROUP BY 1, 2),
+         est AS (SELECT grp0, grp1, k_used, kth_union, inter_bottomk,
+                   CASE WHEN k_used < 64 THEN CAST(k_used AS BIGINT)
+                        ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
+                                  // kth_union AS BIGINT)
+                   END AS est_union
+                 FROM pp),
+         eu AS (SELECT grp0, grp1, CAST(count(*) AS BIGINT) AS exact_union,
+                  CAST(sum(CASE WHEN in0 = 1 AND in1 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS exact_intersection
+                FROM (SELECT grp0, grp1, h,
+                             max(in0) AS in0, max(in1) AS in1
+                      FROM (SELECT p.grp0, p.grp1, hh.h, 1 AS in0, 0 AS in1
+                            FROM p JOIN h hh ON hh.grp = p.grp0
+                            UNION ALL
+                            SELECT p.grp0, p.grp1, hh.h, 0, 1
+                            FROM p JOIN h hh ON hh.grp = p.grp1)
+                      GROUP BY 1, 2, 3)
+                GROUP BY 1, 2)
+         SELECT est.grp0, est.grp1, 64 AS k, est.k_used, est.kth_union,
+                est.est_union, est.inter_bottomk,
+                CAST(CAST(est.inter_bottomk AS HUGEINT) * 1000000 // 64
+                     AS BIGINT) AS jaccard_scaled,
+                CAST(CAST(est.inter_bottomk AS HUGEINT) * est.est_union
+                     // 64 AS BIGINT) AS est_intersection,
+                eu.exact_union, eu.exact_intersection
+         FROM est JOIN eu
+           ON est.grp0 = eu.grp0 AND est.grp1 = eu.grp1""",
   )
 }

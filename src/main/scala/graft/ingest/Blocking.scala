@@ -199,6 +199,68 @@ object Blocking {
       .withColumn("l", lit(l))
   }
 
+  /** Block t-closeness audit (Li–Li–Venkatasubramanian ICDE'07) — the
+    * distributional tightening of [[lDiversityStats]]: an l-diverse block
+    * still leaks when its sensitive-value DISTRIBUTION diverges from the
+    * population's (a block that is 90% one language in a 50/50 corpus
+    * discloses plenty at l = 2). Per (dp, block), the total-variation
+    * distance (= categorical EMD with unit ground distance) between the
+    * block's distribution and that provider's global distribution, kept
+    * integer-exact: with block counts c_v (n_b rows) and global counts
+    * C_v (N rows),
+    *   tvd_num = Σ_v |c_v·N − C_v·n_b|   over denominator 2·n_b·N,
+    * and the absent-value cells collapse algebraically —
+    *   Σ_v |…| = n_b·N + Σ_{v present in the block} (|c_v·N − C_v·n_b|
+    *             − C_v·n_b)
+    * — so only the block's own value cells are ever materialized (no
+    * block × vocabulary grid). The distance ships as one floored
+    * DECIMAL(38,0) divide at `scale`, bit-replayable.
+    *
+    * Scale shape: one hash-agg to (block, value) cells, one to block
+    * sizes, one broadcast-sized global-distribution join, one rollup per
+    * provider. Nothing touches pair or record scale after the first agg.
+    *
+    * @param blocked (dp, block_key, sensitiveCol) rows, one per record.
+    * @param tScaled the closeness threshold at `scale` (t·scale).
+    * @return per dp: n_blocks, blocks_above_t, min/max block distance
+    *         (scaled), t_scaled, scale. */
+  def tClosenessStats(blocked: DataFrame, sensitiveCol: String,
+      tScaled: Long, scale: Long = 1000000L): DataFrame = {
+    require(tScaled >= 0 && tScaled <= scale, "tScaled in [0, scale]")
+    val rows = blocked.select(col("dp"), col("block_key"),
+      col(sensitiveCol).as("_sv"))
+    val cell = rows.groupBy("dp", "block_key", "_sv")
+      .agg(count(lit(1)).as("c"))
+    val blockN = cell.groupBy("dp", "block_key")
+      .agg(sum("c").cast("long").as("n_b"))
+    val glob = rows.groupBy("dp", "_sv").agg(count(lit(1)).as("cv"))
+    val tot = glob.groupBy("dp").agg(sum("cv").cast("long").as("n_tot"))
+    val perBlock = cell
+      .join(broadcast(glob), Seq("dp", "_sv"))
+      .join(blockN, Seq("dp", "block_key"))
+      .join(broadcast(tot), Seq("dp"))
+      .withColumn("term", expr(
+        """abs(CAST(c AS DECIMAL(38,0)) * n_tot
+           - CAST(cv AS DECIMAL(38,0)) * n_b)
+           - CAST(cv AS DECIMAL(38,0)) * n_b"""))
+      .groupBy("dp", "block_key")
+      .agg(max("n_b").as("n_b"), max("n_tot").as("n_tot"),
+        sum("term").as("term_sum"))
+      .withColumn("tvd_num",
+        expr("CAST(n_b AS DECIMAL(38,0)) * n_tot + term_sum"))
+      .withColumn("t_block", expr(
+        s"""CAST(CAST(tvd_num AS DECIMAL(38,0)) * ${scale}L
+            DIV (2 * CAST(n_b AS DECIMAL(38,0)) * n_tot) AS BIGINT)"""))
+    perBlock.groupBy("dp").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("t_block") > tScaled, 1L).otherwise(0L))
+        .cast("long").as("blocks_above_t"),
+      min(col("t_block")).as("min_t_scaled"),
+      max(col("t_block")).as("max_t_scaled"))
+      .withColumn("t_scaled", lit(tScaled))
+      .withColumn("scale", lit(scale))
+  }
+
   /** Multi-pass blocking with provenance — the standard recall hedge
     * (Hernández & Stolfo's multi-pass sorted neighborhood generalised to
     * key union): run several cheap blocking schemes, union the candidate

@@ -166,4 +166,99 @@ object Sketches {
       .select(col("v").as(candCol), col("est"), col("exact"),
         (col("est") >= col("exact")).as("never_under"))
   }
+
+  /** KMV set-operation estimates for every group pair — the multiset
+    * side of [[kmvDistinct]] (Beyer et al. SIGMOD'07, "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations"): because a
+    * bottom-k sketch of A ∪ B is recoverable from the two sketches alone
+    * (union → bottom-k), per-group sketches answer |A∪B|, Jaccard, and
+    * |A∩B| for EVERY pair without revisiting the data.
+    *
+    * With L = bottom-k of sk(A) ∪ sk(B) and kth its k-th smallest:
+    *   est_union        = (k−1)·2^60 DIV kth   (exact when |L| < k)
+    *   inter_bottomk    = |{h ∈ L : h ∈ sk(A) ∧ h ∈ sk(B)}|
+    *   jaccard_scaled   = inter_bottomk·scale DIV k
+    *   est_intersection = inter_bottomk·est_union DIV k
+    * — every quantity an integer or a floored integer divide, so the
+    * whole readout replays bit-for-bit in plain SQL. The exact union /
+    * intersection ride along as the estimator audit.
+    *
+    * Scale shape: the per-group sketch is the same salted bottom-k as
+    * [[kmvDistinct]]; after that, everything is pairs-of-groups × ≤ 2k
+    * sketch rows (group counts are small by assumption — sources,
+    * languages, shards). The exact audit joins distinct-hash sets per
+    * pair and is the only input-scale stage; drop it when groups are
+    * genuinely huge. */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64, scale: Long = 1000000L): DataFrame = {
+    require(k >= 2 && k <= 4096, "k in [2, 4096]")
+    val hashed = df
+      .select(col(groupCol).cast("string").as("grp"),
+        hash60(col(valueCol)).as("h"))
+      .distinct()
+    val partial = hashed
+      .withColumn("salt", pmod(col("h"), lit(64L)))
+      .withColumn("r",
+        row_number().over(Window.partitionBy("grp", "salt").orderBy("h")))
+      .where(col("r") <= k).drop("r", "salt")
+    val sk = partial
+      .withColumn("r",
+        row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .where(col("r") <= k).drop("r")
+    val pairs = sk.select("grp").distinct().as("g0")
+      .join(sk.select("grp").distinct().as("g1"),
+        col("g0.grp") < col("g1.grp"))
+      .select(col("g0.grp").as("grp0"), col("g1.grp").as("grp1"))
+    val members = pairs
+      .join(sk.withColumnRenamed("grp", "grp0"), Seq("grp0"))
+      .select(col("grp0"), col("grp1"), col("h"), lit(1).as("in0"),
+        lit(0).as("in1"))
+      .unionByName(pairs
+        .join(sk.withColumnRenamed("grp", "grp1"), Seq("grp1"))
+        .select(col("grp0"), col("grp1"), col("h"), lit(0).as("in0"),
+          lit(1).as("in1")))
+      .groupBy("grp0", "grp1", "h")
+      .agg(max("in0").as("in0"), max("in1").as("in1"))
+    val ranked = members
+      .withColumn("r", row_number()
+        .over(Window.partitionBy("grp0", "grp1").orderBy("h")))
+      .where(col("r") <= k)
+    val perPair = ranked.groupBy("grp0", "grp1").agg(
+      max("r").as("k_used"),
+      max(when(col("r") === k, col("h"))).as("kth_union"),
+      sum(when(col("in0") === 1 && col("in1") === 1, 1L).otherwise(0L))
+        .cast("long").as("inter_bottomk"))
+      .withColumn("est_union",
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * ${Pow60}L" +
+              " DIV kth_union AS BIGINT)")))
+      .withColumn("jaccard_scaled", expr(
+        s"CAST(CAST(inter_bottomk AS DECIMAL(38,0)) * ${scale}L" +
+          s" DIV ${k}L AS BIGINT)"))
+      .withColumn("est_intersection", expr(
+        s"CAST(CAST(inter_bottomk AS DECIMAL(38,0)) * est_union" +
+          s" DIV ${k}L AS BIGINT)"))
+    val exactStats = pairs
+      .join(hashed.withColumnRenamed("grp", "grp0").select(
+        col("grp0"), col("h")), Seq("grp0"))
+      .select(col("grp0"), col("grp1"), col("h"), lit(1).as("in0"),
+        lit(0).as("in1"))
+      .unionByName(pairs
+        .join(hashed.withColumnRenamed("grp", "grp1").select(
+          col("grp1"), col("h")), Seq("grp1"))
+        .select(col("grp0"), col("grp1"), col("h"), lit(0).as("in0"),
+          lit(1).as("in1")))
+      .groupBy("grp0", "grp1", "h")
+      .agg(max("in0").as("in0"), max("in1").as("in1"))
+      .groupBy("grp0", "grp1")
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("in0") === 1 && col("in1") === 1, 1L).otherwise(0L))
+          .cast("long").as("exact_intersection"))
+    perPair.join(exactStats, Seq("grp0", "grp1"))
+      .select(col("grp0"), col("grp1"), lit(k).as("k"), col("k_used"),
+        col("kth_union"), col("est_union"), col("inter_bottomk"),
+        col("jaccard_scaled"), col("est_intersection"),
+        col("exact_union"), col("exact_intersection"))
+  }
 }

@@ -369,6 +369,44 @@ class CohesionSpec extends SparkSpec {
     }.toMap
     assert(got == expect)
   }
+
+  test("tClosenessStats == brute-force grid TVD (absent cells included)") {
+    import spark.implicits._
+    import graft.ingest.Blocking
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 400).map { i =>
+      (i % 2, s"b${rng.nextInt(12)}", s"s${rng.nextInt(5)}")
+    }
+    val scale = 1000000L
+    val tScaled = 300000L
+    val got = Blocking.tClosenessStats(
+        rows.toDF("dp", "block_key", "sens"), "sens", tScaled, scale)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // brute force over the FULL block x value grid (the operator's
+    // algebraic collapse of absent cells must agree with it)
+    val expect = rows.groupBy(_._1).view.mapValues { g =>
+      val n = BigInt(g.size)
+      val glob = g.groupBy(_._3).view.mapValues(x => BigInt(x.size)).toMap
+      val vals = glob.keySet
+      val dists = g.groupBy(_._2).values.map { b =>
+        val nb = BigInt(b.size)
+        val cnt = b.groupBy(_._3).view.mapValues(x => BigInt(x.size)).toMap
+        val num = vals.iterator
+          .map(v => (cnt.getOrElse(v, BigInt(0)) * n - glob(v) * nb).abs)
+          .sum
+        (num * scale / (2 * nb * n)).toLong
+      }.toSeq
+      (dists.size.toLong, dists.count(_ > tScaled).toLong,
+        dists.min, dists.max, tScaled, scale)
+    }.toMap
+    assert(got == expect)
+    // a uniform corpus is 0-distant from itself: one block = everything
+    val self = Blocking.tClosenessStats(
+      rows.map(r => (r._1, "all", r._3)).toDF("dp", "block_key", "sens"),
+      "sens", tScaled, scale).collect()
+    assert(self.forall(_.getAs[Long]("max_t_scaled") == 0L))
+  }
 }
 
 /** Deterministic rule cascade: first-match-wins over an ordered rule

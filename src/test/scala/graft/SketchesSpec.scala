@@ -92,4 +92,44 @@ class SketchesSpec extends SparkSpec {
     assert(out.toSeq == expected)
     assert(out.forall(_._4), "CMS must never underestimate")
   }
+
+  test("kmvSetOps: bit-exact vs local union/intersect sketch math") {
+    val k = 64
+    val scale = 1000000L
+    // A = 0..999, B = 500..1499 (true Jaccard 1/3), C = 0..49 (sub-k)
+    val rows =
+      (0 until 1000).map(i => ("A", s"v$i")) ++
+        (500 until 1500).map(i => ("B", s"v$i")) ++
+        (0 until 50).map(i => ("C", s"v$i"))
+    val out = Sketches.kmvSetOps(rows.toDF("g", "v"), "g", "v", k, scale)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getInt(3), r.get(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+
+    val sets = rows.groupBy(_._1).view
+      .mapValues(_.map(t => h60(t._2)).distinct.sorted).toMap
+    def skOf(g: String) = sets(g).take(k).toSet
+    for (((g0, g1), got) <- out) {
+      val union = (skOf(g0) ++ skOf(g1)).toSeq.sorted
+      val bottom = union.take(k)
+      val kUsed = bottom.size
+      val kth: Any = if (kUsed == k) bottom.last else null
+      val estU = if (kUsed < k) kUsed.toLong
+        else (BigInt(k - 1) * (BigInt(1) << 60) / bottom.last).toLong
+      val inter = bottom.count(h => skOf(g0)(h) && skOf(g1)(h)).toLong
+      val jacc = (BigInt(inter) * scale / k).toLong
+      val estI = (BigInt(inter) * estU / k).toLong
+      val exU = (sets(g0).toSet ++ sets(g1)).size.toLong
+      val exI = (sets(g0).toSet & sets(g1).toSet).size.toLong
+      assert(got == ((k, kUsed, kth, estU, inter, jacc, estI, exU, exI)),
+        s"($g0,$g1)")
+    }
+    // estimator quality on the straddling pair: true J = 1/3
+    val ab = out(("A", "B"))
+    assert(math.abs(ab._6 / scale.toDouble - 1.0 / 3) < 0.2)
+    // sub-k pair is exact: A∪C bottom-k saturates (|A|≥k) but A∩C=C
+    val ac = out(("A", "C"))
+    assert(ac._8 == 1000L && ac._9 == 50L)
+  }
 }
