@@ -2732,6 +2732,24 @@ object SparkEntry {
             explode(split(col("text"), " ")).as("tok")),
           "source", "tok", k = 64)
         .orderBy(col("grp0"), col("grp1"))),
+    // strongly connected components of the directed part-sequence graph
+    // (pk_i -> pk_{i+1} within each order's linenumber walk): the
+    // directed analogue of the match-group solve, FW-BW coloring
+    "q_scc" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_partkey") < 400 && col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"))
+      // ORDER BY (ln, pk): (ok, ln) pairs are NOT unique in the
+      // synthetic lineitem, so the tie-break must be total or the two
+      // engines walk different sequences
+      val nxt = lead("pk", 1).over(
+        Window.partitionBy("ok").orderBy("ln", "pk"))
+      val edges = li.withColumn("nxt", nxt)
+        .where(col("nxt").isNotNull && col("nxt") =!= col("pk"))
+        .select(col("pk").as("src"), col("nxt").as("dst"))
+      graft.cluster.Scc.run(edges).orderBy(col("id"))
+    }),
   )
 
   /** q_bpe_train's oracle, built per round count: w0 = the alpha-token
@@ -7234,5 +7252,30 @@ object SparkEntry {
                 eu.exact_union, eu.exact_intersection
          FROM est JOIN eu
            ON est.grp0 = eu.grp0 AND est.grp1 = eu.grp1""",
+    // SCC ground truth: the full recursive reachability closure, scc =
+    // min over the mutual-reachability set (the definition itself — the
+    // Spark side's FW-BW coloring must land on exactly this)
+    "q_scc" ->
+      """WITH RECURSIVE
+         li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       l_partkey AS pk
+                FROM lineitem
+                WHERE l_partkey < 400 AND l_orderkey % 8 = 0),
+         e AS (SELECT DISTINCT pk AS src, nxt AS dst
+               FROM (SELECT pk,
+                       lead(pk) OVER (PARTITION BY ok ORDER BY ln, pk) AS nxt
+                     FROM li)
+               WHERE nxt IS NOT NULL AND nxt <> pk),
+         reach AS (SELECT src AS a, dst AS b FROM e
+                   UNION
+                   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         mut AS (SELECT r1.a AS id, r1.b AS o
+                 FROM reach r1 JOIN reach r2
+                   ON r1.a = r2.b AND r1.b = r2.a)
+         SELECT CAST(id AS BIGINT) AS id,
+                CAST(least(id, coalesce(min(o), id)) AS BIGINT) AS scc
+         FROM nodes LEFT JOIN mut USING (id)
+         GROUP BY id""",
   )
 }

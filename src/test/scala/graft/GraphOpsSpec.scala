@@ -165,4 +165,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == expect)
     assert(got.exists(_._3 > 0) && expect.nonEmpty)
   }
+
+  test("Scc.run == brute-force mutual reachability (random digraphs)") {
+    import spark.implicits._
+    for (seed <- Seq(7, 29)) {
+      val rng = new scala.util.Random(seed)
+      val n = 48
+      // sparse random digraph + a planted 6-cycle so a non-trivial SCC
+      // is guaranteed
+      val edges = ((1 to 120).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)) ++
+        (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong)))
+        .filter(e => e._1 != e._2).distinct
+      // boolean Floyd-Warshall closure
+      val reach = Array.fill(n, n)(false)
+      edges.foreach { case (u, v) => reach(u.toInt)(v.toInt) = true }
+      for (k <- 0 until n; i <- 0 until n if reach(i)(k);
+           j <- 0 until n if reach(k)(j)) reach(i)(j) = true
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map { v =>
+        val mutual = nodes.filter(u =>
+          reach(v.toInt)(u.toInt) && reach(u.toInt)(v.toInt))
+        v -> ((mutual :+ v).min)
+      }.toMap
+      val got = graft.cluster.Scc.run(
+          edges.toDF("src", "dst").repartition(7))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"seed $seed")
+      // the planted cycle is one SCC rooted at 0
+      assert((0 until 6).forall(i => got(i.toLong) == 0L), s"seed $seed")
+    }
+  }
 }
