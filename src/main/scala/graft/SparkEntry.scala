@@ -2750,6 +2750,21 @@ object SparkEntry {
         .select(col("pk").as("src"), col("nxt").as("dst"))
       graft.cluster.Scc.run(edges).orderBy(col("id"))
     }),
+    // bowtie decomposition of the same digraph (Broder WWW'00): giant
+    // SCC core, IN/OUT closure, tendrils via weak connectivity — the
+    // crawl-snapshot macro readout
+    "q_bowtie" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_partkey") < 400 && col("l_orderkey") % 8 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"))
+      val nxt = lead("pk", 1).over(
+        Window.partitionBy("ok").orderBy("ln", "pk"))
+      val edges = li.withColumn("nxt", nxt)
+        .where(col("nxt").isNotNull && col("nxt") =!= col("pk"))
+        .select(col("pk").as("src"), col("nxt").as("dst"))
+      graft.cluster.Bowtie.classify(edges).orderBy(col("id"))
+    }),
   )
 
   /** q_bpe_train's oracle, built per round count: w0 = the alpha-token
@@ -7277,5 +7292,52 @@ object SparkEntry {
                 CAST(least(id, coalesce(min(o), id)) AS BIGINT) AS scc
          FROM nodes LEFT JOIN mut USING (id)
          GROUP BY id""",
+    // bowtie replay: closure-derived SCCs -> largest core (ties to the
+    // smallest label) -> fwd/bwd membership straight off the closure ->
+    // weak connectivity as one more recursive flood from the core
+    "q_bowtie" ->
+      """WITH RECURSIVE
+         li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       l_partkey AS pk
+                FROM lineitem
+                WHERE l_partkey < 400 AND l_orderkey % 8 = 0),
+         e AS (SELECT DISTINCT pk AS src, nxt AS dst
+               FROM (SELECT pk,
+                       lead(pk) OVER (PARTITION BY ok ORDER BY ln, pk)
+                         AS nxt
+                     FROM li)
+               WHERE nxt IS NOT NULL AND nxt <> pk),
+         reach AS (SELECT src AS a, dst AS b FROM e
+                   UNION
+                   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         und AS (SELECT DISTINCT u, v FROM
+                   (SELECT src AS u, dst AS v FROM e
+                    UNION ALL SELECT dst, src FROM e)),
+         nodes AS (SELECT DISTINCT id FROM
+                     (SELECT src AS id FROM e
+                      UNION ALL SELECT dst AS id FROM e)),
+         mut AS (SELECT r1.a AS id, r1.b AS o
+                 FROM reach r1 JOIN reach r2
+                   ON r1.a = r2.b AND r1.b = r2.a),
+         sccs AS (SELECT id, least(id, coalesce(min(o), id)) AS scc
+                  FROM nodes LEFT JOIN mut USING (id) GROUP BY id),
+         core AS (SELECT id FROM sccs WHERE scc =
+                    (SELECT scc FROM (SELECT scc, count(*) AS n
+                                      FROM sccs GROUP BY scc)
+                     ORDER BY n DESC, scc LIMIT 1)),
+         fwd AS (SELECT DISTINCT reach.b AS id
+                 FROM reach JOIN core ON reach.a = core.id),
+         bwd AS (SELECT DISTINCT reach.a AS id
+                 FROM reach JOIN core ON reach.b = core.id),
+         wreach AS (SELECT id FROM core
+                    UNION
+                    SELECT und.v FROM wreach JOIN und ON wreach.id = und.u)
+         SELECT CAST(n.id AS BIGINT) AS id,
+                CASE WHEN n.id IN (SELECT id FROM core) THEN 'core'
+                     WHEN n.id IN (SELECT id FROM bwd) THEN 'in'
+                     WHEN n.id IN (SELECT id FROM fwd) THEN 'out'
+                     WHEN n.id IN (SELECT id FROM wreach) THEN 'tendril'
+                     ELSE 'disconnected' END AS cls
+         FROM nodes n""",
   )
 }

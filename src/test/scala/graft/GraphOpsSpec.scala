@@ -196,4 +196,58 @@ class GraphOpsSpec extends SparkSpec {
       assert((0 until 6).forall(i => got(i.toLong) == 0L), s"seed $seed")
     }
   }
+
+  test("Bowtie.classify == planted structure and brute force") {
+    import spark.implicits._
+    // planted: core cycle {10,11,12}, IN chain 1->2->10, OUT 12->20->21,
+    // tendril 2->30 (reached from IN, never reaches core), second small
+    // cycle {40,41} disconnected from everything
+    val planted = Seq((10L, 11L), (11L, 12L), (12L, 10L), (1L, 2L),
+      (2L, 10L), (12L, 20L), (20L, 21L), (2L, 30L), (40L, 41L), (41L, 40L))
+    val gotP = graft.cluster.Bowtie.classify(planted.toDF("src", "dst"))
+      .as[(Long, String)].collect().toMap
+    assert(gotP == Map(10L -> "core", 11L -> "core", 12L -> "core",
+      1L -> "in", 2L -> "in", 20L -> "out", 21L -> "out",
+      30L -> "tendril", 40L -> "disconnected", 41L -> "disconnected"))
+
+    // random digraph vs closure-based brute force
+    val rng = new scala.util.Random(31)
+    val n = 40
+    val edges = ((1 to 90).map(_ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong)) ++
+      (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong)))
+      .filter(e => e._1 != e._2).distinct
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (u, v) => reach(u.toInt)(v.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n if reach(i)(k);
+         j <- 0 until n if reach(k)(j)) reach(i)(j) = true
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val sccOf = nodes.map { v =>
+      v -> (nodes.filter(u => reach(v.toInt)(u.toInt) &&
+        reach(u.toInt)(v.toInt)) :+ v).min
+    }.toMap
+    val coreLbl = sccOf.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (lbl, sz) => (-sz, lbl) }.head._1
+    val coreSet = sccOf.filter(_._2 == coreLbl).keySet
+    // undirected closure for weak connectivity
+    val wreach = Array.fill(n, n)(false)
+    edges.foreach { case (u, v) =>
+      wreach(u.toInt)(v.toInt) = true; wreach(v.toInt)(u.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n if wreach(i)(k);
+         j <- 0 until n if wreach(k)(j)) wreach(i)(j) = true
+    val expect = nodes.map { v =>
+      val cls =
+        if (coreSet(v)) "core"
+        else if (coreSet.exists(c => reach(v.toInt)(c.toInt))) "in"
+        else if (coreSet.exists(c => reach(c.toInt)(v.toInt))) "out"
+        else if (coreSet.exists(c => v == c ||
+          wreach(v.toInt)(c.toInt))) "tendril"
+        else "disconnected"
+      v -> cls
+    }.toMap
+    val got = graft.cluster.Bowtie.classify(
+        edges.toDF("src", "dst").repartition(5))
+      .as[(Long, String)].collect().toMap
+    assert(got == expect)
+  }
 }
