@@ -2765,6 +2765,13 @@ object SparkEntry {
         .select(col("pk").as("src"), col("nxt").as("dst"))
       graft.cluster.Bowtie.classify(edges).orderBy(col("id"))
     }),
+    // DSIR importance weights: how English-like is each document under
+    // a 1024-bucket hashed unigram LM ratio (target = lang 'en' vs the
+    // raw corpus) — the data-selection score for LM training mixes
+    "q_dsir" -> ((s, dir) =>
+      graft.textops.TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", buckets = 1024)
+        .orderBy(col("doc_id"))),
   )
 
   /** q_bpe_train's oracle, built per round count: w0 = the alpha-token
@@ -7339,5 +7346,32 @@ object SparkEntry {
                      WHEN n.id IN (SELECT id FROM wreach) THEN 'tendril'
                      ELSE 'disconnected' END AS cls
          FROM nodes n""",
+    // DSIR replay: same md5-derived 1024-bucket hash, same add-one
+    // smoothed counts, same log10 ratio mean rounded to 6 places
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+                      unnest(str_split(text, ' ')) AS tok
+                    FROM documents),
+         b AS (SELECT doc_id, tgt,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024
+                   AS b
+               FROM t),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_r,
+                        CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_t
+                 FROM b),
+         m AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+                 CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_t
+               FROM b GROUP BY b),
+         lr AS (SELECT b,
+                  log10((c_t + 1) / CAST(n_t + 1024 AS DOUBLE))
+                  - log10((c_r + 1) / CAST(n_r + 1024 AS DOUBLE))
+                    AS logratio
+                FROM m, tot)
+         SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                round(avg(lr.logratio), 6) AS dsir_weight
+         FROM b JOIN lr USING (b)
+         GROUP BY b.doc_id""",
   )
 }

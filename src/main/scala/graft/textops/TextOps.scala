@@ -698,4 +698,52 @@ object TextOps {
   }
 
   val fingerprintUdf = udf((t: String) => fingerprint64(if (t == null) "" else t))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-like its hashed unigram bag is — the
+    * mean log10 likelihood ratio between a target LM and the raw-corpus
+    * LM, both add-one-smoothed over a B-bucket hashed vocabulary. The
+    * hashing is the whole trick: both models are fixed B-row tables no
+    * matter how large the corpus vocabulary grows, so the model join
+    * broadcasts at any scale. Positive weight = more target-like than
+    * the corpus average; selection/resampling is the caller's cut.
+    *
+    * Plan shape: one explode + bucket projection (the md5-derived
+    * 60-bit hash [[graft.rel.Sketches.hash60]] both engines compute
+    * identically), TWO bounded hash-aggs to ≤ B rows (raw + target
+    * counts), one broadcast model join, one per-doc agg. Doubles enter
+    * only in the final log10 mean, rounded to 6 places — the same
+    * cross-engine convention as [[unigramLogProb]].
+    *
+    * @param isTarget row predicate defining the target distribution
+    *                 (e.g. `col("lang") === "en"`).
+    * @return (id, n_tokens, dsir_weight). */
+  def dsirWeights(df: DataFrame, id: String, text: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), "buckets in [2, 2^20]")
+    val toks = df
+      .select(col(id).as("__id"), isTarget.as("__t"),
+        explode(split(col(text), " ")).as("token"))
+      .withColumn("b",
+        pmod(graft.rel.Sketches.hash60(col("token")), lit(buckets.toLong)))
+    val rawC = toks.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tgtC = toks.where(col("__t")).groupBy("b")
+      .agg(count(lit(1)).as("c_t"))
+    val model = rawC.join(tgtC, Seq("b"), "left").na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(toks.agg(
+        count(lit(1)).as("n_r"),
+        sum(when(col("__t"), 1L).otherwise(0L)).cast("long").as("n_t"))))
+      .withColumn("logratio",
+        log10((col("c_t") + 1).cast("double") /
+          (col("n_t") + buckets).cast("double")) -
+          log10((col("c_r") + 1).cast("double") /
+            (col("n_r") + buckets).cast("double")))
+      .select("b", "logratio")
+    toks.join(broadcast(model), Seq("b"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logratio")), 6).as("dsir_weight"))
+      .select(col("__id").as(id), col("n_tokens"), col("dsir_weight"))
+  }
 }

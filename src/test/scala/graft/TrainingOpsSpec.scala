@@ -288,6 +288,50 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - math.rint(math.log10(5.0 / 8) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("dsirWeights == local hashed-LM log-ratio; target docs score higher") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val B = 64
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ate the food"),
+      (3L, "de", "der hund frisst das futter"),
+      (4L, "de", "die katze sitzt auf der matte"),
+      (5L, "en", "der the cat hund")) // mixed
+    val got = TextOps.dsirWeights(docs.toDF("doc_id", "lang", "text"),
+        "doc_id", "text", col("lang") === "en", buckets = B)
+      .select($"doc_id".as[Long], $"n_tokens".as[Long],
+        $"dsir_weight".as[Double])
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // local recompute with the identical hash + smoothing + rounding
+    val toks = docs.flatMap { case (id, lang, t) =>
+      t.split(" ").map(w => (id, lang == "en", h60(w) % B))
+    }
+    val nR = toks.size
+    val nT = toks.count(_._2)
+    val cR = toks.groupBy(_._3).view.mapValues(_.size).toMap
+    val cT = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size).toMap
+    def lr(b: Long): Double =
+      math.log10((cT.getOrElse(b, 0) + 1.0) / (nT + B)) -
+        math.log10((cR(b) + 1.0) / (nR + B))
+    val expect = toks.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, math.rint(g.map(t => lr(t._3)).sum / g.size * 1e6) / 1e6)
+    }.toMap
+    got.foreach { case (id, (n, w)) =>
+      assert(n == expect(id)._1, s"doc $id")
+      assert(math.abs(w - expect(id)._2) < 1e-9, s"doc $id: $w vs ${expect(id)._2}")
+    }
+    // pure-target docs outscore pure-raw docs; the mixed doc sits between
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
+    assert(got(5L)._2 < math.max(got(1L)._2, got(2L)._2) &&
+      got(5L)._2 > math.min(got(3L)._2, got(4L)._2))
+  }
+
   test("bigramLogProb: exact add-one values; word salad scores lower") {
     import spark.implicits._
     // corpus: "aa bb" occurs twice, "bb aa" never; V = 2; doc 3 is a
