@@ -2772,6 +2772,19 @@ object SparkEntry {
       graft.textops.TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
           col("lang") === "en", buckets = 1024)
         .orderBy(col("doc_id"))),
+    // stable 1:1 resolution of the scored linkage edges via deferred
+    // acceptance (Gale–Shapley): the one-to-one enforcement step with a
+    // no-blocking-pair guarantee, preferences = sim with id tie-breaks
+    "q_stable_match" -> ((s, _) => {
+      val e = Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8))
+        .toDF()
+      graft.link.StableMatching.run(
+          e.select(col("rec0").as("l"), col("rec1").as("r"),
+            col("sim").as("score")))
+        .select(col("l").as("rec0"), col("r").as("rec1"),
+          col("score").as("sim"))
+        .orderBy(col("rec0"))
+    }),
   )
 
   /** q_bpe_train's oracle, built per round count: w0 = the alpha-token
@@ -2858,9 +2871,55 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q_stable_match's oracle: the same synchronized deferred-acceptance
+    * rounds as StableMatching.run, one CTE chain per round (proposals →
+    * offers → winners → rejections applied), over the same fixture
+    * kernel edge replay as er_febrl4_edges. Rounds past convergence are
+    * no-ops (no unheld proposer remains), so a fixed count with margin
+    * is exact — the run converges in 2 rounds on this edge set.
+    * MATERIALIZED throughout: each round's CTEs are referenced twice by
+    * the next round, so default inlining duplicates the plan tree
+    * exponentially in the round count (2^8 fixture scans blew the fd
+    * limit before the optimizer even ran). */
+  private def stableMatchOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH c AS MATERIALIZED (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS MATERIALIZED (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.entity_id AS rec0, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         a0 AS MATERIALIZED (SELECT rec0 AS l, rec1 AS r, max(sim) AS score
+                FROM p WHERE sim >= 0.8 GROUP BY 1, 2),
+         h0 AS MATERIALIZED (SELECT l, r, score FROM a0 WHERE false)"""
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+         pr$k AS MATERIALIZED (SELECT l, r, score FROM (
+             SELECT a.l, a.r, a.score, row_number() OVER (
+                 PARTITION BY a.l ORDER BY a.score DESC, a.r) AS rk
+             FROM a${k - 1} a LEFT JOIN h${k - 1} h ON a.l = h.l
+             WHERE h.l IS NULL) WHERE rk = 1),
+         of$k AS MATERIALIZED (SELECT * FROM h${k - 1} UNION ALL SELECT * FROM pr$k),
+         h$k AS MATERIALIZED (SELECT l, r, score FROM (
+             SELECT o.l, o.r, o.score, row_number() OVER (
+                 PARTITION BY o.r ORDER BY o.score DESC, o.l) AS rk
+             FROM of$k o) WHERE rk = 1),
+         a$k AS MATERIALIZED (SELECT a.l, a.r, a.score FROM a${k - 1} a
+                 LEFT JOIN (SELECT l, r FROM of$k
+                            EXCEPT SELECT l, r FROM h$k) x
+                   ON a.l = x.l AND a.r = x.r
+                 WHERE x.l IS NULL)"""
+    }
+    sb ++= s"""
+         SELECT l AS rec0, r AS rec1, score AS sim FROM h$rounds"""
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_stable_match" -> stableMatchOracleSql(8),
     "q_hilbert" -> hilbertOracleSql(),
     // per-file min/max envelopes + the overlap verdict, both layouts
     "q_zonemap_prune" ->
