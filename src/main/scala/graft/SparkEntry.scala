@@ -213,6 +213,13 @@ object SparkEntry {
     Pipeline.defaultBlock(a.union(b))
   }
 
+  /** Labeled febrl4 truth pairs as (rec0, rec1). */
+  private def febrl4Truth(s: SparkSession): DataFrame =
+    s.read.option("header", "true")
+      .schema("row_a LONG, row_b LONG")
+      .csv(s"$FixturesDir/febrl4_truth.csv")
+      .select(col("row_a").as("rec0"), col("row_b").as("rec1"))
+
   // clusters feed two result queries (groups + permutation) — computed
   // once per session (X5 cache parity: the reference caches decoded
   // encodings between stages, cache/encodings.py:13-55). Keyed by the
@@ -2536,6 +2543,34 @@ object SparkEntry {
           truth)
         .orderBy(col("bin"))
     }),
+    // threshold-free ranking quality vs the labeled truth: exact ROC
+    // AUC in the Mann-Whitney form (concordant/tied pair counts from
+    // the distinct-score table, half-credit ties)
+    "q_auc" -> ((s, _) =>
+      graft.cluster.RankEval.rocAuc(
+        Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.5)).toDF(),
+        febrl4Truth(s))),
+    // Kolmogorov-Smirnov separation of the match / non-match score
+    // populations, with the exact argmax score (smallest-score ties)
+    "q_ks_stat" -> ((s, _) =>
+      graft.cluster.RankEval.ksStatistic(
+        Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.5)).toDF(),
+        febrl4Truth(s))),
+    // clerical-review budget curve: equal-depth gains/lift buckets over
+    // the (sim desc, rec0, rec1)-ranked pair list — global ranks via
+    // the two-phase range-partition pass, never a one-task window
+    "q_gains" -> ((s, _) =>
+      graft.cluster.RankEval.gainsTable(
+          Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.5)).toDF(),
+          febrl4Truth(s), buckets = 10)
+        .orderBy(col("bucket"))),
+    // retrieval-style summary of the whole ranked list: average
+    // precision with per-positive contributions rounded to fixed point
+    // so the sum is order-free
+    "q_avg_precision" -> ((s, _) =>
+      graft.cluster.RankEval.averagePrecision(
+        Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.5)).toDF(),
+        febrl4Truth(s))),
     // blocking privacy: per-provider k-anonymity of the block
     // collection (blocks below k re-identify members by membership
     // alone — the threat the reference's BLAKE2b block-name hashing
@@ -4266,6 +4301,155 @@ object SparkEntry {
                 round(CAST(n_true AS DOUBLE) / n_pairs, 6) AS match_rate,
                 round(CAST(bin AS DOUBLE) / 20, 4) AS bin_lo
          FROM b""",
+    // kernel replay at t=0.5, truth left-join, then the Mann-Whitney
+    // sufficient statistics off the distinct-score table — concordant =
+    // positives x negatives strictly below, ties at half credit, exact
+    // in HUGEINT == Spark decimal(38,0)
+    "q_auc" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.entity_id AS rec0, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.5),
+         t AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                      CAST(row_b AS BIGINT) AS rec1, 1 AS is_true
+               FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                             header = true)),
+         l AS (SELECT e.sim, COALESCE(t.is_true, 0) AS is_true
+               FROM e LEFT JOIN t ON e.rec0 = t.rec0 AND e.rec1 = t.rec1),
+         g AS (SELECT sim, CAST(sum(is_true) AS BIGINT) AS n_pos_v,
+                      CAST(sum(1 - is_true) AS BIGINT) AS n_neg_v
+               FROM l GROUP BY 1),
+         cw AS (SELECT *, COALESCE(CAST(sum(n_neg_v) OVER (ORDER BY sim
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS neg_below FROM g),
+         s AS (SELECT CAST(sum(n_pos_v) AS BIGINT) AS n_pos,
+                      CAST(sum(n_neg_v) AS BIGINT) AS n_neg,
+                      CAST(sum(CAST(n_pos_v AS HUGEINT) * neg_below)
+                        AS HUGEINT) AS n_concordant,
+                      CAST(sum(CAST(n_pos_v AS HUGEINT) * n_neg_v)
+                        AS HUGEINT) AS n_tied
+               FROM cw)
+         SELECT n_pos, n_neg, n_concordant, n_tied,
+                CAST(2 * n_concordant + n_tied AS HUGEINT) AS auc_num,
+                CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS HUGEINT)
+                  AS auc_den,
+                CASE WHEN 2 * CAST(n_pos AS HUGEINT) * n_neg > 0
+                  THEN round(CAST(2 * n_concordant + n_tied AS DOUBLE)
+                    / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE), 6)
+                END AS auc
+         FROM s""",
+    // same distinct-score table, inclusive CDFs, exact cross-multiplied
+    // gap, argmax tie-broken to the smallest score
+    "q_ks_stat" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.entity_id AS rec0, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.5),
+         t AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                      CAST(row_b AS BIGINT) AS rec1, 1 AS is_true
+               FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                             header = true)),
+         l AS (SELECT e.sim, COALESCE(t.is_true, 0) AS is_true
+               FROM e LEFT JOIN t ON e.rec0 = t.rec0 AND e.rec1 = t.rec1),
+         g AS (SELECT sim, CAST(sum(is_true) AS BIGINT) AS n_pos_v,
+                      CAST(sum(1 - is_true) AS BIGINT) AS n_neg_v
+               FROM l GROUP BY 1),
+         cw AS (SELECT sim,
+                       CAST(sum(n_pos_v) OVER w AS BIGINT) AS cpos,
+                       CAST(sum(n_neg_v) OVER w AS BIGINT) AS cneg
+                FROM g WINDOW w AS (ORDER BY sim
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT CAST(sum(is_true) AS BIGINT) AS n_pos,
+                        CAST(sum(1 - is_true) AS BIGINT) AS n_neg FROM l),
+         d AS (SELECT cw.sim, tot.n_pos, tot.n_neg,
+                      CAST(abs(CAST(cw.cpos AS HUGEINT) * tot.n_neg
+                        - CAST(cw.cneg AS HUGEINT) * tot.n_pos) AS HUGEINT)
+                        AS ks_num,
+                      CAST(CAST(tot.n_pos AS HUGEINT) * tot.n_neg
+                        AS HUGEINT) AS ks_den
+               FROM cw CROSS JOIN tot)
+         SELECT n_pos, n_neg, ks_num, ks_den, sim AS at_sim,
+                CASE WHEN ks_den > 0 THEN round(
+                  CAST(ks_num AS DOUBLE) / CAST(ks_den AS DOUBLE), 6)
+                END AS ks_d
+         FROM d ORDER BY ks_num DESC, sim ASC LIMIT 1""",
+    // full ranked replay: row_number over (sim desc, rec0, rec1), the
+    // exact equal-depth bucket rule ((rk-1)*B DIV n), running totals
+    "q_gains" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.entity_id AS rec0, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.5),
+         t AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                      CAST(row_b AS BIGINT) AS rec1, 1 AS is_true
+               FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                             header = true)),
+         l AS (SELECT e.rec0, e.rec1, e.sim, COALESCE(t.is_true, 0) AS is_true
+               FROM e LEFT JOIN t ON e.rec0 = t.rec0 AND e.rec1 = t.rec1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(is_true) AS BIGINT) AS n_pos FROM l),
+         r AS (SELECT is_true, row_number() OVER (
+                 ORDER BY sim DESC, rec0, rec1) AS rk FROM l),
+         b AS (SELECT ((rk - 1) * 10) // n.n AS bucket,
+                      CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(is_true) AS BIGINT) AS n_true
+               FROM r, n GROUP BY 1),
+         w AS (SELECT *,
+                      CAST(sum(n_pairs) OVER (ORDER BY bucket) AS BIGINT)
+                        AS cum_pairs,
+                      CAST(sum(n_true) OVER (ORDER BY bucket) AS BIGINT)
+                        AS cum_true
+               FROM b)
+         SELECT bucket, n_pairs, n_true, cum_pairs, cum_true,
+                CASE WHEN n.n_pos > 0 THEN
+                  round(CAST(cum_true AS DOUBLE) / n.n_pos, 6) END AS capture,
+                CASE WHEN cum_pairs > 0 AND n.n_pos > 0 THEN
+                  round(CAST(cum_true AS DOUBLE) * n.n
+                    / (CAST(cum_pairs AS DOUBLE) * n.n_pos), 6) END AS lift
+         FROM w, n""",
+    // ranked replay again; per-positive precision tp/rk rounded to e9
+    // fixed point then summed — the order-free AP contract
+    "q_avg_precision" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc) AS sim,
+                  a.entity_id AS rec0, b.entity_id AS rec1
+           FROM c a JOIN c b ON a.dp < b.dp),
+         e AS (SELECT * FROM p WHERE sim >= 0.5),
+         t AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                      CAST(row_b AS BIGINT) AS rec1, 1 AS is_true
+               FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                             header = true)),
+         l AS (SELECT e.rec0, e.rec1, e.sim, COALESCE(t.is_true, 0) AS is_true
+               FROM e LEFT JOIN t ON e.rec0 = t.rec0 AND e.rec1 = t.rec1),
+         r AS (SELECT is_true, row_number() OVER (
+                 ORDER BY sim DESC, rec0, rec1) AS rk FROM l),
+         ppos AS (SELECT rk, CAST(row_number() OVER (ORDER BY rk)
+                    AS BIGINT) AS tp
+                  FROM r WHERE is_true = 1),
+         s AS (SELECT COALESCE(CAST(sum(CAST(round(1e9 * tp / rk)
+                 AS BIGINT)) AS BIGINT), 0) AS ap_sum_e9 FROM ppos),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+                      CAST(sum(is_true) AS BIGINT) AS n_pos FROM l)
+         SELECT n.n_pos, n.n_ranked, s.ap_sum_e9,
+                CASE WHEN n.n_pos > 0 THEN round(
+                  CAST(s.ap_sum_e9 AS DOUBLE) / (n.n_pos * 1e9), 6)
+                END AS avg_precision
+         FROM s, n""",
     // kernel replay at t=0.5 + identical banding and md5 hash order —
     // the labeling batch is engine-independent by construction
     "q_label_sample" ->
