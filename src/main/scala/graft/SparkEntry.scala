@@ -1009,6 +1009,14 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
         element_at(split(col("text"), " "), 1), threshold = 0.5)
         .orderBy(col("id0"), col("id1"))),
+    // Tversky-index pairs (asymmetric Jaccard/Dice generalization,
+    // alpha=0.8 / beta=0.2): prototype-side deletions cost 4x additions
+    // — the "is B a variant of A" orientation; exact tenths arithmetic
+    "q_tversky" -> ((s, dir) =>
+      Dedup.tverskyPairs(docs(s, dir), "doc_id", "text",
+        element_at(split(col("text"), " "), 1), alphaTenths = 8,
+        betaTenths = 2, threshold = 0.75)
+        .orderBy(col("id0"), col("id1"))),
     // prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin
     // family): no blocking key, no LSH recall loss — the df-ordered
     // prefix IS the join key; all cuts are integer rationals
@@ -1640,6 +1648,21 @@ object SparkEntry {
     // expression instead of edit distance — oracle is DuckDB's own
     // jaro_winkler_similarity (independent implementation, value-exact
     // at 6 decimals)
+    // token-sort edit similarity (fuzzywuzzy token_sort_ratio family):
+    // word-order-scrambled part names recovered through the sorted
+    // canonical form; blocking on the order-invariant min/max tokens
+    "q_token_sort" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_name")).distinct()
+      val queries = names.select(col("p_name").as("orig"),
+        array_join(reverse(split(col("p_name"), " ")), " ").as("qname"))
+      val corpus = names.select(col("p_name").as("cand"))
+      graft.link.Fuzzy.tokenSortPairs(queries, "qname", corpus, "cand",
+          minSim = 0.9)
+        .select(col("orig"), col("qname"), col("cand"), col("dist"),
+          col("token_sort_sim"))
+        .orderBy(col("orig"), col("cand"))
+    }),
     "q_jw_match" -> ((s, dir) => {
       val names = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_name")).distinct()
@@ -5541,6 +5564,24 @@ object SparkEntry {
                     4) AS jaccard
            FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id)
          SELECT id0, id1, jaccard FROM p WHERE jaccard >= 0.5""",
+    // same block join; Tversky denominator in exact tenths, one double
+    // divide, 4-dp round before the threshold compare
+    "q_tversky" ->
+      """WITH b AS (
+           SELECT str_split(text, ' ')[1] AS bk, doc_id AS id,
+                  list_distinct(str_split(text, ' ')) AS toks FROM documents),
+         p AS (
+           SELECT l.id AS id0, r.id AS id1,
+                  CAST(len(list_intersect(l.toks, r.toks)) AS BIGINT) AS inter,
+                  CAST(len(l.toks) AS INT) AS sz0,
+                  CAST(len(r.toks) AS INT) AS sz1
+           FROM b l JOIN b r ON l.bk = r.bk AND l.id < r.id),
+         s AS (SELECT id0, id1, inter, sz0, sz1,
+                      round(10.0 * inter / (10 * inter + 8 * (sz0 - inter)
+                        + 2 * (sz1 - inter)), 4) AS tversky
+               FROM p)
+         SELECT id0, id1, inter, sz0, sz1, tversky
+         FROM s WHERE tversky >= 0.75""",
     // full AllPairs/PPJoin replay: df-ordered prefixes, length filter,
     // exact-rational accept — every cut an integer cross-multiply
     "q_prefix_join" ->
@@ -7097,6 +7138,38 @@ object SparkEntry {
                 FROM nodes n LEFT JOIN c3 USING (id))
          SELECT CAST(id AS BIGINT) AS id, CAST(rank AS BIGINT) AS rank
          FROM r3""",
+    // canonical = sorted tokens joined; candidates = union of first/
+    // last sorted-token blocks; normalized Levenshtein on canonicals
+    "q_token_sort" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+         q AS (SELECT p_name AS orig,
+                      array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+                        AS qname
+               FROM names),
+         qc AS (SELECT orig, qname,
+                       array_to_string(list_sort(string_split_regex(trim(qname), '\s+')), ' ')
+                         AS cq
+                FROM q),
+         cc AS (SELECT p_name AS cand,
+                       array_to_string(list_sort(string_split_regex(trim(p_name), '\s+')), ' ')
+                         AS ccn
+                FROM names),
+         cand AS (
+           SELECT qc.orig, qc.qname, cc.cand, qc.cq, cc.ccn
+           FROM qc JOIN cc
+             ON string_split(qc.cq, ' ')[1] = string_split(cc.ccn, ' ')[1]
+           UNION
+           SELECT qc.orig, qc.qname, cc.cand, qc.cq, cc.ccn
+           FROM qc JOIN cc
+             ON string_split(qc.cq, ' ')[-1] = string_split(cc.ccn, ' ')[-1]),
+         d AS (SELECT orig, qname, cand,
+                      CAST(levenshtein(cq, ccn) AS INT) AS dist,
+                      round(1.0 - CAST(levenshtein(cq, ccn) AS DOUBLE)
+                        / greatest(length(cq), length(ccn)), 6)
+                        AS token_sort_sim
+               FROM cand)
+         SELECT orig, qname, cand, dist, token_sort_sim
+         FROM d WHERE token_sort_sim >= 0.9""",
     "q_jw_match" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
          q AS (SELECT p_name AS orig,

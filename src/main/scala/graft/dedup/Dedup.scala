@@ -233,6 +233,56 @@ object Dedup {
       threshold, "id0", "id1", "containment")
   }
 
+  /** Tversky-index near-dup pairs (Tversky 1977) over a PRE-HASHED
+    * sorted long-set column: the asymmetric generalization of Jaccard
+    * and Dice —
+    *   S(A,B) = |A∩B| / (|A∩B| + α·|A\B| + β·|B\A|)
+    * (α=β=1 is Jaccard, α=β=½ is Dice). α > β penalizes material the
+    * PROTOTYPE side has that the variant lacks more than additions —
+    * the "is B a variant of A" question in template/boilerplate dedup,
+    * where containment (α=0 or β=0 up to scaling) is the degenerate
+    * case. Sides are oriented id0 < id1: id0 is the A/prototype side.
+    *
+    * α and β are carried as exact tenths (alphaTenths/betaTenths), so
+    * den₁₀ = 10·inter + αT·(sz0−inter) + βT·(sz1−inter) is an exact
+    * long and the score is ONE double divide of two exact ints, rounded
+    * to 4 dp before the threshold compare (the Jaccard-family accept
+    * contract — bit-replayable in any IEEE engine).
+    * Same scale shape as [[jaccardPairsHashed]] minus the size-window
+    * prune (asymmetric weights break the size-ratio bound the way
+    * containment does). */
+  def tverskyPairsHashed(df: DataFrame, id: String, toks: Column,
+      blockKey: Column, alphaTenths: Int, betaTenths: Int,
+      threshold: Double, aim: Long = PairAim, maxK: Int = 4096): DataFrame = {
+    require(alphaTenths >= 0 && betaTenths >= 0
+      && alphaTenths + betaTenths > 0, "need nonneg weights, not both 0")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val sig = persistLatest("tversky",
+      df.select(blockKey.as("bk"), col(id).as("id"), toks.as("toks"))
+        .withColumn("sz", size(col("toks"))))
+    val paired = saltedSelfPairs(sig.select(col("bk"), col("id"), col("sz")),
+      aim, maxK)
+    val inter = graft.expr.sortedIntersectCount(col("toks0"), col("toks1"))
+    val den10 = lit(10L) * col("inter") +
+      lit(alphaTenths.toLong) * (col("sz0") - col("inter")) +
+      lit(betaTenths.toLong) * (col("sz1") - col("inter"))
+    scoreAndFilter(
+      paired.select("id0", "id1", "sz0", "sz1")
+        .join(sig.select(col("id").as("id0"), col("toks").as("toks0")), "id0")
+        .join(sig.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
+        .withColumn("inter", inter.cast("long")),
+      "tversky",
+      round(lit(10L) * col("inter") / den10.cast("double"), 4),
+      threshold, "id0", "id1", "inter", "sz0", "sz1", "tversky")
+  }
+
+  /** [[tverskyPairsHashed]] over whitespace word tokens. */
+  def tverskyPairs(df: DataFrame, id: String, text: String,
+      blockKey: Column, alphaTenths: Int, betaTenths: Int,
+      threshold: Double, aim: Long = PairAim): DataFrame =
+    tverskyPairsHashed(df, id, hashedSet(array_distinct(split(col(text), " "))),
+      blockKey, alphaTenths, betaTenths, threshold, aim)
+
   /** Prefix-filtered exact set-similarity self-join (the AllPairs /
     * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): find
     * EVERY pair with token-set Jaccard ≥ t, no LSH recall loss and no

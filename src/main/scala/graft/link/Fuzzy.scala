@@ -167,6 +167,46 @@ object Fuzzy {
         coalesce(col("component"), col("id")).as("group_id"))
   }
 
+  /** Token-sort edit similarity (the fuzzywuzzy/RapidFuzz
+    * `token_sort_ratio` family): canonicalize each string to its
+    * alphabetically-sorted token sequence, then normalized Levenshtein
+    * over the canonical forms — the word-order-insensitive comparator
+    * ("SMITH, JOHN K" vs "john k smith" scores ~1.0 where plain edit
+    * distance collapses). Similarity = 1 − dist/max(len) over the
+    * canonical strings, one double divide of two exact ints.
+    *
+    * Blocking: sorting makes the lexicographic MIN and MAX tokens
+    * order-invariant, so candidates are the union of first-sorted-token
+    * and last-sorted-token equi-joins (the [[affixCandidates]] shape on
+    * canonical forms) — any reordering still collides on both keys; a
+    * typo inside one boundary token still collides on the other.
+    *
+    * Scale shape: two hash equi-joins + distinct, Levenshtein only on
+    * blocked candidates; canonical forms are computed once per side
+    * before the join (never per pair). */
+  def tokenSortPairs(queries: DataFrame, qCol: String,
+                     corpus: DataFrame, cCol: String,
+                     minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, "minSim in (0, 1]")
+    def canon(c: Column) =
+      array_join(sort_array(split(trim(c), "\\s+")), " ")
+    val q = queries.withColumn("_ts_q", canon(col(qCol)))
+    val c = corpus.withColumn("_ts_c", canon(col(cCol)))
+    def blocked(key: Column => Column): DataFrame =
+      q.withColumn("_ts_b", key(col("_ts_q")))
+        .join(c.withColumn("_ts_b", key(col("_ts_c"))), "_ts_b")
+        .drop("_ts_b")
+    val first = (s: Column) => element_at(split(s, " "), 1)
+    val last = (s: Column) => element_at(split(s, " "), -1)
+    blocked(first).unionByName(blocked(last)).distinct()
+      .withColumn("dist", levenshtein(col("_ts_q"), col("_ts_c")))
+      .withColumn("token_sort_sim",
+        round(lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("_ts_q")), length(col("_ts_c"))), 6))
+      .where(col("token_sort_sim") >= minSim)
+      .drop("_ts_q", "_ts_c")
+  }
+
   /** The candidate stage alone: distinct (query row × corpus row) pairs
     * sharing a prefix or suffix block — plug any confirm kernel on top
     * (threshold Levenshtein in [[fuzzyJoin]], Jaro-Winkler in the

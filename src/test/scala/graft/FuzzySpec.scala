@@ -261,4 +261,49 @@ class FuzzySpec extends SparkSpec {
     // null-null pairs carry no nation weight
     assert(got.get((10L, 11L)).forall(_._1 == 0L))
   }
+
+  test("tokenSortPairs: order-invariant, == brute force over boundary-token blocks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lower
+    val names = Seq(
+      (1L, "john k smith"), (2L, "smith john k"), (3L, "SMITH K JOHN"),
+      (4L, "jon k smith"), (5L, "maria del carmen"), (6L, "carmen del maria"),
+      (7L, "maria de carmen"), (8L, "completely different person"),
+      (9L, "k  john   smith")) // runs of whitespace collapse
+      .toDF("id", "name")
+    val q = names.select($"id".as("qid"), lower($"name").as("qname"))
+    val c = names.select($"id".as("cid"), lower($"name").as("cname"))
+    val got = Fuzzy.tokenSortPairs(q, "qname", c, "cname", minSim = 0.8)
+      .where($"qid" < $"cid")
+      .select($"qid".as[Long], $"cid".as[Long], $"token_sort_sim".as[Double])
+      .collect().toSet
+    // brute force: canonical = sorted tokens joined; blocks = first/last
+    val rows = names.select($"id".as[Long], lower($"name").as[String]).collect()
+    def canon(s: String) = s.trim.split("\\s+").sorted.mkString(" ")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (i, ni) <- rows.iterator; (j, nj) <- rows.iterator
+      if i < j
+      ci = canon(ni); cj = canon(nj)
+      blocked = ci.split(" ").head == cj.split(" ").head ||
+        ci.split(" ").last == cj.split(" ").last
+      if blocked
+      sim = math.rint((1.0 - lev(ci, cj).toDouble /
+        math.max(ci.length, cj.length)) * 1e6) / 1e6
+      if sim >= 0.8
+    } yield (i, j, sim)).toSet
+    assert(got == want)
+    // pure reorderings (and whitespace runs) score exactly 1.0
+    for (p <- Seq((1L, 2L), (1L, 3L), (1L, 9L), (5L, 6L)))
+      assert(got.exists(t => (t._1, t._2) == p && t._3 == 1.0), s"missing $p")
+    // near-typo reordering still matches high but below 1
+    assert(got.exists(t => (t._1, t._2) == (2L, 4L) && t._3 < 1.0 && t._3 >= 0.9))
+  }
 }

@@ -1015,6 +1015,52 @@ class DedupSpec extends SparkSpec {
     assert(jac(tq, tb) < 0.6, "fixture broken: Jaccard should miss the pair")
   }
 
+  test("tversky pairs: == brute force under forced salting; symmetric weights reduce to jaccard") {
+    import spark.implicits._
+    // prototype/variant pair: B drops half of A and adds little — with
+    // alpha=8 (prototype-side deletions costly) the score drops hard,
+    // with the roles reversed it stays high
+    val docs = documents.limit(150).select($"doc_id", $"text")
+    val aT = 8; val bT = 2
+    val got = Dedup.tverskyPairs(docs, "doc_id", "text", lit("hot"),
+      aT, bT, 0.55, aim = 50L)
+      .select($"id0".as[Long], $"id1".as[Long], $"tversky".as[Double])
+      .collect()
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+    val txts = docs.select($"doc_id".as[Long], $"text".as[String]).collect()
+    def tv(a: String, b: String, at: Long, bt: Long): Double = {
+      val sa = a.split(" ").distinct.toSet; val sb = b.split(" ").distinct.toSet
+      val i = (sa intersect sb).size.toLong
+      val den = 10 * i + at * (sa.size - i) + bt * (sb.size - i)
+      // HALF_UP like Spark/DuckDB round (rint's HALF_EVEN loses the
+      // exact .78125-style ties this metric's /10 denominators produce)
+      math.floor(10.0 * i / den * 10000 + 0.5) / 10000
+    }
+    val truth = (for {
+      (i, ti) <- txts.iterator; (j, tj) <- txts.iterator
+      if i < j
+      s = tv(ti, tj, aT, bT) if s >= 0.55
+    } yield (i, j, s)).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == truth)
+    assert(truth.nonEmpty)
+    // alpha = beta = 10 is exactly Jaccard
+    val sym = Dedup.tverskyPairs(docs, "doc_id", "text", lit("hot"),
+      10, 10, 0.5, aim = 50L)
+      .select($"id0".as[Long], $"id1".as[Long], $"tversky".as[Double])
+      .collect().toSet
+    val jacTruth = (for {
+      (i, ti) <- txts.iterator; (j, tj) <- txts.iterator
+      if i < j
+      s = tv(ti, tj, 10, 10) if s >= 0.5
+    } yield (i, j, s)).toSet
+    assert(sym == jacTruth)
+    // asymmetry: prototype keeps everything, variant drops tokens ->
+    // S(A,B) with costly-alpha on the LARGER side scores lower
+    val a9 = "a b c d e f g h"
+    val b9 = "a b c d x"
+    assert(tv(a9, b9, 8, 2) < tv(b9, a9, 8, 2))
+  }
+
   test("embedding cosine: exact salted equi-join == brute force; approx is a high-recall subset") {
     import spark.implicits._
     val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet")
