@@ -484,6 +484,16 @@ object SparkEntry {
       Pipeline.edgesDelta(febrl4Blocked(s), LinkConfig(threshold = 0.8),
           col("entity_id") % 10 === 7)
         .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
+    // Hamming bit-sampling LSH blocking over the packed CLKs (Indyk-
+    // Motwani bit sampling: zero signature state, band keys = constant-
+    // position bit reads from the words column), exact Dice confirm;
+    // n_bands = collision evidence strength. Oracle replays positions,
+    // banding, pairing and the kernel from the committed fixture.
+    "q_hamming_lsh" -> ((s, _) =>
+      graft.ingest.Blocking.hammingLshPairs(
+          s.read.parquet(s"$FixturesDir/febrl4_clks.parquet"),
+          threshold = 0.8)
+        .orderBy(col("rec0"), col("rec1"))),
     // anonlink-k candidate capping (LinkConfig.topKPerRecord) over the
     // same fixture — oracle replays the kernel + a per-record window
     "q_clk_edges_topk" -> ((s, _) =>
@@ -4822,6 +4832,36 @@ object SparkEntry {
          SELECT CAST(dp AS INT) AS dp, CAST(row_index AS BIGINT) AS row_index,
                 CAST(slot AS BIGINT) AS slot
          FROM perm""",
+    // Hamming bit-sampling LSH replay: Weyl-sequence positions, per-band
+    // bit keys, (band,key) pairing + exact Dice confirm — all from the
+    // committed fixture, no aux state
+    "q_hamming_lsh" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         pos AS (SELECT j, CAST(((CAST(j+1 AS HUGEINT) * 11400714819323198485)
+                   % 18446744073709551616) >> 54 AS BIGINT) AS p
+                 FROM (SELECT unnest(range(0, 768)) AS j)),
+         keys AS (
+           SELECT c.dp, c.entity_id AS rec, pos.j // 12 AS band,
+                  CAST(SUM(((c.words[CAST(pos.p // 64 AS INTEGER) + 1]
+                    >> CAST(pos.p % 64 AS INTEGER)) & 1)
+                    << (pos.j % 12)) AS BIGINT) AS key
+           FROM c, pos GROUP BY 1, 2, 3),
+         cand AS (
+           SELECT a.dp AS dp0, a.rec AS rec0, b.dp AS dp1, b.rec AS rec1,
+                  count(*) AS n_bands
+           FROM keys a JOIN keys b
+             ON a.band = b.band AND a.key = b.key AND a.dp < b.dp
+           GROUP BY 1, 2, 3, 4),
+         conf AS (
+           SELECT cand.dp0, cand.rec0, cand.dp1, cand.rec1, cand.n_bands,
+                  2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(x.words[i] & y.words[i]))) / (x.pc + y.pc)
+                    AS sim
+           FROM cand JOIN c x ON x.dp = cand.dp0 AND x.entity_id = cand.rec0
+                     JOIN c y ON y.dp = cand.dp1 AND y.entity_id = cand.rec1)
+         SELECT dp0, rec0, dp1, rec1, n_bands, sim
+         FROM conf WHERE sim >= 0.8""",
     "q_clk_edges_topk" ->
       """WITH c AS (SELECT dp, entity_id, pc, words
                     FROM '/root/repo/fixtures/febrl4_clks.parquet'),

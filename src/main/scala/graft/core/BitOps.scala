@@ -107,4 +107,33 @@ object BitOps {
     * pair), y the even ones. The oracle replays this with the transparent
     * per-bit sum formula — two independent constructions agreeing. */
   def morton16(x: Int, y: Int): Int = (spread8(x) << 1) | spread8(y)
+
+  /** Hamming bit-sampling LSH band keys from a packed long-word encoding:
+    * band b's key packs the sampled bits positions(b*r .. b*r+r-1) into
+    * the low r bits (bit i of the key = encoding bit positions(b*r+i)).
+    * One tight loop, called from generated code — the array-expression
+    * formulation of the same keys (768 unrolled shift/and terms) blows
+    * janino's 64KB method limit and drops the whole stage to interpreted
+    * eval. */
+  def hammingLshKeys(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      positions: Array[Int], bitsPerBand: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bands = positions.length / bitsPerBand
+    val out = new Array[Long](bands)
+    var b = 0
+    var j = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        val p = positions(j)
+        key |= ((words.getLong(p >>> 6) >>> (p & 63)) & 1L) << i
+        i += 1
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -216,6 +216,33 @@ case class MortonInterleave(left: Expression, right: Expression)
   * 64-bit key hash in an m-bit filter (Kirsch–Mitzenmacher double
   * hashing, graft.core.BloomOps). Exploded and bit_or-aggregated into
   * filter words by [[graft.rel.Relational.bloomSemiJoin]]. */
+/** Hamming bit-sampling LSH band keys over a packed array<long> encoding
+  * (Indyk–Motwani bit sampling). Positions ride the plan as one int[]
+  * reference object; the per-row work is bands·bitsPerBand shift/and ops
+  * in a tight loop (graft.core.BitOps.hammingLshKeys), kept inside
+  * whole-stage codegen — the equivalent built-in array() expression
+  * unrolls to ~770 terms and trips janino's method-size limit. */
+case class HammingLshKeys(child: Expression, bands: Int, bitsPerBand: Int,
+    nBits: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val positions: Array[Int] =
+    graft.ingest.Blocking.hammingLshPositions(bands, bitsPerBand, nBits)
+  override def nullSafeEval(w: Any): Any =
+    graft.core.BitOps.hammingLshKeys(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      positions, bitsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val posRef = ctx.addReferenceObj("lshPositions", positions, "int[]")
+    defineCodeGen(ctx, ev,
+      w => s"graft.core.BitOps.hammingLshKeys($w, $posRef, $bitsPerBand)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HammingLshKeys =
+    copy(child = newChild)
+  override def prettyName: String = "hamming_lsh_keys"
+}
+
 case class BloomPositions(child: Expression, k: Int, mBits: Long)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] = Seq(LongType)

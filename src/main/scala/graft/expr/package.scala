@@ -47,6 +47,11 @@ package object expr {
   def morton16(x: Column, y: Column): Column =
     col(MortonInterleave(ex(x), ex(y)))
 
+  /** Hamming bit-sampling LSH band keys of a packed array<long> CLK. */
+  def hammingLshKeys(words: Column, bands: Int, bitsPerBand: Int,
+      nBits: Int = 1024): Column =
+    col(HammingLshKeys(ex(words), bands, bitsPerBand, nBits))
+
   /** Bloom build side: k probe positions of a long hash column. */
   def bloomPositions(h: Column, k: Int, mBits: Long): Column =
     col(BloomPositions(ex(h), k, mBits))

@@ -459,4 +459,78 @@ object Blocking {
       .select(col("rec"), col("rec").as("canopy"), lit(0L).as("shared"))
     assigned.unionByName(orphans)
   }
+
+  /** Deterministic sampled bit positions for [[hammingLshKeys]]: position
+    * j = high bits of the Weyl sequence (j+1)·φ64 (Fibonacci hashing —
+    * the SQL-replayable "random" projection used throughout this repo).
+    * nBits must be a power of two so the top `log2(nBits)` product bits
+    * are an unbiased index. */
+  def hammingLshPositions(bands: Int, bitsPerBand: Int,
+      nBits: Int = 1024): Array[Int] = {
+    require(Integer.bitCount(nBits) == 1, "nBits must be a power of two")
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 63,
+      "need 1 <= bitsPerBand <= 63")
+    val shift = 64 - Integer.numberOfTrailingZeros(nBits)
+    Array.tabulate(bands * bitsPerBand)(j =>
+      (((j + 1).toLong * 0x9E3779B97F4A7C15L) >>> shift).toInt)
+  }
+
+  /** Hamming bit-sampling LSH band keys over a packed CLK (Indyk–Motwani
+    * STOC'98: sampling r raw bits is locality-sensitive for Hamming
+    * distance — two encodings at distance d collide on a band with
+    * probability (1−d/n)^r). Unlike the MinHash bands above there is NO
+    * signature state at all: each band key is r constant-position bit
+    * reads straight out of the packed words column, so at 10^12 scale the
+    * blocking pass is a projection — no UDF, no per-record hashing, just
+    * `bands` long keys per record feeding the candidate equi-shuffle.
+    *
+    * Bit p of the encoding = (words[p/64] >>> (p%64)) & 1 — the same
+    * packed-word indexing the q_binary_codec oracle pins byte-for-byte.
+    *
+    * @return array column of `bands` long keys (band i at index i). */
+  def hammingLshKeys(words: org.apache.spark.sql.Column, bands: Int,
+      bitsPerBand: Int, nBits: Int = 1024): org.apache.spark.sql.Column =
+    graft.expr.hammingLshKeys(words, bands, bitsPerBand, nBits)
+
+  /** Hamming-LSH candidate generation + exact Dice confirm over packed
+    * CLK encodings — the zero-state alternative blocking scheme for the
+    * C1 kernel (the production path salts user/MinHash blocks;
+    * this one needs no block labels and no signature pass at all).
+    *
+    * Scale shape: explode to `bands` (band, key) rows per record, ONE
+    * equi-shuffle on (band, key) with the cross-provider filter inside
+    * the join, collapse band multi-hits with a hash-agg (n_bands = LSH
+    * evidence strength), then the codegen zip_with/bit_count Dice on the
+    * surviving pairs only. Hot bands (all-zero-sample keys on sparse
+    * encodings) are exactly the skew the two-level salting generator
+    * handles; at fixture scale the plain join is the right plan.
+    *
+    * @param clks (dp, entity_id, pc, words) packed encodings.
+    * @return (dp0, rec0, dp1, rec1, n_bands, sim) — cross-provider pairs
+    *         sharing ≥1 band key with confirmed Dice ≥ threshold. */
+  def hammingLshPairs(clks: DataFrame, threshold: Double, bands: Int = 64,
+      bitsPerBand: Int = 12, nBits: Int = 1024): DataFrame = {
+    val keyed = clks
+      .select(col("dp"), col("entity_id"),
+        posexplode(hammingLshKeys(col("words"), bands, bitsPerBand, nBits)))
+      .toDF("dp", "rec", "band", "key")
+    val a = keyed.toDF("dp0", "rec0", "band", "key")
+    val b = keyed.toDF("dp1", "rec1", "band", "key")
+    val cand = a.join(b, Seq("band", "key"))
+      .where(col("dp0") < col("dp1"))
+      .groupBy("dp0", "rec0", "dp1", "rec1")
+      .agg(count(lit(1)).as("n_bands"))
+    val x = clks.select(col("dp").as("dp0"), col("entity_id").as("rec0"),
+      col("pc").as("pc0"), col("words").as("w0"))
+    val y = clks.select(col("dp").as("dp1"), col("entity_id").as("rec1"),
+      col("pc").as("pc1"), col("words").as("w1"))
+    val inter = aggregate(
+      zip_with(col("w0"), col("w1"), (u, v) => bit_count(u.bitwiseAND(v))),
+      lit(0L), (acc, v) => acc + v)
+    cand.join(x, Seq("dp0", "rec0")).join(y, Seq("dp1", "rec1"))
+      .withColumn("sim", lit(2.0) * inter / (col("pc0") + col("pc1")))
+      .where(col("sim") >= threshold)
+      .select(col("dp0"), col("rec0"), col("dp1"), col("rec1"),
+        col("n_bands"), col("sim"))
+  }
 }

@@ -30,6 +30,81 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("hamming_lsh_keys == per-bit local recompute (positions in range)") {
+    import spark.implicits._
+    val bands = 64; val r = 12; val nBits = 1024
+    val pos = graft.ingest.Blocking.hammingLshPositions(bands, r, nBits)
+    assert(pos.length == bands * r && pos.forall(p => p >= 0 && p < nBits))
+    // deterministic: same call, same positions
+    assert(pos.sameElements(graft.ingest.Blocking.hammingLshPositions(bands, r, nBits)))
+    val rnd = new Random(23)
+    val rows = (1 to 150).map { i =>
+      (i.toLong, Array.fill(nBits / 64)(rnd.nextLong()))
+    }
+    val got = rows.toDF("id", "words")
+      .withColumn("keys", graft.expr.hammingLshKeys(col("words"), bands, r, nBits))
+      .select($"id", $"keys").as[(Long, Array[Long])].collect().sortBy(_._1)
+    rows.zip(got).foreach { case ((_, w), (_, keys)) =>
+      assert(keys.length == bands)
+      for (b <- 0 until bands) {
+        var expect = 0L
+        for (i <- 0 until r) {
+          val p = pos(b * r + i)
+          expect |= ((w(p / 64) >>> (p % 64)) & 1L) << i
+        }
+        assert(keys(b) == expect)
+      }
+    }
+  }
+
+  test("hammingLshPairs == local LSH-pairing brute force on random CLKs") {
+    import spark.implicits._
+    val rnd = new Random(37)
+    val nBits = 1024
+    // correlated pairs: provider-1 records are bit-flipped copies of
+    // provider-0 ones, so true near-duplicates exist at Dice >= t
+    val base = (0 until 60).map(i => Array.fill(16)(rnd.nextLong()))
+    def flip(w: Array[Long], k: Int): Array[Long] = {
+      val c = w.clone()
+      (0 until k).foreach { _ =>
+        val p = rnd.nextInt(nBits); c(p / 64) ^= 1L << (p % 64)
+      }
+      c
+    }
+    val recs =
+      base.zipWithIndex.map { case (w, i) => (0, i.toLong, w) } ++
+      base.zipWithIndex.map { case (w, i) =>
+        (1, i.toLong, if (i % 3 == 0) flip(w, 30) else Array.fill(16)(rnd.nextLong()))
+      }
+    val df = recs.toDF("dp", "entity_id", "words")
+      .withColumn("pc", aggregate(transform(col("words"), w => bit_count(w)),
+        lit(0), (a, x) => a + x))
+      .select(col("dp"), col("entity_id"), col("pc").cast("int"), col("words"))
+    val t = 0.8
+    val got = graft.ingest.Blocking.hammingLshPairs(df, t)
+      .select($"rec0", $"rec1", $"n_bands", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // local replay
+    val pos = graft.ingest.Blocking.hammingLshPositions(64, 12, nBits)
+    def keys(w: Array[Long]): Array[Long] = Array.tabulate(64) { b =>
+      (0 until 12).foldLeft(0L) { (acc, i) =>
+        val p = pos(b * 12 + i)
+        acc | (((w(p / 64) >>> (p % 64)) & 1L) << i)
+      }
+    }
+    val expect = (for {
+      (0, i0, w0) <- recs
+      (1, i1, w1) <- recs
+      shared = keys(w0).zip(keys(w1)).count { case (a, b) => a == b }
+      if shared > 0
+      inter = w0.zip(w1).map { case (a, b) => java.lang.Long.bitCount(a & b) }.sum
+      pcs = w0.map(java.lang.Long.bitCount).sum + w1.map(java.lang.Long.bitCount).sum
+      sim = 2.0 * inter / pcs
+      if sim >= t
+    } yield (i0, i1, shared.toLong, sim)).toSet
+    assert(expect.nonEmpty && got == expect)
+  }
+
   test("sorted_intersect_count == set intersection on random long sets") {
     import spark.implicits._
     val rnd = new Random(11)
