@@ -773,6 +773,17 @@ object SparkEntry {
     "q_canopy_block" -> ((s, dir) =>
       graft.ingest.Blocking.canopyAssign(docs(s, dir), "doc_id", "text")
         .orderBy(col("rec"), col("canopy"))),
+    // suffix-array blocking (Aizawa & Oyama 2005) on the name-like key
+    // (first two tokens) of the labeled pages corpus: records sharing a
+    // surviving suffix (len >= 5, block cap 50) become candidates;
+    // n_shared / max_len = evidence strength. Oracle replays suffix
+    // explosion, pruning and pairing off the pages_rec dump.
+    "q_suffix_block" -> ((s, _) => {
+      val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000)).toDF()
+      val key = concat_ws("", slice(split(col("text"), " "), 1, 2))
+      graft.ingest.Blocking.suffixBlockPairs(pages, "dp", "entity_id", key)
+        .orderBy(col("rec0"), col("rec1"))
+    }),
     // relational pivot: per-source language mix via the DataFrame pivot
     // API (explicit value list keeps the plan static; absent cells are
     // 0, not null, so the layout is stable for downstream math)
@@ -6642,6 +6653,28 @@ object SparkEntry {
                 p2.mn AS m_g_name, p2.mt AS m_g_type, p2.ms AS m_g_size,
                 uu.un AS u_g_name, uu.ut AS u_g_type, uu.us AS u_g_size
          FROM e3, p2, uu""",
+    // suffix-blocking replay off the pages_rec dump: suffix explosion
+    // via per-row range unnest, block-size prune, cross-provider pairing
+    "q_suffix_block" ->
+      s"""WITH r AS (
+           SELECT dp, entity_id AS rec,
+                  array_to_string(list_slice(str_split(text, ' '), 1, 2), '')
+                    AS key
+           FROM '$OracleAuxDir/pages_rec/*.parquet'),
+         idx AS (SELECT dp, rec, key,
+                        unnest(range(1, greatest(len(key) - 3, 1))) AS i
+                 FROM r),
+         mem AS (SELECT dp, rec, substr(key, CAST(i AS INTEGER)) AS suffix
+                 FROM idx),
+         ok AS (SELECT suffix FROM mem GROUP BY suffix
+                HAVING count(*) <= 50),
+         m2 AS (SELECT mem.dp, mem.rec, mem.suffix
+                FROM mem JOIN ok USING (suffix))
+         SELECT a.dp AS dp0, a.rec AS rec0, b.dp AS dp1, b.rec AS rec1,
+                count(*) AS n_shared,
+                CAST(max(len(a.suffix)) AS INTEGER) AS max_len
+         FROM m2 a JOIN m2 b ON a.suffix = b.suffix AND a.dp < b.dp
+         GROUP BY 1, 2, 3, 4""",
     // canopy assignment replay: same md5 seed gate, same distinct-token
     // inverted-index join, orphans via NOT IN over the assigned recs
     "q_canopy_block" ->

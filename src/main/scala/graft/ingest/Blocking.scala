@@ -460,6 +460,54 @@ object Blocking {
     assigned.unionByName(orphans)
   }
 
+  /** Suffix-array blocking (Aizawa & Oyama 2005): each record joins the
+    * block of EVERY suffix (length ≥ minLen) of its blocking-key value,
+    * so prefix typos/truncations still collide on the shared tail —
+    * the classic cheap alternative to q-gram blocking for name keys.
+    * Oversized suffix blocks (shared tails like a common surname ending)
+    * are pruned by maxBlockSize — the standard guard that keeps the
+    * candidate count near-linear at corpus scale.
+    *
+    * Scale shape: suffix explosion is bounded by max key length − minLen
+    * + 1 rows per record; block sizes are one hash-agg; the prune join
+    * broadcasts only oversized keys (few by construction). No UDF.
+    *
+    * @param df records; @param keyCol blocking-key string expression.
+    * @return (dp, rec, suffix) memberships after pruning. */
+  def suffixKeys(df: DataFrame, dpCol: String, recCol: String,
+      keyCol: org.apache.spark.sql.Column, minLen: Int = 5,
+      maxBlockSize: Long = 50): DataFrame = {
+    require(minLen >= 1 && maxBlockSize >= 2, "need minLen>=1, maxBlockSize>=2")
+    val n = length(keyCol) - minLen + 1
+    val starts = when(n >= 1, sequence(lit(1), n))
+      .otherwise(array().cast("array<int>"))
+    val mem = df.select(col(dpCol).as("dp"), col(recCol).as("rec"),
+        explode(transform(starts, i => keyCol.substr(i, lit(Int.MaxValue))))
+          .as("suffix"))
+    val oversized = mem.groupBy("suffix")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBlockSize)
+      .select(col("suffix"))
+    mem.join(broadcast(oversized), Seq("suffix"), "left_anti")
+  }
+
+  /** Cross-provider candidate pairs from [[suffixKeys]] memberships:
+    * (dp0, rec0, dp1, rec1, n_shared, max_len) — n_shared = number of
+    * surviving shared suffixes, max_len = longest shared suffix (the
+    * match-evidence strength ordering review queues sort by). */
+  def suffixBlockPairs(df: DataFrame, dpCol: String, recCol: String,
+      keyCol: org.apache.spark.sql.Column, minLen: Int = 5,
+      maxBlockSize: Long = 50): DataFrame = {
+    val mem = suffixKeys(df, dpCol, recCol, keyCol, minLen, maxBlockSize)
+    val a = mem.select(col("suffix"), col("dp").as("dp0"), col("rec").as("rec0"))
+    val b = mem.select(col("suffix"), col("dp").as("dp1"), col("rec").as("rec1"))
+    a.join(b, Seq("suffix"))
+      .where(col("dp0") < col("dp1"))
+      .groupBy("dp0", "rec0", "dp1", "rec1")
+      .agg(count(lit(1)).as("n_shared"),
+        max(length(col("suffix"))).as("max_len"))
+  }
+
   /** Deterministic sampled bit positions for [[hammingLshKeys]]: position
     * j = high bits of the Weyl sequence (j+1)·φ64 (Fibonacci hashing —
     * the SQL-replayable "random" projection used throughout this repo).

@@ -12,6 +12,38 @@ import graft.cluster.{Survivorship, Triangles}
 class ResolveOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("suffixBlockPairs == local suffix-blocking brute force (prune + pairing)") {
+    val rows = Seq(
+      (0, 1L, "katherine"), (1, 2L, "catherine"), // shared tail "atherine"
+      (0, 3L, "kathy"), (1, 4L, "kathy"),         // exact key
+      (0, 5L, "jon"), (1, 6L, "jon"),             // below minLen: no suffixes
+      (0, 7L, "williamson"), (1, 8L, "wiliamson"),
+      // 4 records sharing tail "smith" -> block size 4 > cap 3, pruned
+      (0, 9L, "xsmith"), (1, 10L, "ysmith"), (0, 11L, "zsmith"), (1, 12L, "smith"))
+    val df = rows.toDF("dp", "rec", "key")
+    val minLen = 5; val cap = 3L
+    val got = Blocking.suffixBlockPairs(df, "dp", "rec", col("key"), minLen, cap)
+      .select($"rec0", $"rec1", $"n_shared", $"max_len")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    def sufs(k: String) =
+      (1 to k.length - minLen + 1).map(i => k.substring(i - 1)).toSet
+    val memAll = rows.flatMap { case (dp, r, k) => sufs(k).map(s => (dp, r, s)) }
+    val kept = memAll.groupBy(_._3).filter(_._2.size <= cap).values.flatten.toSeq
+    val want = (for {
+      (0, r0, s0) <- kept; (1, r1, s1) <- kept; if s0 == s1
+    } yield (r0, r1, s0)).groupBy(p => (p._1, p._2))
+      .map { case ((r0, r1), ss) =>
+        (r0, r1, ss.size.toLong, ss.map(_._3.length).max) }.toSet
+    assert(got == want)
+    // the sub-minLen keys produced no memberships at all
+    assert(!got.exists(p => p._1 == 5L || p._2 == 6L))
+    // katherine/catherine found via the shared tail despite first-char typo
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L))
+    // the oversized "smith" block was pruned: no pair among recs 9..12
+    assert(!got.exists(p => p._1 >= 9L || p._2 >= 9L))
+  }
+
   test("sortedNeighborhoodPairs == brute-force window over the sort order") {
     val rows = Seq(
       (1L, "smith"), (2L, "smyth"), (3L, "smith"), (4L, "adams"),
