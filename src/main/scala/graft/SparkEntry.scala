@@ -689,6 +689,21 @@ object SparkEntry {
           graft.expr.popcount(col("clk")).as("popcount"))
         .orderBy(col("doc"))
     }),
+    // XOR-folding hardening (Schnell & Borgs 2016): CLK folded in half
+    // by XORing the upper 512 bits into the lower 512 — each folded bit
+    // is the PARITY of two original bits, so the oracle rebuilds it from
+    // the positions dump as "position class pos%512 has odd multiplicity"
+    "q_clk_fold" -> ((s, dir) => {
+      val foldUdf = udf((t: String) => {
+        val e = graft.ingest.ClkEncoder
+        e.foldXor(e.encode(if (t == null) "" else t))
+      })
+      docs(s, dir)
+        .select(col("doc_id").as("doc"), foldUdf(col("text")).as("clk"))
+        .select(col("doc"), lower(hex(col("clk"))).as("fold_hex"),
+          graft.expr.popcount(col("clk")).as("popcount"))
+        .orderBy(col("doc"))
+    }),
     // A4 guardrail driven end-to-end: the real enforceScoredPairsCap is
     // invoked with a cap below the fixture's edge count (must refuse,
     // reference comparing.py:363-372 / settings.py:111-112) and a cap
@@ -1997,6 +2012,12 @@ object SparkEntry {
     "q_minhash_acc" -> ((s, dir) =>
       Dedup.minhashAccuracy(docs(s, dir), "doc_id", "text")
         .orderBy(col("id0"), col("id1"))),
+    // b-bit minhash (Li & König 2010): 4-bit components, collision
+    // estimate bias-corrected by (c - 2^-b)/(1 - 2^-b) in exact integers
+    // up to one final divide; audited against the exact shingle Jaccard
+    "q_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitMinhashAccuracy(docs(s, dir), "doc_id", "text")
+        .orderBy(col("id0"), col("id1"))),
     // weighted-minhash LSH: bag-similarity blocking WITHOUT a block key
     // (multiset-expansion minhash); exact capped-tf confirm
     "q_wjaccard_lsh" -> ((s, dir) =>
@@ -2622,6 +2643,12 @@ object SparkEntry {
     "q_block_kanon" -> ((s, dir) =>
       graft.ingest.Blocking.kAnonymityStats(docsBlocked(s, dir), k = 5)
         .orderBy(col("dp"))),
+    // DP block-size release (geometric mechanism, Ghosh et al. 2009):
+    // two-sided-geometric noise at eps=ln2 from the keyed md5 stream,
+    // trailing-ones windows — integer-exact, clamped at 0
+    "q_dp_blocks" -> ((s, dir) =>
+      graft.ingest.Blocking.dpBlockSizes(docsBlocked(s, dir))
+        .orderBy(col("dp"), col("block_key"))),
     // TF-IDF-weighted cosine pair scoring: inverted-index pair join
     // with df cap, fixed-point integer weights (exact dot products and
     // norms), doubles only in the final cosine
@@ -4531,6 +4558,37 @@ object SparkEntry {
                   AS memberships_below_k,
                 min(n) AS min_block_size, 5 AS k
          FROM s GROUP BY dp""",
+    // DP release replay: same md5("24301:dp:block_key") stream, two
+    // 32-bit hex windows -> trailing-ones geometric draws via the exact
+    // low-j-bits-all-ones mask sum, noise = g1 - g2, clamp at 0
+    "q_dp_blocks" ->
+      """WITH b AS (SELECT DISTINCT CAST(doc_id % 2 AS INT) AS dp,
+                      doc_id AS entity_id,
+                      string_split(text, ' ')[1] AS block_key
+                    FROM documents),
+         s AS (SELECT dp, block_key, CAST(count(*) AS BIGINT) AS n
+               FROM b GROUP BY dp, block_key),
+         w AS (SELECT dp, block_key, n,
+                      md5('24301:' || CAST(dp AS VARCHAR) || ':' || block_key)
+                        AS h
+               FROM s),
+         g AS (SELECT dp, block_key, n,
+                      CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS w1,
+                      CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS w2
+               FROM w),
+         z AS (SELECT dp, block_key, n,
+                      CAST(list_sum(list_transform(range(1, 33), j ->
+                        CASE WHEN (w1 & ((CAST(1 AS BIGINT) << j) - 1))
+                                  = ((CAST(1 AS BIGINT) << j) - 1)
+                             THEN 1 ELSE 0 END)) AS BIGINT)
+                      - CAST(list_sum(list_transform(range(1, 33), j ->
+                        CASE WHEN (w2 & ((CAST(1 AS BIGINT) << j) - 1))
+                                  = ((CAST(1 AS BIGINT) << j) - 1)
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS noise
+               FROM g)
+         SELECT dp, block_key, n, noise,
+                CAST(greatest(n + noise, 0) AS BIGINT) AS n_released
+         FROM z""",
     // identical fixed-point weights (// == DIV), integer dots/norms,
     // the same two final sqrt/divide ops
     "q_tfidf_cosine" ->
@@ -4708,6 +4766,26 @@ object SparkEntry {
                FROM bv GROUP BY doc),
          pc AS (SELECT doc, count(*) AS n FROM x GROUP BY doc)
          SELECT h.doc, h.clk_hex, CAST(COALESCE(pc.n, 0) AS INT) AS popcount
+         FROM h LEFT JOIN pc ON h.doc = pc.doc""",
+    // XOR-fold = parity per position class pos%512 (positions are
+    // distinct, so multiplicity of {q, q+512} is 0/1/2; folded bit set
+    // iff it is odd), then the byte/hex/popcount rebuild over 64 bytes
+    "q_clk_fold" ->
+      s"""WITH p AS (SELECT doc, pos % 512 AS q, count(*) AS c
+                     FROM '$OracleAuxDir/clk_positions/*.parquet'
+                     GROUP BY doc, pos % 512),
+         f AS (SELECT doc, q FROM p WHERE c % 2 = 1),
+         g AS (SELECT doc_id AS doc, unnest(range(0, 64)) AS b FROM documents),
+         bv AS (SELECT g.doc, g.b,
+                       CAST(COALESCE(sum(1 << (f.q % 8)), 0) AS INT) AS v
+                FROM g LEFT JOIN f ON f.doc = g.doc AND f.q // 8 = g.b
+                GROUP BY g.doc, g.b),
+         h AS (SELECT doc,
+                      string_agg(lpad(lower(hex(v)), 2, '0'), '' ORDER BY b)
+                        AS fold_hex
+               FROM bv GROUP BY doc),
+         pc AS (SELECT doc, count(*) AS n FROM f GROUP BY doc)
+         SELECT h.doc, h.fold_hex, CAST(COALESCE(pc.n, 0) AS INT) AS popcount
          FROM h LEFT JOIN pc ON h.doc = pc.doc""",
     // popcounts of the dp=0 binary upload recomputed word-by-word
     "q_popcount" ->
@@ -4917,6 +4995,30 @@ object SparkEntry {
                FROM p)
          SELECT id0, id1, n_eq, est_jaccard, jaccard,
                 round(abs(est_jaccard - jaccard), 4) AS abs_err
+         FROM q""",
+    // b-bit replay off the same component dump: components equal under
+    // the low-4-bit mask (& 15 — two's complement in both engines), then
+    // the exact-integer bias correction (16·n_eq_b − 32)/480 for k=32,
+    // b=4 (can go negative at tiny J: that IS the unbiased estimator)
+    "q_bbit_minhash" ->
+      s"""WITH p AS (
+           SELECT a.doc AS id0, b.doc AS id1,
+                  CAST(list_sum(list_transform(range(1, 33),
+                    i -> CASE WHEN (a.vals[i] & 15) = (b.vals[i] & 15)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_eq_b,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+           FROM '$OracleAuxDir/minhash_acc_sig/*.parquet' a
+           JOIN '$OracleAuxDir/minhash_acc_sig/*.parquet' b
+             ON a.doc < b.doc AND len(list_intersect(a.bks, b.bks)) > 0),
+         q AS (SELECT id0, id1, n_eq_b,
+                      round(CAST(n_eq_b * 16 - 32 AS DOUBLE) / 480, 4)
+                        AS est_bbit,
+                      jaccard
+               FROM p)
+         SELECT id0, id1, n_eq_b, est_bbit, jaccard,
+                round(abs(est_bbit - jaccard), 4) AS abs_err
          FROM q""",
     // weighted-LSH replay from the wminhash_sig dump: candidates share a
     // band key; mem entries are unique ("tok§i"), so list_intersect IS

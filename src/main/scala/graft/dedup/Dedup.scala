@@ -514,6 +514,61 @@ object Dedup {
         round(abs(col("est_jaccard") - col("jaccard")), 4))
   }
 
+  /** b-bit MinHash estimator audit (Li & König, WWW 2010): store only the
+    * lowest `b` bits of each of the k MinHash components — a 32/b-fold
+    * signature-memory cut — and estimate Jaccard from b-bit collisions
+    * with the paper's bias correction: a b-bit component pair collides
+    * with probability C = 2^-b + (1 - 2^-b)·J, so
+    * Ĵ = (ĉ - 2^-b) / (1 - 2^-b) with ĉ = n_eq_b / k. Arithmetic is kept
+    * in exact integers up to one final double divide
+    * (Ĵ = (n_eq_b·2^b − k) / ((2^b − 1)·k), rounded 4dp) so the estimate
+    * replays bit-for-bit in any engine; the unbiased correction can go
+    * negative at tiny J — that is the estimator, reported raw.
+    *
+    * Scale shape: identical to [[minhashAccuracy]] — pair generation
+    * carries bare (bucket, id) through the salted join, full signatures
+    * join back once per side, the b-bit compare is a codegen'd
+    * zip_with/aggregate with the mask folded into the comparison (the
+    * full values are dumped once; a production store would keep only the
+    * packed b-bit rows — the memory claim, not the compute path, is what
+    * changes).
+    *
+    * @return (id0, id1, n_eq_b, est_bbit, jaccard, abs_err) per LSH
+    *         candidate pair. */
+  def bbitMinhashAccuracy(df: DataFrame, id: String, text: String,
+      b: Int = 4, bands: Int = 8, rowsPerBand: Int = 4, seed: Int = 0xd5ed,
+      aim: Long = PairAim): DataFrame = {
+    require(b >= 1 && b <= 16, s"b out of range: $b")
+    val k = bands * rowsPerBand
+    val mask = (1 << b) - 1
+    val sig = persistLatest("bbit_minhash",
+      minhashComponentSignatures(df, id, text, bands, rowsPerBand, seed)
+        .withColumn("shh", hashedSet(col("sh"))))
+    val ids = sig.select(explode(col("bks")).as("bk"), col("doc").as("id"))
+    val pairs = saltedSelfPairs(ids, aim)
+      .select("id0", "id1")
+      .dropDuplicates("id0", "id1")
+    val joined = pairs
+      .join(sig.select(col("doc").as("id0"), col("shh").as("sh0"),
+        col("vals").as("v0")), "id0")
+      .join(sig.select(col("doc").as("id1"), col("shh").as("sh1"),
+        col("vals").as("v1")), "id1")
+    val inter = graft.expr.sortedIntersectCount(col("sh0"), col("sh1"))
+      .cast("double")
+    val nEqB = aggregate(
+      zip_with(col("v0"), col("v1"),
+        (x, y) => when(x.bitwiseAND(lit(mask)) === y.bitwiseAND(lit(mask)),
+          1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    joined.select(col("id0"), col("id1"), nEqB.as("n_eq_b"),
+        round((nEqB * (1L << b) - k).cast("double") / (((1L << b) - 1) * k), 4)
+          .as("est_bbit"),
+        round(inter / (size(col("sh0")) + size(col("sh1")) - inter), 4)
+          .as("jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_bbit") - col("jaccard")), 4))
+  }
+
   /** MinHash-LSH near-dup candidate pairs over word-bigram shingles:
     * band-bucket join, then exact shingle-Jaccard confirm.
     *

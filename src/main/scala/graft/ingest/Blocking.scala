@@ -172,6 +172,48 @@ object Blocking {
       .withColumn("k", lit(k))
   }
 
+  /** Differentially-private block-size release — the geometric mechanism
+    * (Ghosh–Roughgarden–Sundararajan, STOC 2009: two-sided geometric
+    * noise is the universally optimal ε-DP mechanism for counting
+    * queries). Each (dp, block) size n is released as max(n + Z, 0) with
+    * Z = G₁ − G₂, Gᵢ iid Geometric(1/2) (P(G=j) = 2^-(j+1)), giving
+    * ε = ln 2 per count at sensitivity 1; the max(·,0) clamp is monotone
+    * post-processing and costs no privacy. The practical PPRL use: a
+    * provider can publish its block-size histogram for capacity planning
+    * / skew-plan negotiation without revealing exact memberships (the
+    * reference hides block NAMES by BLAKE2b-hashing,
+    * `encoding_storage.py:238-242`; sizes still leak — this releases
+    * them under DP instead).
+    *
+    * Determinism: production DP draws fresh randomness; this engine
+    * freezes the draw to a keyed md5 stream over (seed, dp, block_key) —
+    * the repo-wide reproducible-and-SQL-replayable convention (same as
+    * the BLIP mask) — and Gᵢ is read as the trailing-ones count of a
+    * 32-bit hash window via exact integer mask tests (no libm, no UDF).
+    *
+    * Scale shape: one (dp, block) count agg + per-row column algebra; no
+    * second shuffle. Production callers publish only
+    * (dp, block_key, n_released); n and noise ride along for audit.
+    *
+    * @return (dp, block_key, n, noise, n_released). */
+  def dpBlockSizes(blocked: DataFrame, seed: Int = 0x5eed): DataFrame = {
+    val sizes = blocked.select(col("dp"), col("entity_id"), col("block_key"))
+      .distinct()
+      .groupBy("dp", "block_key").agg(count(lit(1)).as("n"))
+    val h = md5(concat_ws(":", lit(seed), col("dp"), col("block_key"))
+      .cast("binary"))
+    // trailing-ones of a 32-bit window = Σ_j [low-j-bits all ones]
+    val masks = array((1 to 32).map(j => lit((1L << j) - 1)): _*)
+    def geo(w: org.apache.spark.sql.Column) =
+      aggregate(masks, lit(0L),
+        (acc, m) => acc + when(w.bitwiseAND(m) === m, 1L).otherwise(0L))
+    val g1 = geo(conv(substring(h, 1, 8), 16, 10).cast("long"))
+    val g2 = geo(conv(substring(h, 9, 8), 16, 10).cast("long"))
+    sizes.select(col("dp"), col("block_key"), col("n"),
+      (g1 - g2).as("noise"),
+      greatest(col("n") + g1 - g2, lit(0L)).as("n_released"))
+  }
+
   /** Block l-diversity diagnostics — the attribute-disclosure companion
     * to [[kAnonymityStats]] (Machanavajjhala et al., ICDE 2006): a block
     * can satisfy k-anonymity yet be HOMOGENEOUS in a sensitive

@@ -102,6 +102,27 @@ object ClkEncoder {
     out.toArray
   }
 
+  /** XOR-folding hardening (Schnell & Borgs 2016, "XOR-folding for
+    * Bloom-filter-based encryptions for PPRL"): fold the CLK in half by
+    * XORing the upper half into the lower half, halving the length.
+    * Folding is a many-to-one map, so bit-pattern attacks lose the
+    * positional frequency signal, at the cost of some Dice fidelity
+    * (each folded bit is the PARITY of two original bits). Deterministic
+    * and keyless — the privacy comes from information destruction, not
+    * secrecy — so it is fully oracle-replayable from the bit positions.
+    * Requires an even byte length. */
+  def foldXor(clk: Array[Byte]): Array[Byte] = {
+    require(clk.length % 2 == 0, s"foldXor needs even length: ${clk.length}")
+    val half = clk.length / 2
+    val out = new Array[Byte](half)
+    var i = 0
+    while (i < half) {
+      out(i) = (clk(i) ^ clk(i + half)).toByte
+      i += 1
+    }
+    out
+  }
+
   /** XOR the flip mask into a CLK (the BLIP hardening application). */
   def applyFlips(clk: Array[Byte], flips: Array[Int]): Array[Byte] = {
     val out = clk.clone()

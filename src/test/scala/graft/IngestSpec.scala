@@ -89,6 +89,24 @@ class ClkEncoderSpec extends org.scalatest.funsuite.AnyFunSuite {
       ((clk(b >>> 3) ^ hardened(b >>> 3)) & (1 << (b & 7))) != 0)
     assert(hd == f1.length)
   }
+  test("foldXor: bit q of fold == parity of positions ≡ q (mod 512)") {
+    for (t <- Seq("jane doe 42 acacia avenue springfield",
+        "zefir quorl 977 mulberry lane gotham", "a", "", "x y z 1 2 3")) {
+      val f = ClkEncoder.foldXor(ClkEncoder.encode(t))
+      assert(f.length == 64)
+      val pos = ClkEncoder.positionsDistinct(t)
+      val want = (0 until 512)
+        .filter(q => pos.count(p => p % 512 == q) % 2 == 1)
+      val bits = (0 until 512)
+        .filter(b => (f(b >>> 3) & (1 << (b & 7))) != 0)
+      assert(bits == want, s"fold parity mismatch for '$t'")
+      assert(BitOps.popcount(f) == want.size)
+    }
+    // odd-length input refused
+    intercept[IllegalArgumentException] {
+      ClkEncoder.foldXor(Array[Byte](1, 2, 3))
+    }
+  }
 }
 
 class IngestSpec extends SparkSpec {

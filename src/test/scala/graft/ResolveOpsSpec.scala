@@ -236,6 +236,42 @@ class ResolveOpsSpec extends SparkSpec {
     assert(r(1).getAs[Long]("min_block_size") == 2L)
   }
 
+  test("dpBlockSizes: geometric noise == md5 trailing-ones recompute, clamped") {
+    // many keys so both noise signs appear and the clamp fires at n=1
+    val blocked = (0 until 400).map { i =>
+      (i % 2, i.toLong, s"blk${i % 100}")
+    }.toDF("dp", "entity_id", "block_key")
+    val got = Blocking.dpBlockSizes(blocked).collect()
+      .map(r => (r.getAs[Int]("dp"), r.getAs[String]("block_key")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("noise"),
+          r.getAs[Long]("n_released"))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def trailOnes(w: Long) =
+      (1 to 32).count(j => (w & ((1L << j) - 1)) == ((1L << j) - 1)).toLong
+    val sizes = (0 until 400).map(i => (i % 2, s"blk${i % 100}"))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.keySet == sizes.keySet)
+    var negSeen = false; var posSeen = false
+    sizes.foreach { case ((dp, key), n) =>
+      val h = md5hex(s"24301:$dp:$key")
+      val g1 = trailOnes(java.lang.Long.parseLong(h.substring(0, 8), 16))
+      val g2 = trailOnes(java.lang.Long.parseLong(h.substring(8, 16), 16))
+      val noise = g1 - g2
+      if (noise < 0) negSeen = true
+      if (noise > 0) posSeen = true
+      assert(got((dp, key)) == ((n, noise, math.max(n + noise, 0L))),
+        s"release mismatch at ($dp,$key)")
+    }
+    assert(negSeen && posSeen, "two-sided noise never fired one side")
+    // determinism: second run is identical
+    val again = Blocking.dpBlockSizes(blocked).collect()
+      .map(r => (r.getAs[Int]("dp"), r.getAs[String]("block_key")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("noise"),
+          r.getAs[Long]("n_released"))).toMap
+    assert(again == got)
+  }
+
   test("tfidfCosinePairs == brute-force fixed-point cosine") {
     val docsDf = Seq(
       (1L, "rare1 rare2 common"),

@@ -693,6 +693,60 @@ class DedupSpec extends SparkSpec {
     assert(checked == got.size, s"extra pairs: got ${got.size}, want $checked")
   }
 
+  test("bbitMinhashAccuracy == b-bit reimplementation, exact bias correction") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    val seed = 0xd5ed
+    val k = 32
+    val got = Dedup.bbitMinhashAccuracy(documents, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id0"), r.getAs[Long]("id1")) ->
+        (r.getAs[Long]("n_eq_b"), r.getAs[Double]("est_bbit"),
+          r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err"))).toMap
+    assert(got.nonEmpty)
+    val txts = documents.select($"doc_id".as[Long], $"text".as[String])
+      .collect()
+    def mins(t: String): Array[Int] = {
+      val sh = Dedup.shingles2(t)
+      Array.tabulate(k)(j =>
+        sh.foldLeft(Int.MaxValue)((m, s) =>
+          math.min(m, MurmurHash3.stringHash(s, seed + j * 0x9e3779b1))))
+    }
+    def bands(v: Array[Int]): Set[String] =
+      (0 until 8).map(b => s"b$b:" + (0 until 4).map(r =>
+        v(b * 4 + r)).mkString(":")).toSet
+    val sigs = txts.map { case (id, t) => (id, Dedup.shingles2(t).toSet,
+      mins(t)) }
+    var checked = 0
+    var negSeen = false
+    for {
+      (i, si, vi) <- sigs; (j, sj, vj) <- sigs
+      if i < j && bands(vi).intersect(bands(vj)).nonEmpty
+    } {
+      val nEqB = (0 until k).count(x => (vi(x) & 15) == (vj(x) & 15)).toLong
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // (c - 2^-b)/(1 - 2^-b) in exact integers: (16*n - 32)/480
+      val est = r4((nEqB * 16 - 32).toDouble / 480)
+      if (est < 0) negSeen = true
+      val in = si.intersect(sj).size.toDouble
+      val jac = r4(in / (si.size + sj.size - in))
+      val err = r4(math.abs(est - jac))
+      assert(got.contains((i, j)), s"missing candidate ($i,$j)")
+      val (gn, ge, gj, ga) = got((i, j))
+      assert(gn == nEqB && math.abs(ge - est) < 1e-12 &&
+        math.abs(gj - jac) < 1e-12 && math.abs(ga - err) < 1e-12,
+        s"pair ($i,$j)")
+      checked += 1
+      // a full-component match forces a b-bit match (mask is a
+      // surjection), so n_eq_b >= the full-width equal count
+      val nEq = (0 until k).count(x => vi(x) == vj(x)).toLong
+      assert(nEqB >= nEq, s"mask lost a collision at ($i,$j)")
+    }
+    assert(checked == got.size, s"extra pairs: got ${got.size}, want $checked")
+    info(s"b-bit pairs=${got.size} negative-estimate seen=$negSeen")
+  }
+
   test("weighted minhash LSH: subset of bag brute force, exact values, high recall") {
     import spark.implicits._
     val docs = documents.limit(300)
