@@ -333,6 +333,33 @@ object SparkEntry {
         .toDF().orderBy(desc("sim"), col("rec0"), col("rec1"))),
     "er_febrl4_clusters" -> ((s, _) =>
       febrl4Clusters(s).orderBy(col("clusterId"), col("dp"))),
+    // XOR-fold privacy/utility tradeoff on the real edge set: per t=0.8
+    // kernel edge, the Dice over 512-bit FOLDED CLKs (fw[i] = w[i] xor
+    // w[i+8]) next to the full-width sim — delta is what hardening costs
+    // each matched pair; same codegen zip_with/bit_count kernel shape
+    "q_fold_dice" -> ((s, _) => {
+      val folded = s.read.parquet(s"$FixturesDir/febrl4_clks.parquet")
+        .select(col("dp"), col("entity_id"),
+          zip_with(slice(col("words"), 1, 8), slice(col("words"), 9, 8),
+            (x, y) => x.bitwiseXOR(y)).as("fw"))
+        .withColumn("fpc", aggregate(col("fw"), lit(0L),
+          (acc, w) => acc + bit_count(w).cast("long")))
+      val edges = Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.8))
+        .toDF()
+      val andPc = aggregate(
+        zip_with(col("fw0"), col("fw1"),
+          (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      edges
+        .join(folded.select(col("dp").as("dp0"), col("entity_id").as("rec0"),
+          col("fw").as("fw0"), col("fpc").as("fpc0")), Seq("dp0", "rec0"))
+        .join(folded.select(col("dp").as("dp1"), col("entity_id").as("rec1"),
+          col("fw").as("fw1"), col("fpc").as("fpc1")), Seq("dp1", "rec1"))
+        .select(col("dp0"), col("rec0"), col("dp1"), col("rec1"), col("sim"),
+          (lit(2.0) * andPc / (col("fpc0") + col("fpc1"))).as("sim_fold"))
+        .withColumn("delta", col("sim") - col("sim_fold"))
+        .orderBy(col("rec0"), col("rec1"))
+    }),
     // the FULL 5-party pipeline (P>2: all-cross-pairs greedy merge rule)
     // made driver-visible — encode 5 binary CLK uploads -> block ->
     // score -> CC -> solve; oracle = the frozen golden groups
@@ -3063,6 +3090,31 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // fold tradeoff replay: folded words via xor(w[i], w[i+8]), folded
+    // popcounts, then the SAME double expression order as the kernel
+    // (2.0 * Σ / (pc+pc)) for both widths — deltas are bit-equal doubles
+    "q_fold_dice" ->
+      """WITH c AS (SELECT dp, entity_id, pc, words
+                    FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         g AS (SELECT dp, entity_id, pc, words,
+                      list_transform(range(1, 9),
+                        i -> xor(words[i], words[i + 8])) AS fw
+               FROM c),
+         h AS (SELECT dp, entity_id, pc, words, fw,
+                      list_sum(list_transform(fw, w -> bit_count(w))) AS fpc
+               FROM g),
+         p AS (
+           SELECT 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> bit_count(a.words[i] & b.words[i]))) / (a.pc + b.pc)
+                    AS sim,
+                  2.0 * list_sum(list_transform(range(1, 9),
+                    i -> bit_count(a.fw[i] & b.fw[i]))) / (a.fpc + b.fpc)
+                    AS sim_fold,
+                  a.dp AS dp0, a.entity_id AS rec0,
+                  b.dp AS dp1, b.entity_id AS rec1
+           FROM h a JOIN h b ON a.dp < b.dp)
+         SELECT dp0, rec0, dp1, rec1, sim, sim_fold, sim - sim_fold AS delta
+         FROM p WHERE sim >= 0.8""",
     // P2 `!I{n}s` wire layout rebuilt from the committed little-endian
     // word fixture with pure byte arithmetic: record = 4 big-endian id
     // bytes + the 128 CLK bytes ((words[wi] >> 8*bj) & 255 walks each
