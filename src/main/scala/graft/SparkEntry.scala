@@ -810,6 +810,18 @@ object SparkEntry {
       val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
       base.select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
     }),
+    // 2-D Pareto skyline (Börzsönyi et al. 2001): docs not dominated
+    // under (maximize distinct vocabulary, minimize token count) — the
+    // "richest vocabulary per token budget" curation frontier; 2-D
+    // sort-scan via the two-phase running min, never a dominance join
+    "q_skyline" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.rel.Relational.skyline2d(base, "n_distinct", "n_tokens")
+        .orderBy(col("doc_id"))
+    }),
     // canopy blocking (McCallum et al. 2000, hash-seeded distributed
     // variant): overlapping cheap-distance canopies + singleton orphans
     "q_canopy_block" -> ((s, dir) =>
@@ -825,6 +837,25 @@ object SparkEntry {
       val key = concat_ws("", slice(split(col("text"), " "), 1, 2))
       graft.ingest.Blocking.suffixBlockPairs(pages, "dp", "entity_id", key)
         .orderBy(col("rec0"), col("rec1"))
+    }),
+    // greedy blocking-scheme learning (Michelson–Knoblock 2006) on the
+    // labeled pages corpus: 5 candidate predicates over the name key,
+    // 3 selection rounds by marginal true-pair coverage, cost column =
+    // candidate pairs of each selected predicate
+    "q_blocking_scheme" -> ((s, _) => {
+      val pages = graft.ingest.PagesSynth.pages(s, Seq(1000, 1000)).toDF()
+      val toks = split(col("text"), " ")
+      val k2 = concat_ws("", slice(toks, 1, 2))
+      graft.ingest.Blocking.greedyBlockingScheme(pages, "dp", "entity_id",
+        "truth_entity",
+        Seq(
+          "p_tok1" -> element_at(toks, 1),
+          "p_tok2" -> element_at(toks, 2),
+          "p_tok3" -> element_at(toks, 3),
+          "p_pre4" -> substring(k2, 1, 4),
+          "p_suf4" -> when(length(k2) >= 4, substring(k2, -4, 4))),
+        rounds = 3)
+        .orderBy(col("round"))
     }),
     // relational pivot: per-source language mix via the DataFrame pivot
     // API (explicit value list keeps the plan static; absent cells are
@@ -5692,6 +5723,20 @@ object SparkEntry {
                 round(CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE)
                       / len(str_split(text, ' ')), 4) AS mean_token_len
          FROM documents""",
+    // skyline replay: the definitional quadratic NOT EXISTS dominance
+    // check (fine at oracle scale; the engine side is the 2-D sort-scan)
+    "q_skyline" ->
+      """WITH d AS (SELECT doc_id,
+                CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+                  AS n_distinct,
+                CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+         SELECT a.doc_id, a.n_distinct, a.n_tokens
+         FROM d a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM d b
+           WHERE b.n_distinct >= a.n_distinct AND b.n_tokens <= a.n_tokens
+             AND (b.n_distinct > a.n_distinct OR b.n_tokens < a.n_tokens))""",
     // Gopher flags replay: one tokenize, same unrounded-double rule
     // comparisons, display columns rounded exactly as the Spark side
     "q_gopher_rules" ->
@@ -6829,6 +6874,72 @@ object SparkEntry {
                 CAST(max(len(a.suffix)) AS INTEGER) AS max_len
          FROM m2 a JOIN m2 b ON a.suffix = b.suffix AND a.dp < b.dp
          GROUP BY 1, 2, 3, 4""",
+    // greedy blocking-scheme replay: memberships per predicate, distinct
+    // cross-provider pairs, then 3 selection rounds as chained CTEs —
+    // each round LEFT-JOINs every remaining predicate to its marginal
+    // new-true-pair count (0 if saturated) and picks (n DESC, pred ASC)
+    "q_blocking_scheme" ->
+      s"""WITH rec AS (
+           SELECT dp, entity_id AS rec, truth_entity AS truth,
+                  str_split(text, ' ') AS ts,
+                  array_to_string(list_slice(str_split(text, ' '), 1, 2), '')
+                    AS k2
+           FROM '$OracleAuxDir/pages_rec/*.parquet'),
+         m AS (
+           SELECT 'p_tok1' AS pred, dp, rec, truth, ts[1] AS key FROM rec
+           UNION ALL SELECT 'p_tok2', dp, rec, truth, ts[2] FROM rec
+           UNION ALL SELECT 'p_tok3', dp, rec, truth, ts[3] FROM rec
+           UNION ALL SELECT 'p_pre4', dp, rec, truth, substr(k2, 1, 4)
+             FROM rec
+           UNION ALL SELECT 'p_suf4', dp, rec, truth,
+             CASE WHEN len(k2) >= 4 THEN substr(k2, len(k2) - 3) END
+             FROM rec),
+         m2 AS (SELECT * FROM m WHERE key IS NOT NULL AND key <> ''),
+         p AS (SELECT DISTINCT a.pred, a.rec AS rec0, b.rec AS rec1,
+                      a.truth = b.truth AS istrue
+               FROM m2 a JOIN m2 b ON a.pred = b.pred AND a.key = b.key
+               WHERE a.dp = 0 AND b.dp = 1),
+         cand AS (SELECT pred, CAST(count(*) AS BIGINT) AS cand_pairs
+                  FROM p GROUP BY pred),
+         tp AS (SELECT pred, rec0, rec1 FROM p WHERE istrue),
+         preds(pred) AS (VALUES ('p_tok1'), ('p_tok2'), ('p_tok3'),
+                                ('p_pre4'), ('p_suf4')),
+         g1 AS (SELECT preds.pred, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                FROM preds LEFT JOIN
+                  (SELECT pred, count(*) AS n FROM tp GROUP BY pred) c
+                  USING (pred)),
+         s1 AS (SELECT pred, n FROM g1 ORDER BY n DESC, pred LIMIT 1),
+         c1 AS (SELECT DISTINCT rec0, rec1 FROM tp
+                WHERE pred IN (SELECT pred FROM s1)),
+         g2 AS (SELECT preds.pred, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                FROM preds LEFT JOIN
+                  (SELECT pred, count(*) AS n FROM tp
+                   WHERE NOT EXISTS (SELECT 1 FROM c1
+                     WHERE c1.rec0 = tp.rec0 AND c1.rec1 = tp.rec1)
+                   GROUP BY pred) c USING (pred)
+                WHERE preds.pred NOT IN (SELECT pred FROM s1)),
+         s2 AS (SELECT pred, n FROM g2 ORDER BY n DESC, pred LIMIT 1),
+         c2 AS (SELECT rec0, rec1 FROM c1
+                UNION
+                SELECT rec0, rec1 FROM tp
+                WHERE pred IN (SELECT pred FROM s2)),
+         g3 AS (SELECT preds.pred, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+                FROM preds LEFT JOIN
+                  (SELECT pred, count(*) AS n FROM tp
+                   WHERE NOT EXISTS (SELECT 1 FROM c2
+                     WHERE c2.rec0 = tp.rec0 AND c2.rec1 = tp.rec1)
+                   GROUP BY pred) c USING (pred)
+                WHERE preds.pred NOT IN (SELECT pred FROM s1)
+                  AND preds.pred NOT IN (SELECT pred FROM s2)),
+         s3 AS (SELECT pred, n FROM g3 ORDER BY n DESC, pred LIMIT 1),
+         r AS (SELECT 1 AS round, pred, n AS new_true FROM s1
+               UNION ALL SELECT 2, pred, n FROM s2
+               UNION ALL SELECT 3, pred, n FROM s3)
+         SELECT r.round, r.pred, r.new_true,
+                CAST(sum(r.new_true) OVER (ORDER BY r.round) AS BIGINT)
+                  AS cum_true,
+                CAST(COALESCE(cand.cand_pairs, 0) AS BIGINT) AS cand_pairs
+         FROM r LEFT JOIN cand ON r.pred = cand.pred""",
     // canopy assignment replay: same md5 seed gate, same distinct-token
     // inverted-index join, orphans via NOT IN over the assigned recs
     "q_canopy_block" ->

@@ -172,6 +172,84 @@ object Blocking {
       .withColumn("k", lit(k))
   }
 
+  /** Greedy blocking-scheme learning over labeled records (Michelson &
+    * Knoblock AAAI 2006; Bilenko et al. ICDM 2006 "Adaptive blocking"):
+    * given candidate blocking predicates and ground-truth entity labels,
+    * select predicates one at a time, each round taking the predicate
+    * whose candidate pairs cover the most TRUE matched pairs not covered
+    * by the already-selected scheme (ties broken by predicate name).
+    * The marginal-gain column is the tuning readout: when new_true
+    * collapses, the scheme is saturated and further predicates only add
+    * candidate-pair cost.
+    *
+    * Semantics (frozen): memberships = one key per record per predicate
+    * (null/empty keys drop out); candidate pairs are cross-provider
+    * (dp 0 × dp 1) equi-key; a pair is true iff the truth labels agree;
+    * coverage is over distinct true pairs. Predicates with zero marginal
+    * gain still rank (at 0) so a fixed `rounds` always emits `rounds`
+    * rows.
+    *
+    * Scale shape: the pred-tagged pair table is built once (predicate
+    * count is a small constant, so it is ≤ |preds| blocked equi-joins)
+    * and persisted; each round is ONE distinct-anti-join + agg over it
+    * and collects a single winner row. No pair enumeration beyond what
+    * the predicates themselves generate — oversized predicates are
+    * exactly what the cand_pairs cost column exposes.
+    *
+    * @param labeled  records with dp/rec/truth columns.
+    * @param preds    (name, key expression) candidate predicates.
+    * @return (round, pred, new_true, cum_true, cand_pairs) one row per
+    *         selection round. */
+  def greedyBlockingScheme(labeled: DataFrame, dpCol: String, recCol: String,
+      truthCol: String, preds: Seq[(String, org.apache.spark.sql.Column)],
+      rounds: Int = 3): DataFrame = {
+    require(preds.nonEmpty && rounds >= 1 && rounds <= preds.length,
+      s"need 1 <= rounds=$rounds <= ${preds.length} predicates")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val mem = preds.map { case (name, e) =>
+      labeled.select(lit(name).as("pred"), col(dpCol).cast("int").as("dp"),
+        col(recCol).cast("long").as("rec"),
+        col(truthCol).cast("long").as("truth"), e.cast("string").as("key"))
+        .where(col("key").isNotNull && col("key") =!= "")
+    }.reduce(_ unionAll _)
+    val a = mem.where(col("dp") === 0).select(col("pred"), col("key"),
+      col("rec").as("rec0"), col("truth").as("t0"))
+    val b = mem.where(col("dp") === 1).select(col("pred"), col("key"),
+      col("rec").as("rec1"), col("truth").as("t1"))
+    val pairs = graft.dedup.Dedup.persistLatestPublic("blocking_scheme",
+      a.join(b, Seq("pred", "key"))
+        .select(col("pred"), col("rec0"), col("rec1"),
+          (col("t0") === col("t1")).as("istrue"))
+        .dropDuplicates("pred", "rec0", "rec1"))
+    val candCounts = pairs.groupBy("pred")
+      .agg(count(lit(1)).as("cand_pairs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truePairs = pairs.where(col("istrue")).select("pred", "rec0", "rec1")
+    var covered = spark.emptyDataset[(Long, Long)].toDF("rec0", "rec1")
+    var selected = List.empty[String]
+    var cum = 0L
+    val out = (1 to rounds).map { r =>
+      val remaining = preds.map(_._1).filterNot(selected.contains)
+      val gains = truePairs
+        .where(col("pred").isin(remaining: _*))
+        .join(covered, Seq("rec0", "rec1"), "left_anti")
+        .groupBy("pred").agg(count(lit(1)).as("n")).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      val (win, gain) = remaining
+        .map(p => p -> gains.getOrElse(p, 0L))
+        .minBy { case (p, n) => (-n, p) }
+      covered = covered
+        .unionAll(truePairs.where(col("pred") === win)
+          .select("rec0", "rec1"))
+        .distinct()
+      selected ::= win
+      cum += gain
+      (r, win, gain, cum, candCounts.getOrElse(win, 0L))
+    }
+    out.toDF("round", "pred", "new_true", "cum_true", "cand_pairs")
+  }
+
   /** Differentially-private block-size release — the geometric mechanism
     * (Ghosh–Roughgarden–Sundararajan, STOC 2009: two-sided geometric
     * noise is the universally optimal ε-DP mechanism for counting

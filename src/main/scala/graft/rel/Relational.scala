@@ -316,6 +316,55 @@ object Relational {
     }.toDF("k", "v", "before")
   }
 
+  /** 2-D Pareto skyline (Börzsönyi/Kossmann/Stocker, ICDE 2001 "The
+    * Skyline Operator"): the rows not dominated under (maximize
+    * `maxCol`, minimize `minCol`) — b dominates a iff b.x ≥ a.x,
+    * b.y ≤ a.y, and at least one is strict.
+    *
+    * In 2-D the skyline needs NO quadratic dominance join: collapse to
+    * one (x, min y) row per distinct x, order descending by x, and keep
+    * a group iff its y is strictly below the running min over all
+    * strictly-larger x. The running min uses the same two-phase shape as
+    * [[prefixSum]] (range shuffle + per-partition mins + a
+    * numPartitions-sized driver prefix + one mapPartitions pass), so no
+    * single-partition window — skylines at any scale. Input rows join
+    * back on (x, y == surviving group min): exact ties on BOTH
+    * objectives all survive (no strict part in the dominance).
+    *
+    * Objectives are compared as longs (exact; callers pre-scale
+    * fixed-point doubles). Cost: one hash agg + one range shuffle + a
+    * P-sized collect + one join against the (small) skyline frame. */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.groupBy(col(maxCol).cast("long").as("_sky_x"))
+      .agg(min(col(minCol).cast("long")).as("_sky_y"))
+    val ranged = graft.dedup.Dedup.persistLatestPublic("skyline2d",
+      g.repartitionByRange(col("_sky_x").desc)
+        .sortWithinPartitions(col("_sky_x").desc))
+    val partMins = ranged
+      .select(spark_partition_id().as("pid"), col("_sky_y"))
+      .groupBy("pid").agg(min("_sky_y").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (partMins.isEmpty) 0 else partMins.keys.max + 1
+    val pre = new Array[Long](nParts + 1)
+    pre(0) = Long.MaxValue
+    (0 until nParts).foreach(p =>
+      pre(p + 1) = math.min(pre(p), partMins.getOrElse(p, Long.MaxValue)))
+    val bc = spark.sparkContext.broadcast(pre)
+    val sky = ranged.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = bc.value(pid) // min y over all strictly-larger-x groups
+      it.flatMap { case (x, y) =>
+        if (y < acc) { acc = y; Iterator.single((x, y)) }
+        else Iterator.empty
+      }
+    }.toDF("_sky_x", "_sky_y")
+    df.join(sky, col(maxCol).cast("long") === col("_sky_x") &&
+        col(minCol).cast("long") === col("_sky_y"))
+      .drop("_sky_x", "_sky_y")
+  }
+
   /** Semi join with a Bloom runtime prefilter — the 100-TB shape for
     * "keep the fact rows whose key appears in a (much smaller) key set"
     * when the key set is too big for a broadcast HASH join but its BLOOM

@@ -5,6 +5,39 @@ import graft.rel.Relational
 
 class RelationalSpec extends SparkSpec {
 
+  test("skyline2d == brute-force dominance; ties on both objectives survive") {
+    import spark.implicits._
+    // deterministic pseudo-random points with deliberate x-ties and
+    // exact (x, y) duplicates; 40 distinct x values force several range
+    // partitions' worth of groups through the two-phase running min
+    val pts = (0 until 400).map { i =>
+      val x = (i * 2654435761L) % 40
+      val y = (i * 40503L) % 97
+      (i.toLong, x, y)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val got = Relational.skyline2d(df, "x", "y")
+      .select($"id".as[Long]).collect().toSet
+    val want = pts.filter { case (_, xa, ya) =>
+      !pts.exists { case (_, xb, yb) =>
+        xb >= xa && yb <= ya && (xb > xa || yb < ya)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // all survivors with equal (x, y) co-survive (no strict dominance)
+    val byXy = pts.filter(p => want.contains(p._1)).groupBy(p => (p._2, p._3))
+    byXy.foreach { case (_, g) => assert(g.forall(p => got.contains(p._1))) }
+    // strictly monotone staircase: under (max x, min y), a larger-x
+    // skyline point must pay strictly MORE y, else it would dominate
+    val sky = pts.filter(p => got.contains(p._1)).map(p => (p._2, p._3))
+      .distinct.sortBy(_._1)
+    sky.sliding(2).foreach {
+      case Seq((x0, y0), (x1, y1)) => assert(x0 < x1 && y0 < y1)
+      case _ => ()
+    }
+  }
+
   test("hilbertAssign == textbook xy2d; bijective; unit-step walk") {
     import spark.implicits._
     // full 256x256 grid: quantization is the identity (min=0, max=255)

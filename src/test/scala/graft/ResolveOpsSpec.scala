@@ -236,6 +236,34 @@ class ResolveOpsSpec extends SparkSpec {
     assert(r(1).getAs[Long]("min_block_size") == 2L)
   }
 
+  test("greedyBlockingScheme: marginal-coverage greedy with name tie-break") {
+    // truth: rec n (dp0) matches rec 100+n (dp1), n = 1..4
+    // p_a blocks {1,2} x {101,102}  -> true {1-101, 2-102}, 2 false
+    // p_b blocks {2,3} x {102,103}  -> true {2-102, 3-103}
+    // p_c blocks {3,4} x {103,104}  -> true {3-103, 4-104}
+    // round 1: three-way tie at 2 -> p_a by name; round 2: p_c adds 2
+    // (p_b only 1); round 3: p_b adds 0 (saturated) but still emits
+    val rows = Seq(
+      (0, 1L, 1L, "x", "", ""), (0, 2L, 2L, "x", "y", ""),
+      (0, 3L, 3L, "", "y", "z"), (0, 4L, 4L, "", "", "z"),
+      (0, 5L, 9L, "", "", ""), // empty keys everywhere: no memberships
+      (1, 101L, 1L, "x", "", ""), (1, 102L, 2L, "x", "y", ""),
+      (1, 103L, 3L, "", "y", "z"), (1, 104L, 4L, "", "", "z"))
+      .toDF("dp", "rec", "truth", "ka", "kb", "kc")
+    val got = Blocking.greedyBlockingScheme(rows, "dp", "rec", "truth",
+        Seq("p_a" -> col("ka"), "p_b" -> col("kb"), "p_c" -> col("kc")),
+        rounds = 3)
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pred"),
+        r.getAs[Long]("new_true"), r.getAs[Long]("cum_true"),
+        r.getAs[Long]("cand_pairs")))
+    assert(got.toSeq == Seq(
+      (1, "p_a", 2L, 2L, 4L),
+      (2, "p_c", 2L, 4L, 4L),
+      (3, "p_b", 0L, 4L, 4L)))
+  }
+
   test("dpBlockSizes: geometric noise == md5 trailing-ones recompute, clamped") {
     // many keys so both noise signs appear and the clamp fires at n=1
     val blocked = (0 until 400).map { i =>
