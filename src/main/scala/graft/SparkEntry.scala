@@ -83,6 +83,24 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id").as("doc"),
         explode(flipUdf(col("doc_id").cast("long"))).as("pos"))
     }),
+    // attacker-side state for q_clk_attack: which shingles appear in
+    // which documents (df replayed by the oracle) and which k positions
+    // each shingle sets (the hash state the attack tries to recover;
+    // the hashing itself is ClkEncoderSpec-gated)
+    "shingle_doc" -> ((s, dir) => {
+      val shUdf = udf((t: String) =>
+        graft.ingest.ClkEncoder.shingles(if (t == null) "" else t).distinct)
+      docs(s, dir).select(col("doc_id").as("doc"),
+        explode(shUdf(col("text"))).as("sh"))
+    }),
+    "shingle_pos" -> ((s, dir) => {
+      val shUdf = udf((t: String) =>
+        graft.ingest.ClkEncoder.shingles(if (t == null) "" else t).distinct)
+      val posUdf = udf((sh: String) =>
+        graft.ingest.ClkEncoder.shinglePositions(sh))
+      docs(s, dir).select(explode(shUdf(col("text"))).as("sh")).distinct()
+        .select(col("sh"), explode(posUdf(col("sh"))).as("pos"))
+    }),
     // full anchor x pool pair-hash table for q_neg_sample: the oracle
     // recomputes GROUPS from documents and replays exclusion + ranking
     // itself; only the xxhash64 values come from this dump (the
@@ -730,6 +748,69 @@ object SparkEntry {
         .select(col("doc"), lower(hex(col("clk"))).as("fold_hex"),
           graft.expr.popcount(col("clk")).as("popcount"))
         .orderBy(col("doc"))
+    }),
+    // CLK bit-frequency disclosure audit: per bit position, how many
+    // records set it raw vs after the BLIP mask — the non-uniformity an
+    // attacker exploits, and the flattening the hardening buys. Plan:
+    // two explode+count aggs left-joined onto the full position range
+    "q_bit_freq" -> ((s, dir) => {
+      val posUdf = udf((t: String) =>
+        graft.ingest.ClkEncoder.positionsDistinct(if (t == null) "" else t))
+      val flipUdf = udf((id: Long) => graft.ingest.ClkEncoder.blipFlips(id))
+      val d = docs(s, dir)
+      val raw = d.select(col("doc_id").as("doc"),
+        explode(posUdf(col("text"))).as("pos"))
+      val flips = d.select(col("doc_id").as("doc"),
+        explode(flipUdf(col("doc_id").cast("long"))).as("pos"))
+      // hardened bit = XOR = symmetric difference of the two position sets
+      val blip = raw.unionAll(flips).groupBy("doc", "pos")
+        .agg(count(lit(1)).as("c")).where(col("c") === 1)
+      val nRaw = raw.groupBy("pos").agg(count(lit(1)).as("n_raw"))
+      val nBlip = blip.groupBy("pos").agg(count(lit(1)).as("n_blip"))
+      s.range(1024).select(col("id").cast("int").as("pos"))
+        .join(nRaw, Seq("pos"), "left").join(nBlip, Seq("pos"), "left")
+        .select(col("pos"), coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+          coalesce(col("n_blip"), lit(0L)).as("n_blip"))
+        .orderBy(col("pos"))
+    }),
+    // frequency-alignment cryptanalysis audit (the simplified rank-
+    // alignment variant of Christen/Ranbaduge/Schnell's Bloom-filter
+    // attacks): align the i-th most frequent bit position with the i-th
+    // most frequent shingle and test whether that position is really one
+    // of the shingle's k hash positions — hit rate = how much structure
+    // the raw (unhardened) CLKs leak. Top-k frames are
+    // TakeOrderedAndProject (distributed); the rank window runs on 50
+    // rows, never the corpus
+    "q_clk_attack" -> ((s, dir) => {
+      val shUdf = udf((t: String) =>
+        graft.ingest.ClkEncoder.shingles(if (t == null) "" else t).distinct)
+      val posUdf = udf((t: String) =>
+        graft.ingest.ClkEncoder.positionsDistinct(if (t == null) "" else t))
+      val mapUdf = udf((sh: String) =>
+        graft.ingest.ClkEncoder.shinglePositions(sh))
+      val d = docs(s, dir)
+      val byRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("k"))
+      def top50(df: DataFrame) = df
+        .orderBy(col("n").desc, col("k")).limit(50)
+        .select(row_number().over(byRank).as("rank"), col("k"), col("n"))
+      val st = top50(d.select(col("doc_id").as("doc"),
+          explode(shUdf(col("text"))).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")))
+        .select(col("rank"), col("k").as("shingle"), col("n").as("df"))
+      val pt = top50(d.select(col("doc_id").as("doc"),
+          explode(posUdf(col("text"))).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")))
+        .select(col("rank"), col("k").as("pos"), col("n").as("n_set"))
+      val mapping = st.select(col("shingle").as("msh")).distinct()
+        .select(col("msh"), explode(mapUdf(col("msh"))).as("mpos"))
+      st.join(pt, "rank")
+        .join(mapping,
+          col("msh") === col("shingle") && col("mpos") === col("pos"),
+          "left")
+        .select(col("rank"), col("shingle"), col("df"), col("pos"),
+          col("n_set"), col("mpos").isNotNull.as("hit"))
+        .orderBy(col("rank"))
     }),
     // A4 guardrail driven end-to-end: the real enforceScoredPairsCap is
     // invoked with a cap below the fixture's edge count (must refuse,
@@ -4870,6 +4951,43 @@ object SparkEntry {
          pc AS (SELECT doc, count(*) AS n FROM f GROUP BY doc)
          SELECT h.doc, h.fold_hex, CAST(COALESCE(pc.n, 0) AS INT) AS popcount
          FROM h LEFT JOIN pc ON h.doc = pc.doc""",
+    // bit-frequency audit replay: raw counts off the positions dump,
+    // BLIP counts via the symmetric-difference fold, full 1024 range
+    "q_bit_freq" ->
+      s"""WITH raw AS (SELECT doc, pos
+                       FROM '$OracleAuxDir/clk_positions/*.parquet'),
+         f AS (SELECT doc, pos FROM '$OracleAuxDir/blip_flips/*.parquet'),
+         x AS (SELECT doc, pos FROM
+                 (SELECT doc, pos FROM raw UNION ALL SELECT doc, pos FROM f) u
+               GROUP BY doc, pos HAVING count(*) = 1),
+         nr AS (SELECT pos, count(*) AS n FROM raw GROUP BY pos),
+         nb AS (SELECT pos, count(*) AS n FROM x GROUP BY pos),
+         g AS (SELECT CAST(unnest(range(0, 1024)) AS INT) AS pos)
+         SELECT g.pos, CAST(COALESCE(nr.n, 0) AS BIGINT) AS n_raw,
+                CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_blip
+         FROM g LEFT JOIN nr ON nr.pos = g.pos
+                LEFT JOIN nb ON nb.pos = g.pos""",
+    // rank-alignment attack replay: both frequency rankings off the
+    // dumps, deterministic (count DESC, key ASC) top-50, hit = the
+    // aligned position is among the shingle's dumped hash positions
+    "q_clk_attack" ->
+      s"""WITH sf AS (SELECT sh, CAST(count(*) AS BIGINT) AS df
+                      FROM '$OracleAuxDir/shingle_doc/*.parquet' GROUP BY sh),
+         st AS (SELECT CAST(row_number() OVER (ORDER BY df DESC, sh) AS INT)
+                         AS rank,
+                       sh AS shingle, df
+                FROM sf ORDER BY df DESC, sh LIMIT 50),
+         pf AS (SELECT pos, CAST(count(*) AS BIGINT) AS n_set
+                FROM '$OracleAuxDir/clk_positions/*.parquet' GROUP BY pos),
+         pt AS (SELECT CAST(row_number() OVER (ORDER BY n_set DESC, pos)
+                         AS INT) AS rank,
+                       pos, n_set
+                FROM pf ORDER BY n_set DESC, pos LIMIT 50),
+         mp AS (SELECT sh, pos FROM '$OracleAuxDir/shingle_pos/*.parquet')
+         SELECT st.rank, st.shingle, st.df, pt.pos, pt.n_set,
+                (mp.pos IS NOT NULL) AS hit
+         FROM st JOIN pt USING (rank)
+         LEFT JOIN mp ON mp.sh = st.shingle AND mp.pos = pt.pos""",
     // popcounts of the dp=0 binary upload recomputed word-by-word
     "q_popcount" ->
       """SELECT entity_id,

@@ -83,6 +83,18 @@ object ClkEncoder {
     set.toArray
   }
 
+  /** The k bit positions one shingle sets (the per-shingle view of
+    * [[encode]]'s double hashing) — the attacker-side primitive of
+    * frequency-alignment cryptanalysis (a shingle's positions are what
+    * the attack tries to recover from bit frequencies). */
+  def shinglePositions(s: String, bits: Int = DefaultBits,
+      k: Int = DefaultK, seed: Int = DefaultSeed): Array[Int] = {
+    val h1 = MurmurHash3.stringHash(s, seed)
+    val h2 = MurmurHash3.stringHash(s, seed ^ 0x9e3779b9) | 1
+    Array.tabulate(k)(i =>
+      java.lang.Integer.remainderUnsigned(h1 + i * h2, bits)).distinct
+  }
+
   /** BLIP-style deterministic hardening flip mask (Alaggan et al. BLIP /
     * Schnell's Bloom-filter hardening family): bit b of record `id` flips
     * iff a keyed mix of (id, b, seed) lands in a 1-in-`rate` residue class.

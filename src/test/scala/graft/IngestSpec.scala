@@ -89,6 +89,18 @@ class ClkEncoderSpec extends org.scalatest.funsuite.AnyFunSuite {
       ((clk(b >>> 3) ^ hardened(b >>> 3)) & (1 << (b & 7))) != 0)
     assert(hd == f1.length)
   }
+  test("shinglePositions: union over a text's shingles == positionsDistinct") {
+    for (t <- Seq("jane doe 42 acacia avenue springfield",
+        "zefir quorl 977 mulberry lane gotham", "a", "x y z 1 2 3")) {
+      val fromShingles = ClkEncoder.shingles(t).distinct
+        .flatMap(s => ClkEncoder.shinglePositions(s)).distinct.sorted.toSeq
+      assert(fromShingles == ClkEncoder.positionsDistinct(t).toSeq,
+        s"per-shingle positions disagree for '$t'")
+      // each shingle sets at most k distinct positions
+      ClkEncoder.shingles(t).foreach(s =>
+        assert(ClkEncoder.shinglePositions(s).length <= ClkEncoder.DefaultK))
+    }
+  }
   test("foldXor: bit q of fold == parity of positions ≡ q (mod 512)") {
     for (t <- Seq("jane doe 42 acacia avenue springfield",
         "zefir quorl 977 mulberry lane gotham", "a", "", "x y z 1 2 3")) {
