@@ -812,6 +812,47 @@ object SparkEntry {
           col("n_set"), col("mpos").isNotNull.as("hit"))
         .orderBy(col("rank"))
     }),
+    // the same rank-alignment attack against XOR-FOLDED CLKs: folded
+    // bit = parity of the pos%512 class per record, attacker aligns
+    // folded-position frequencies and wins iff the aligned class
+    // contains one of the shingle's (mod-512) hash positions — the
+    // hit-rate delta vs q_clk_attack is the hardening's measured value
+    "q_clk_attack_fold" -> ((s, dir) => {
+      val shUdf = udf((t: String) =>
+        graft.ingest.ClkEncoder.shingles(if (t == null) "" else t).distinct)
+      val posUdf = udf((t: String) =>
+        graft.ingest.ClkEncoder.positionsDistinct(if (t == null) "" else t))
+      val mapUdf = udf((sh: String) =>
+        graft.ingest.ClkEncoder.shinglePositions(sh).map(_ % 512).distinct)
+      val d = docs(s, dir)
+      val byRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("k"))
+      def top50(df: DataFrame) = df
+        .orderBy(col("n").desc, col("k")).limit(50)
+        .select(row_number().over(byRank).as("rank"), col("k"), col("n"))
+      val st = top50(d.select(col("doc_id").as("doc"),
+          explode(shUdf(col("text"))).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")))
+        .select(col("rank"), col("k").as("shingle"), col("n").as("df"))
+      // folded bit set iff the record's pos%512 class has odd multiplicity
+      val foldedBits = d.select(col("doc_id").as("doc"),
+          explode(posUdf(col("text"))).as("p"))
+        .select(col("doc"), (col("p") % 512).as("q"))
+        .groupBy("doc", "q").agg(count(lit(1)).as("c"))
+        .where(col("c") % 2 === 1)
+      val pt = top50(foldedBits.select(col("doc"), col("q").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")))
+        .select(col("rank"), col("k").as("pos"), col("n").as("n_set"))
+      val mapping = st.select(col("shingle").as("msh")).distinct()
+        .select(col("msh"), explode(mapUdf(col("msh"))).as("mpos"))
+      st.join(pt, "rank")
+        .join(mapping,
+          col("msh") === col("shingle") && col("mpos") === col("pos"),
+          "left")
+        .select(col("rank"), col("shingle"), col("df"), col("pos"),
+          col("n_set"), col("mpos").isNotNull.as("hit"))
+        .orderBy(col("rank"))
+    }),
     // A4 guardrail driven end-to-end: the real enforceScoredPairsCap is
     // invoked with a cap below the fixture's edge count (must refuse,
     // reference comparing.py:363-372 / settings.py:111-112) and a cap
@@ -4984,6 +5025,30 @@ object SparkEntry {
                        pos, n_set
                 FROM pf ORDER BY n_set DESC, pos LIMIT 50),
          mp AS (SELECT sh, pos FROM '$OracleAuxDir/shingle_pos/*.parquet')
+         SELECT st.rank, st.shingle, st.df, pt.pos, pt.n_set,
+                (mp.pos IS NOT NULL) AS hit
+         FROM st JOIN pt USING (rank)
+         LEFT JOIN mp ON mp.sh = st.shingle AND mp.pos = pt.pos""",
+    // folded-attack replay: per-record odd-parity pos%512 classes, same
+    // deterministic rankings, hit vs the shingle's mod-512 positions
+    "q_clk_attack_fold" ->
+      s"""WITH sf AS (SELECT sh, CAST(count(*) AS BIGINT) AS df
+                      FROM '$OracleAuxDir/shingle_doc/*.parquet' GROUP BY sh),
+         st AS (SELECT CAST(row_number() OVER (ORDER BY df DESC, sh) AS INT)
+                         AS rank,
+                       sh AS shingle, df
+                FROM sf ORDER BY df DESC, sh LIMIT 50),
+         fb AS (SELECT doc, pos % 512 AS q
+                FROM '$OracleAuxDir/clk_positions/*.parquet'
+                GROUP BY doc, pos % 512 HAVING count(*) % 2 = 1),
+         pf AS (SELECT q AS pos, CAST(count(*) AS BIGINT) AS n_set
+                FROM fb GROUP BY q),
+         pt AS (SELECT CAST(row_number() OVER (ORDER BY n_set DESC, pos)
+                         AS INT) AS rank,
+                       pos, n_set
+                FROM pf ORDER BY n_set DESC, pos LIMIT 50),
+         mp AS (SELECT DISTINCT sh, pos % 512 AS pos
+                FROM '$OracleAuxDir/shingle_pos/*.parquet')
          SELECT st.rank, st.shingle, st.df, pt.pos, pt.n_set,
                 (mp.pos IS NOT NULL) AS hit
          FROM st JOIN pt USING (rank)
