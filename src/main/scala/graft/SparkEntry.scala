@@ -2823,6 +2823,21 @@ object SparkEntry {
     "q_block_kanon" -> ((s, dir) =>
       graft.ingest.Blocking.kAnonymityStats(docsBlocked(s, dir), k = 5)
         .orderBy(col("dp"))),
+    // truth discovery / data fusion (TruthFinder family, integer fixed
+    // point): sources = doc_id%5 shards, objects = 3-token dup keys,
+    // conflicting claims = the 4th token; 2 trust-iteration rounds, then
+    // the per-object winner — what survivorship should pick when merged
+    // records disagree and sources differ in reliability
+    "q_truth_discovery" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val claims = docs(s, dir).select(
+        (col("doc_id") % 5).as("src"),
+        concat_ws(" ", slice(toks, 1, 3)).as("obj"),
+        element_at(toks, 4).as("val"))
+        .where(col("val").isNotNull)
+      graft.cluster.TruthDiscovery.resolve(claims, "src", "obj", "val")
+        .orderBy(col("obj"))
+    }),
     // DP block-size release (geometric mechanism, Ghosh et al. 2009):
     // two-sided-geometric noise at eps=ln2 from the keyed md5 stream,
     // trailing-ones windows — integer-exact, clamped at 0
@@ -4763,6 +4778,39 @@ object SparkEntry {
                   AS memberships_below_k,
                 min(n) AS min_block_size, 5 AS k
          FROM s GROUP BY dp""",
+    // truth-discovery replay: both trust-iteration rounds as chained
+    // CTEs (HUGEINT sums make the widened normalize multiply exact),
+    // winner per object via row_number (conf DESC, val ASC)
+    "q_truth_discovery" ->
+      """WITH c AS (SELECT DISTINCT doc_id % 5 AS src,
+                array_to_string(list_slice(str_split(text, ' '), 1, 3), ' ')
+                  AS obj,
+                str_split(text, ' ')[4] AS val
+              FROM documents
+              WHERE str_split(text, ' ')[4] IS NOT NULL),
+         t0 AS (SELECT DISTINCT src, 500000 AS t FROM c),
+         cf1 AS (SELECT obj, val, sum(t) AS conf, count(*) AS n_votes
+                 FROM c JOIN t0 USING (src) GROUP BY obj, val),
+         to1 AS (SELECT obj, sum(conf) AS tot FROM cf1 GROUP BY obj),
+         cn1 AS (SELECT cf1.obj, val, (conf * 1000000) // tot AS conf,
+                        n_votes
+                 FROM cf1 JOIN to1 USING (obj)),
+         t1 AS (SELECT src, sum(cn1.conf) // count(*) AS t
+                FROM c JOIN cn1 ON c.obj = cn1.obj AND c.val = cn1.val
+                GROUP BY src),
+         cf2 AS (SELECT obj, val, sum(t) AS conf, count(*) AS n_votes
+                 FROM c JOIN t1 USING (src) GROUP BY obj, val),
+         to2 AS (SELECT obj, sum(conf) AS tot FROM cf2 GROUP BY obj),
+         cn2 AS (SELECT cf2.obj, val, (conf * 1000000) // tot AS conf,
+                        n_votes
+                 FROM cf2 JOIN to2 USING (obj)),
+         w AS (SELECT obj, val, conf, n_votes,
+                      row_number() OVER (PARTITION BY obj
+                        ORDER BY conf DESC, val) AS rn
+               FROM cn2)
+         SELECT obj, val, CAST(conf AS BIGINT) AS conf,
+                CAST(n_votes AS BIGINT) AS n_votes
+         FROM w WHERE rn = 1""",
     // DP release replay: same md5("24301:dp:block_key") stream, two
     // 32-bit hex windows -> trailing-ones geometric draws via the exact
     // low-j-bits-all-ones mask sum, noise = g1 - g2, clamp at 0

@@ -236,6 +236,48 @@ class ResolveOpsSpec extends SparkSpec {
     assert(r(1).getAs[Long]("min_block_size") == 2L)
   }
 
+  test("TruthDiscovery.resolve == local integer fixed-point reimplementation") {
+    // 5 sources, 3 objects; o1/o2 make src 0,1 reliable and 3 sloppy,
+    // o3 is a pure trust-weighted tie broken by val; one duplicate claim
+    val claims = Seq(
+      (0L, "o1", "a"), (1L, "o1", "a"), (2L, "o1", "a"),
+      (3L, "o1", "b"), (4L, "o1", "b"),
+      (0L, "o2", "x"), (1L, "o2", "x"), (4L, "o2", "x"), (3L, "o2", "y"),
+      (0L, "o3", "m"), (1L, "o3", "k"),
+      (0L, "o1", "a")) // duplicate row must collapse
+    val got = graft.cluster.TruthDiscovery.resolve(
+        claims.toDF("src", "obj", "val"), "src", "obj", "val")
+      .collect()
+      .map(r => (r.getAs[String]("obj"), r.getAs[String]("val"),
+        r.getAs[Long]("conf"), r.getAs[Long]("n_votes"))).toSet
+
+    def local(rounds: Int, scale: Long) = {
+      val c = claims.distinct
+      var trust = c.map(_._1).distinct.map(_ -> scale / 2).toMap
+      var confN = Map.empty[(String, String), (Long, Long)]
+      for (_ <- 1 to rounds) {
+        val conf = c.groupBy(x => (x._2, x._3)).map { case (k, cs) =>
+          k -> (cs.map(x => trust(x._1)).sum, cs.size.toLong) }
+        val tot = conf.groupBy(_._1._1)
+          .map { case (o, m) => o -> m.values.map(_._1).sum }
+        confN = conf.map { case ((o, v), (cf, n)) =>
+          (o, v) -> ((BigInt(cf) * scale / tot(o)).toLong, n) }
+        trust = c.groupBy(_._1).map { case (s, cs) =>
+          s -> cs.map(x => confN((x._2, x._3))._1).sum / cs.size }
+      }
+      confN.groupBy(_._1._1).map { case (o, m) =>
+        val ((_, v), (cf, n)) = m.minBy { case ((_, v), (cf, _)) => (-cf, v) }
+        (o, v, cf, n)
+      }.toSet
+    }
+    val want = local(2, 1000000L)
+    assert(got == want, s"got=$got want=$want")
+    // the reliable majority won o1/o2; the o3 tie broke to the smaller val
+    assert(got.exists(r => r._1 == "o1" && r._2 == "a" && r._4 == 3L))
+    assert(got.exists(r => r._1 == "o2" && r._2 == "x"))
+    assert(got.exists(r => r._1 == "o3" && r._2 == "k"))
+  }
+
   test("greedyBlockingScheme: marginal-coverage greedy with name tie-break") {
     // truth: rec n (dp0) matches rec 100+n (dp1), n = 1..4
     // p_a blocks {1,2} x {101,102}  -> true {1-101, 2-102}, 2 false
