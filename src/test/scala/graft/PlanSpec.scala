@@ -319,6 +319,19 @@ class PlanSpec extends SparkSpec {
     assert(dataExchanges == 0, s"unexpected data shuffle:\n$plan")
   }
 
+  test("skyline2d plans no single-partition exchange (two-phase running min)") {
+    val df = spark.read.parquet(s"$sfSmall/lineitem.parquet")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val plan = executed(graft.rel.Relational.skyline2d(df, "x", "y"))
+    // the classic accidental serialization would show up as an Exchange
+    // SinglePartition feeding a Window; the two-phase form must have
+    // neither over the data path
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition shuffle in skyline plan:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into skyline:\n$plan")
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
   test("applyChanges: changelog agg is partial (map-side combine) and join is keyed") {
     import spark.implicits._
     val snap = (0L until 100L).map(i => (i, i * 2)).toDF("k", "v")
