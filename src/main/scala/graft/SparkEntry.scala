@@ -853,6 +853,63 @@ object SparkEntry {
           col("n_set"), col("mpos").isNotNull.as("hit"))
         .orderBy(col("rank"))
     }),
+    // fold privacy/utility capstone: edge-level precision/recall/F1 vs
+    // ground truth for RAW vs FOLDED CLK scoring at t=0.7/0.75/0.8 —
+    // what the hardening costs the BASELINE F1 gate itself. Exhaustive
+    // 1000x1000 eval harness by design (the deliberate crossJoin is the
+    // evaluation, mirroring the er_febrl4_edges oracle's own shape);
+    // the production path stays the blocked pipeline
+    "q_fold_eval" -> ((s, _) => {
+      val clks = s.read.parquet(s"$FixturesDir/febrl4_clks.parquet")
+        .select(col("dp"), col("entity_id"), col("pc"), col("words"),
+          zip_with(slice(col("words"), 1, 8), slice(col("words"), 9, 8),
+            (x, y) => x.bitwiseXOR(y)).as("fw"))
+        .withColumn("fpc", aggregate(col("fw"), lit(0L),
+          (acc, w) => acc + bit_count(w).cast("long")))
+      val a = clks.where(col("dp") === 0).select(
+        col("entity_id").as("rec0"), col("pc").as("pc0"),
+        col("words").as("w0"), col("fw").as("fw0"), col("fpc").as("fpc0"))
+      val b = clks.where(col("dp") === 1).select(
+        col("entity_id").as("rec1"), col("pc").as("pc1"),
+        col("words").as("w1"), col("fw").as("fw1"), col("fpc").as("fpc1"))
+      def andPc(x: String, y: String) = aggregate(
+        zip_with(col(x), col(y),
+          (u, v) => bit_count(u.bitwiseAND(v)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      val truth = s.read.option("header", "true")
+        .csv(s"$FixturesDir/febrl4_truth.csv")
+        .select(col("row_a").cast("long").as("rec0"),
+          col("row_b").cast("long").as("rec1"), lit(1L).as("ist"))
+      val scored = a.crossJoin(b).select(col("rec0"), col("rec1"),
+          (lit(2.0) * andPc("w0", "w1") / (col("pc0") + col("pc1")))
+            .as("sraw"),
+          (lit(2.0) * andPc("fw0", "fw1") / (col("fpc0") + col("fpc1")))
+            .as("sfold"))
+        .join(truth, Seq("rec0", "rec1"), "left")
+        .withColumn("ist", coalesce(col("ist"), lit(0L)))
+      val combos = for {
+        (variant, c) <- Seq("raw" -> col("sraw"), "fold" -> col("sfold"))
+        th <- Seq(0.7, 0.75, 0.8)
+      } yield (variant, th, c)
+      val aggCols = combos.flatMap { case (v, th, c) =>
+        val k = s"${v}_${(th * 100).toInt}"
+        Seq(sum(when(c >= th, 1L).otherwise(0L)).as(s"np_$k"),
+          sum(when(c >= th, col("ist")).otherwise(0L)).as(s"tp_$k"))
+      } :+ sum(col("ist")).as("nt")
+      val one = scored.agg(aggCols.head, aggCols.tail: _*)
+      val rows = combos.map { case (v, th, _) =>
+        val k = s"${v}_${(th * 100).toInt}"
+        one.select(lit(v).as("variant"), lit(th).as("threshold"),
+          col(s"np_$k").as("n_pred"), col(s"tp_$k").as("tp"),
+          col("nt").as("n_true"))
+      }.reduce(_ unionByName _)
+      rows
+        .withColumn("precision", col("tp") / col("n_pred"))
+        .withColumn("recall", col("tp") / col("n_true"))
+        .withColumn("f1", lit(2) * col("precision") * col("recall")
+          / (col("precision") + col("recall")))
+        .orderBy(col("variant"), col("threshold"))
+    }),
     // A4 guardrail driven end-to-end: the real enforceScoredPairsCap is
     // invoked with a cap below the fixture's edge count (must refuse,
     // reference comparing.py:363-372 / settings.py:111-112) and a cap
@@ -3258,6 +3315,79 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // fold-eval replay: the same exhaustive cross join + both sims, 12
+    // conditional sums in one agg, 6 UNION ALL rows, identical double
+    // expression order for precision/recall/F1
+    "q_fold_eval" ->
+      s"""WITH c AS (SELECT dp, entity_id, pc, words,
+                  list_transform(range(1, 9),
+                    i -> xor(words[i], words[i + 8])) AS fw
+                FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         h AS (SELECT dp, entity_id, pc, words, fw,
+                      list_sum(list_transform(fw, w -> bit_count(w))) AS fpc
+               FROM c),
+         t AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                      CAST(row_b AS BIGINT) AS rec1, 1 AS ist
+               FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                 header = true)),
+         p AS (SELECT a.entity_id AS rec0, b.entity_id AS rec1,
+                 2.0 * list_sum(list_transform(range(1, 17),
+                   i -> bit_count(a.words[i] & b.words[i])))
+                   / (a.pc + b.pc) AS sraw,
+                 2.0 * list_sum(list_transform(range(1, 9),
+                   i -> bit_count(a.fw[i] & b.fw[i])))
+                   / (a.fpc + b.fpc) AS sfold
+               FROM h a JOIN h b ON a.dp = 0 AND b.dp = 1),
+         q AS (SELECT p.*, COALESCE(t.ist, 0) AS ist
+               FROM p LEFT JOIN t ON t.rec0 = p.rec0 AND t.rec1 = p.rec1),
+         g AS (SELECT
+            CAST(sum(CASE WHEN sraw >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_raw_70,
+            CAST(sum(CASE WHEN sraw >= 0.7 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_raw_70,
+            CAST(sum(CASE WHEN sraw >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_raw_75,
+            CAST(sum(CASE WHEN sraw >= 0.75 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_raw_75,
+            CAST(sum(CASE WHEN sraw >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_raw_80,
+            CAST(sum(CASE WHEN sraw >= 0.8 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_raw_80,
+            CAST(sum(CASE WHEN sfold >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_fold_70,
+            CAST(sum(CASE WHEN sfold >= 0.7 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_fold_70,
+            CAST(sum(CASE WHEN sfold >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_fold_75,
+            CAST(sum(CASE WHEN sfold >= 0.75 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_fold_75,
+            CAST(sum(CASE WHEN sfold >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_fold_80,
+            CAST(sum(CASE WHEN sfold >= 0.8 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_fold_80,
+            CAST(sum(ist) AS BIGINT) AS nt
+            FROM q),
+         r AS (
+           SELECT 'raw' AS variant, CAST(0.7 AS DOUBLE) AS threshold,
+                  np_raw_70 AS n_pred, tp_raw_70 AS tp, nt AS n_true FROM g
+           UNION ALL SELECT 'raw', CAST(0.75 AS DOUBLE),
+                  np_raw_75, tp_raw_75, nt FROM g
+           UNION ALL SELECT 'raw', CAST(0.8 AS DOUBLE),
+                  np_raw_80, tp_raw_80, nt FROM g
+           UNION ALL SELECT 'fold', CAST(0.7 AS DOUBLE),
+                  np_fold_70, tp_fold_70, nt FROM g
+           UNION ALL SELECT 'fold', CAST(0.75 AS DOUBLE),
+                  np_fold_75, tp_fold_75, nt FROM g
+           UNION ALL SELECT 'fold', CAST(0.8 AS DOUBLE),
+                  np_fold_80, tp_fold_80, nt FROM g)
+         SELECT variant, threshold, n_pred, tp, n_true,
+                CAST(tp AS DOUBLE) / n_pred AS precision,
+                CAST(tp AS DOUBLE) / n_true AS recall,
+                2 * (CAST(tp AS DOUBLE) / n_pred)
+                  * (CAST(tp AS DOUBLE) / n_true)
+                  / ((CAST(tp AS DOUBLE) / n_pred)
+                     + (CAST(tp AS DOUBLE) / n_true)) AS f1
+         FROM r""",
     // fold tradeoff replay: folded words via xor(w[i], w[i+8]), folded
     // popcounts, then the SAME double expression order as the kernel
     // (2.0 * Σ / (pc+pc)) for both widths — deltas are bit-equal doubles
