@@ -83,6 +83,17 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id").as("doc"),
         explode(flipUdf(col("doc_id").cast("long"))).as("pos"))
     }),
+    // BLIP flip masks keyed by (dp, entity_id) of the febrl4 fixture —
+    // q_blip_eval XORs them into the fixture CLKs; record key = the
+    // dp-disambiguated id (dp*1000000 + entity_id) so the two providers
+    // draw independent masks
+    "blip_flips_febrl4" -> ((s, _) => {
+      val flipUdf = udf((id: Long) => graft.ingest.ClkEncoder.blipFlips(id))
+      s.read.parquet(s"$FixturesDir/febrl4_clks.parquet")
+        .select(col("dp"), col("entity_id"),
+          explode(flipUdf(col("dp").cast("long") * 1000000L
+            + col("entity_id"))).as("pos"))
+    }),
     // attacker-side state for q_clk_attack: which shingles appear in
     // which documents (df replayed by the oracle) and which k positions
     // each shingle sets (the hash state the attack tries to recover;
@@ -909,6 +920,60 @@ object SparkEntry {
         .withColumn("f1", lit(2) * col("precision") * col("recall")
           / (col("precision") + col("recall")))
         .orderBy(col("variant"), col("threshold"))
+    }),
+    // BLIP leg of the hardening trilogy (raw/fold in q_fold_eval): P/R/F1
+    // of BLIP-hardened CLK scoring on the same exhaustive harness — the
+    // keyed flip mask XORed into the fixture words record-by-record
+    "q_blip_eval" -> ((s, _) => {
+      val flipWordsUdf = udf((id: Long) => {
+        val w = new Array[Long](16)
+        graft.ingest.ClkEncoder.blipFlips(id)
+          .foreach(p => w(p >>> 6) = w(p >>> 6) | (1L << (p & 63)))
+        w
+      })
+      val clks = s.read.parquet(s"$FixturesDir/febrl4_clks.parquet")
+        .withColumn("fwd", flipWordsUdf(col("dp").cast("long") * 1000000L
+          + col("entity_id")))
+        .select(col("dp"), col("entity_id"),
+          zip_with(col("words"), col("fwd"),
+            (x, y) => x.bitwiseXOR(y)).as("hw"))
+        .withColumn("hpc", aggregate(col("hw"), lit(0L),
+          (acc, w) => acc + bit_count(w).cast("long")))
+      val a = clks.where(col("dp") === 0).select(
+        col("entity_id").as("rec0"), col("hw").as("h0"), col("hpc").as("p0"))
+      val b = clks.where(col("dp") === 1).select(
+        col("entity_id").as("rec1"), col("hw").as("h1"), col("hpc").as("p1"))
+      val andPc = aggregate(
+        zip_with(col("h0"), col("h1"),
+          (u, v) => bit_count(u.bitwiseAND(v)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      val truth = s.read.option("header", "true")
+        .csv(s"$FixturesDir/febrl4_truth.csv")
+        .select(col("row_a").cast("long").as("rec0"),
+          col("row_b").cast("long").as("rec1"), lit(1L).as("ist"))
+      val scored = a.crossJoin(b).select(col("rec0"), col("rec1"),
+          (lit(2.0) * andPc / (col("p0") + col("p1"))).as("sblip"))
+        .join(truth, Seq("rec0", "rec1"), "left")
+        .withColumn("ist", coalesce(col("ist"), lit(0L)))
+      val ths = Seq(0.7, 0.75, 0.8)
+      val aggCols = ths.flatMap { th =>
+        val k = (th * 100).toInt
+        Seq(sum(when(col("sblip") >= th, 1L).otherwise(0L)).as(s"np_$k"),
+          sum(when(col("sblip") >= th, col("ist")).otherwise(0L))
+            .as(s"tp_$k"))
+      } :+ sum(col("ist")).as("nt")
+      val one = scored.agg(aggCols.head, aggCols.tail: _*)
+      ths.map { th =>
+        val k = (th * 100).toInt
+        one.select(lit("blip").as("variant"), lit(th).as("threshold"),
+          col(s"np_$k").as("n_pred"), col(s"tp_$k").as("tp"),
+          col("nt").as("n_true"))
+      }.reduce(_ unionByName _)
+        .withColumn("precision", col("tp") / col("n_pred"))
+        .withColumn("recall", col("tp") / col("n_true"))
+        .withColumn("f1", lit(2) * col("precision") * col("recall")
+          / (col("precision") + col("recall")))
+        .orderBy(col("threshold"))
     }),
     // A4 guardrail driven end-to-end: the real enforceScoredPairsCap is
     // invoked with a cap below the fixture's edge count (must refuse,
@@ -3315,6 +3380,75 @@ object SparkEntry {
                   a.dp AS dp0, a.entity_id AS rec0, b.dp AS dp1, b.entity_id AS rec1
            FROM c a JOIN c b ON a.dp < b.dp)
          SELECT sim, dp0, rec0, dp1, rec1 FROM p WHERE sim >= 0.8""",
+    // blip-eval replay: flip words rebuilt from the keyed-mask dump
+    // (signed-64 two's complement at bit 63 handled explicitly), XORed
+    // into the fixture words, same harness/metric expression order
+    "q_blip_eval" ->
+      s"""WITH c AS (SELECT dp, entity_id, words
+                     FROM '/root/repo/fixtures/febrl4_clks.parquet'),
+         f AS (SELECT dp, entity_id, pos
+               FROM '$OracleAuxDir/blip_flips_febrl4/*.parquet'),
+         g AS (SELECT dp, entity_id, unnest(range(0, 16)) AS i FROM c),
+         fw AS (SELECT g.dp, g.entity_id, g.i,
+                       CAST(COALESCE(sum(
+                         CASE WHEN f.pos % 64 = 63
+                              THEN -9223372036854775808
+                              ELSE (CAST(1 AS BIGINT) << (f.pos % 64)) END),
+                         0) AS BIGINT) AS v
+                FROM g LEFT JOIN f ON f.dp = g.dp
+                  AND f.entity_id = g.entity_id AND f.pos // 64 = g.i
+                GROUP BY g.dp, g.entity_id, g.i),
+         fa AS (SELECT dp, entity_id, list(v ORDER BY i) AS fwd
+                FROM fw GROUP BY dp, entity_id),
+         h AS (SELECT c.dp, c.entity_id,
+                      list_transform(range(1, 17),
+                        i -> xor(c.words[i], fa.fwd[i])) AS hw
+               FROM c JOIN fa ON fa.dp = c.dp
+                 AND fa.entity_id = c.entity_id),
+         h2 AS (SELECT dp, entity_id, hw,
+                       list_sum(list_transform(hw, w -> bit_count(w))) AS hpc
+                FROM h),
+         t AS (SELECT CAST(row_a AS BIGINT) AS rec0,
+                      CAST(row_b AS BIGINT) AS rec1, 1 AS ist
+               FROM read_csv('/root/repo/fixtures/febrl4_truth.csv',
+                 header = true)),
+         p AS (SELECT a.entity_id AS rec0, b.entity_id AS rec1,
+                 2.0 * list_sum(list_transform(range(1, 17),
+                   i -> bit_count(a.hw[i] & b.hw[i])))
+                   / (a.hpc + b.hpc) AS sblip
+               FROM h2 a JOIN h2 b ON a.dp = 0 AND b.dp = 1),
+         q AS (SELECT p.*, COALESCE(t.ist, 0) AS ist
+               FROM p LEFT JOIN t ON t.rec0 = p.rec0 AND t.rec1 = p.rec1),
+         gg AS (SELECT
+            CAST(sum(CASE WHEN sblip >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_70,
+            CAST(sum(CASE WHEN sblip >= 0.7 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_70,
+            CAST(sum(CASE WHEN sblip >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_75,
+            CAST(sum(CASE WHEN sblip >= 0.75 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_75,
+            CAST(sum(CASE WHEN sblip >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+              AS np_80,
+            CAST(sum(CASE WHEN sblip >= 0.8 THEN ist ELSE 0 END) AS BIGINT)
+              AS tp_80,
+            CAST(sum(ist) AS BIGINT) AS nt
+            FROM q),
+         r AS (
+           SELECT 'blip' AS variant, CAST(0.7 AS DOUBLE) AS threshold,
+                  np_70 AS n_pred, tp_70 AS tp, nt AS n_true FROM gg
+           UNION ALL SELECT 'blip', CAST(0.75 AS DOUBLE),
+                  np_75, tp_75, nt FROM gg
+           UNION ALL SELECT 'blip', CAST(0.8 AS DOUBLE),
+                  np_80, tp_80, nt FROM gg)
+         SELECT variant, threshold, n_pred, tp, n_true,
+                CAST(tp AS DOUBLE) / n_pred AS precision,
+                CAST(tp AS DOUBLE) / n_true AS recall,
+                2 * (CAST(tp AS DOUBLE) / n_pred)
+                  * (CAST(tp AS DOUBLE) / n_true)
+                  / ((CAST(tp AS DOUBLE) / n_pred)
+                     + (CAST(tp AS DOUBLE) / n_true)) AS f1
+         FROM r""",
     // fold-eval replay: the same exhaustive cross join + both sims, 12
     // conditional sums in one agg, 6 UNION ALL rows, identical double
     // expression order for precision/recall/F1
