@@ -2598,6 +2598,13 @@ object SparkEntry {
       graft.ann.Ann.kmeansInt(embs(s, dir), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy(col("vec_id"))),
+    // Gonzalez max-min k-center selection (k=8) over int8-quantized
+    // embeddings: the diversity-selection dual of q_kmeans_int —
+    // farthest-point sampling with integer-exact distances, lowest-id
+    // seed and ties, covering-radius sequence in the output
+    "q_kcenter" -> ((s, dir) =>
+      graft.ann.Ann.kCentersInt(embs(s, dir), "vec_id", "embedding", k = 8)
+        .orderBy(col("round"))),
     // per-language percentile-rank normalization of a quality score —
     // thresholds set on the normalized rank treat languages fairly
     // (absolute TTR distributions differ by language); percent_rank is
@@ -3341,6 +3348,44 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** q_kcenter oracle, generated: int8 quantize replay + 7 chained
+    * Gonzalez rounds (the same shape hand-written would be 70 identical
+    * lines; generation keeps round r mechanically identical to round
+    * r+1, which is the point of the replay). */
+  private def kcenterOracleSql: String = {
+    def dist(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST(($a.qv[i] - $b.qv[i]) * ($a.qv[i] - $b.qv[i]) AS BIGINT)))" +
+        " AS BIGINT)"
+    val rounds = (2 to 8).map { r =>
+      s"""c$r AS (SELECT vec_id, d FROM m${r - 1} ORDER BY d DESC, vec_id LIMIT 1),
+         v$r AS (SELECT q.vec_id, q.qv FROM q JOIN c$r USING (vec_id)),
+         m$r AS (SELECT m.vec_id, least(m.d, ${dist("q", "v")}) AS d
+                 FROM m${r - 1} m, q, v$r v WHERE q.vec_id = m.vec_id)"""
+    }.mkString(",\n")
+    val tail = (2 to 8).map(r =>
+      s"UNION ALL SELECT $r, vec_id, CAST(d AS BIGINT) FROM c$r")
+      .mkString("\n")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+       e1 AS (SELECT vec_id, e,
+                list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc0
+              FROM e0),
+       e2 AS (SELECT vec_id, e,
+                CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END AS sc
+              FROM e1),
+       q AS (SELECT vec_id,
+               list_transform(e, x -> CAST(round(x / sc) AS INT)) AS qv
+             FROM e2),
+       c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+       m1 AS (SELECT q.vec_id, ${dist("q", "c")} AS d FROM q, c1 c),
+       $rounds
+       SELECT 1 AS round, vec_id AS center_id,
+              CAST(0 AS BIGINT) AS maxmin_dist
+       FROM c1
+       $tail"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_stable_match" -> stableMatchOracleSql(8),
     "q_hilbert" -> hilbertOracleSql(),
@@ -4184,6 +4229,10 @@ object SparkEntry {
          FROM b JOIN st USING (key)
          WHERE (CAST(n AS HUGEINT) * b.v - s) * (CAST(n AS HUGEINT) * b.v - s)
                > 4 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)""",
+    // Gonzalez greedy replay: quantize CTE + 7 chained rounds, each =
+    // (argmax of running min-dist with lowest-id tiebreak) -> join the
+    // new center's vector -> fold it into the running min via least()
+    "q_kcenter" -> kcenterOracleSql,
     // full 2-iteration Lloyd replay in relational form: same int8+127
     // quantization, same integer distances, same (dist, cid) tiebreak,
     // same floored centroid division (non-negative domain), empty

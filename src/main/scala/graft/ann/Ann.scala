@@ -363,4 +363,53 @@ object Ann {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
+
+  /** Gonzalez (1985) greedy max-min k-center selection over
+    * int8-quantized vectors — the classic 2-approximation for the
+    * k-center objective, the standard pick for DIVERSE subset selection
+    * in training pipelines (annotation batches, coreset seeds,
+    * farthest-point sampling) where k-means picks density and this picks
+    * coverage.
+    *
+    * Deterministic and integer-exact: distances are squared L2 over the
+    * quantized ints (order-free Long sums), the first center is the
+    * lowest id, each round adds the point farthest from its nearest
+    * already-chosen center (ties → lowest id), and round r's selection
+    * value is the covering radius of the first r−1 centers — a
+    * non-increasing sequence (the property the spec pins).
+    *
+    * Scale shape: k passes over the corpus, each one codegen scan with
+    * the centers folded in as literal arrays + a TakeOrdered(1)
+    * reduction — no shuffle; driver state is k·dim ints (the same
+    * bounded-collect concession as [[kmeansInt]]'s centroid table). k is
+    * a small constant by construction of the use case.
+    *
+    * @return (round, center_id, maxmin_dist) — maxmin_dist of round 1
+    *         is 0 by convention. */
+  def kCentersInt(df: DataFrame, id: String, vec: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = graft.dedup.Dedup.persistLatestPublic("kcenters",
+      quantizeInt8(df, id, vec)
+        .select(col(id).cast("long").as("vid"), col("qvec")))
+    val first = q.orderBy(col("vid")).select(col("vid"), col("qvec")).head()
+    var centers = Vector((first.getLong(0), first.getSeq[Int](1).toArray, 0L))
+    while (centers.size < k) {
+      val dists = centers.map { case (_, cv, _) =>
+        aggregate(zip_with(col("qvec"), typedlit(cv.toSeq),
+          (x, y) => ((x - y) * (x - y)).cast("long")),
+          lit(0L), (a, b) => a + b)
+      }
+      val minD = dists.reduce(least(_, _))
+      val nxt = q.select(col("vid"), col("qvec"), minD.as("d"))
+        .orderBy(col("d").desc, col("vid")).limit(1).head()
+      centers = centers :+
+        ((nxt.getLong(0), nxt.getSeq[Int](1).toArray, nxt.getLong(2)))
+    }
+    centers.zipWithIndex
+      .map { case ((cid, _, d), i) => (i + 1, cid, d) }
+      .toDF("round", "center_id", "maxmin_dist")
+  }
 }

@@ -1213,6 +1213,46 @@ class DedupSpec extends SparkSpec {
 class AnnSpec extends SparkSpec {
   private lazy val embeddings = spark.read.parquet(s"$sfTiny/embeddings.parquet").cache()
 
+  test("kCentersInt == local Gonzalez greedy; covering radius non-increasing") {
+    import spark.implicits._
+    val k = 6
+    val got = Ann.kCentersInt(embeddings.limit(120), "vec_id", "embedding", k)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("center_id"),
+        r.getAs[Long]("maxmin_dist"))).toSeq
+    // local greedy over the operator's own quantization semantics
+    def q(x: Double, sc: Double) = BigDecimal(x / sc)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+    val vecs = embeddings.limit(120)
+      .select($"vec_id".as[Long], $"embedding".as[Seq[Float]]).collect()
+      .map { case (id, e) =>
+        val d = e.map(_.toDouble)
+        val sc0 = d.map(math.abs).max / 127.0
+        val sc = if (sc0 == 0) 1.0 else sc0
+        id -> d.map(x => q(x, sc)).toArray
+      }.sortBy(_._1)
+    def d2(a: Array[Int], b: Array[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    var centers = Vector((vecs.head._1, vecs.head._2, 0L))
+    while (centers.size < k) {
+      val (nid, nv, nd) = vecs
+        .map { case (id, v) => (id, v, centers.map(c => d2(v, c._2)).min) }
+        .minBy { case (id, _, dd) => (-dd, id) }
+      centers = centers :+ ((nid, nv, nd))
+    }
+    val want = centers.zipWithIndex
+      .map { case ((cid, _, d), i) => (i + 1, cid, d) }
+    assert(got == want, s"got=$got want=$want")
+    // the max-min selection values are the covering radii of growing
+    // center sets: non-increasing from round 2 on
+    val radii = got.drop(1).map(_._3)
+    assert(radii.sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    }, s"radii not non-increasing: $radii")
+    assert(got.map(_._2).distinct.size == k)
+  }
+
   test("kmeansInt: == local integer Lloyd; partition-invariant") {
     import spark.implicits._
     val got = Ann.kmeansInt(embeddings, "vec_id", "embedding", k = 8, iters = 2)
