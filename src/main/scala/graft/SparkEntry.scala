@@ -269,6 +269,28 @@ object SparkEntry {
   // memory-sink table names must be unique within a session
   private val streamQueryIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run a streaming query (start + drain) with
+    * `spark.sql.shuffle.partitions` sized for its state stores instead of
+    * the session's batch default. Stateful operators create one state
+    * store PER shuffle partition PER micro-batch; these driver streams
+    * replay a few thousand rows through up to ~30 micro-batches, so 32
+    * state partitions pay ~1000 store instantiations/commits for
+    * kilobytes of state (measured round 6: q_stream_ttl 22 s -> the
+    * store overhead, not the data). Guide §2: size partitions to the
+    * data and keep the setting parameterised — default 8 locally,
+    * SPARK_GRAFT_STREAM_PARTITIONS overrides for production (set to
+    * ~state keys / target-keys-per-task). The previous value is restored
+    * afterward so batch queries are untouched; stream results are
+    * partitioning-independent (keyed state, deterministic outputs, and
+    * every stream query here orders its sink table on read). */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
+      math.min(8, math.max(1, s.sparkContext.defaultParallelism)).toString)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Full 2x2000 febrl4 record universe labeled with the golden
     * clustering (pred) and the truth pairing (truth); records outside
     * either get unique singleton labels — B-cubed/Rand need singletons
@@ -503,8 +525,11 @@ object SparkEntry {
         .csv(s"$FixturesDir/febrl4_truth.csv")
         .select(col("row_a").cast("long").as("rec0"),
           col("row_b").cast("long").as("rec1"))
-      val edges = Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.7))
-        .toDF().select($"rec0", $"rec1", $"sim")
+      // 5 per-threshold agg branches all re-read the edge set; the
+      // upstream is the scoring kernel — persist so it runs once, not 5x
+      val edges = Dedup.persistLatestPublic("threshold_f1_edges",
+        Pipeline.edges(febrl4Blocked(s), LinkConfig(threshold = 0.7))
+          .toDF().select($"rec0", $"rec1", $"sim"))
       val nTrue = truth.count()
       val rows = Seq(0.7, 0.75, 0.8, 0.85, 0.9).map { t =>
         edges.where($"sim" >= t)
@@ -1625,7 +1650,7 @@ object SparkEntry {
       FieldMatch.selfScore(
           s.read.parquet(s"$dir/part.parquet"), "p_partkey", col("p_brand"),
           Seq(
-            FieldRule("p_name", 4L, (a, b) => levenshtein(a, b, 4) >= 0),
+            FieldRule("p_name", 4L, (a, b) => graft.expr.levenshteinBand(a, b, 4) >= 0),
             FieldRule("p_type", 3L, (a, b) => a === b),
             FieldRule("p_size", 2L, (a, b) => abs(a - b) <= 2),
             FieldRule("p_retailprice", 1L, (a, b) => abs(a - b) <= lit(5.0))),
@@ -1642,7 +1667,7 @@ object SparkEntry {
         col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
         col("p_name"), col("p_type"), col("p_size"))
       val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
-        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+        (graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 4) >= 0)
           .cast("int").as("g_name"),
         (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
@@ -1658,7 +1683,7 @@ object SparkEntry {
         col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
         col("p_name"), col("p_type"), col("p_size"))
       val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
-        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+        (graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 4) >= 0)
           .cast("int").as("g_name"),
         (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
@@ -1674,7 +1699,7 @@ object SparkEntry {
         col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
         col("p_name"), col("p_type"), col("p_size"))
       val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
-        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+        (graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 4) >= 0)
           .cast("int").as("g_name"),
         (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
@@ -1689,7 +1714,7 @@ object SparkEntry {
         col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
         col("p_name"), col("p_type"), col("p_size"))
       val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
-        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+        (graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 4) >= 0)
           .cast("int").as("g_name"),
         (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
@@ -1708,10 +1733,17 @@ object SparkEntry {
       val sampled = base
         .where(substring(md5(col("id").cast("string").cast("binary")),
           1, 1).isin("0", "1", "2", "3"))
-      val uPairs = sampled.as("a").join(sampled.as("b"),
+      // part.parquet is one small file -> a 1-task scan; the <-condition
+      // cross join streams that single partition, so ~12.5M banded
+      // Levenshteins ran on ONE core (guide §2.5 input skew). Spreading
+      // the streamed side across the cluster first and broadcasting the
+      // 5K-row build side keeps the identical pair set (estimateU's agg
+      // is order-free) at full parallelism.
+      val uPairs = sampled.repartition(s.sparkContext.defaultParallelism)
+        .as("a").join(broadcast(sampled.as("b")),
           col("a.id") < col("b.id"))
         .select(
-          (levenshtein(col("a.p_name"), col("b.p_name"), 4) >= 0)
+          (graft.expr.levenshteinBand(col("a.p_name"), col("b.p_name"), 4) >= 0)
             .cast("int").as("g_name"),
           (col("a.p_type") === col("b.p_type")).cast("int").as("g_type"),
           (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int").as("g_size"))
@@ -1719,7 +1751,7 @@ object SparkEntry {
         .collect().map(r => r.getAs[String]("field") ->
           r.getAs[Long]("u_scaled")).toMap
       val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
-        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+        (graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 4) >= 0)
           .cast("int").as("g_name"),
         (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
@@ -1739,7 +1771,7 @@ object SparkEntry {
           1, 1).isin("0", "1", "2", "3"))
       val pairs = base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
         .select(
-          (levenshtein(col("a.p_name"), col("b.p_name"), 4) >= 0)
+          (graft.expr.levenshteinBand(col("a.p_name"), col("b.p_name"), 4) >= 0)
             .cast("int").as("g_name"),
           (col("a.p_type") === col("b.p_type")).cast("int").as("g_type"),
           (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int").as("g_size"))
@@ -1810,7 +1842,7 @@ object SparkEntry {
         col("p_name"), col("p_type"), col("p_size"))
       val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
         col("id0"), col("id1"),
-        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+        (graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 4) >= 0)
           .cast("int").as("g_name"),
         (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
@@ -1868,7 +1900,7 @@ object SparkEntry {
         col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
         col("p_name"), col("p_type"), col("p_size"))
       val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
-        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+        (graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 4) >= 0)
           .cast("int").as("g_name"),
         (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"))
@@ -1887,7 +1919,7 @@ object SparkEntry {
         col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
         col("p_name"), col("p_type"), col("p_size"))
       val pairs = graft.dedup.Dedup.saltedSelfPairs(base).select(
-        (levenshtein(col("p_name0"), col("p_name1"), 4) >= 0)
+        (graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 4) >= 0)
           .cast("int").as("g_name"),
         (col("p_type0") === col("p_type1")).cast("int").as("g_type"),
         (abs(col("p_size0") - col("p_size1")) <= 2).cast("int").as("g_size"),
@@ -1905,7 +1937,7 @@ object SparkEntry {
         col("p_partkey").cast("long").as("id"), col("p_brand").as("bk"),
         col("p_name"), col("p_size"))
       val p = graft.dedup.Dedup.saltedSelfPairs(base)
-      val lv = levenshtein(col("p_name0"), col("p_name1"), 5)
+      val lv = graft.expr.levenshteinBand(col("p_name0"), col("p_name1"), 5)
       val pairs = p.select(
         when(lv >= 0 && lv <= 2, 2).when(lv >= 0, 1).otherwise(0)
           .as("g_name"),
@@ -1965,7 +1997,7 @@ object SparkEntry {
       val corpus = names.select(col("p_name").as("cand"))
         .withColumn("sdx", soundex(col("cand")))
       queries.join(corpus, "sdx")
-        .withColumn("dist", levenshtein(col("qname"), col("cand"), 3))
+        .withColumn("dist", graft.expr.levenshteinBand(col("qname"), col("cand"), 3))
         .where(col("dist") >= 0)
         .select(col("orig"), col("qname"), col("cand"), col("sdx"), col("dist"))
         .orderBy(col("orig"), col("cand"))
@@ -2124,9 +2156,11 @@ object SparkEntry {
     // is checked by the driver itself (not just StreamingSpec)
     "q_events_stream_windows" -> ((s, dir) => {
       val qn = s"events_stream_q${streamQueryIds.incrementAndGet()}"
-      val q = graft.streaming.EventStream.streamFromParquet(
-        s, s"$dir/events.parquet", qn)
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStream.streamFromParquet(
+          s, s"$dir/events.parquet", qn)
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
       s.table(qn).orderBy(col("window_start"), col("event_type"))
     }),
     // stateful streaming first-seen dedup driven through the REAL engine
@@ -2138,12 +2172,14 @@ object SparkEntry {
       val src = graft.streaming.EventStream
         .parquetStream(s, s"$dir/documents.parquet")
         .select(concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("k"))
-      val q = graft.streaming.EventStream.firstSeenKeys(src, "k")
-        .toDF("dup_key")
-        .writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStream.firstSeenKeys(src, "k")
+          .toDF("dup_key")
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
       s.table(qn).orderBy(col("dup_key"))
     }),
     // session windows through the REAL streaming engine (append mode):
@@ -2154,12 +2190,14 @@ object SparkEntry {
       val qn = s"stream_sessions_q${streamQueryIds.incrementAndGet()}"
       val src = graft.streaming.EventStream
         .parquetStream(s, s"$dir/events.parquet")
-      val q = graft.streaming.EventStream
-        .sessionWindows(src, gap = "30 minutes")
-        .writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStream
+          .sessionWindows(src, gap = "30 minutes")
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
       s.table(qn).orderBy(col("user_id"), col("start_us"))
     }),
     // STREAM-STREAM watermarked interval join through the real engine:
@@ -2177,11 +2215,13 @@ object SparkEntry {
       val j = graft.streaming.EventStream.intervalJoinStream(
         side("view"), side("click"), "user_id", "ts", "event_id",
         windowSeconds = 14400, watermark = "60 days")
-      val q = j.writeStream.outputMode("append").format("memory")
-        .queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      withStreamPartitions(s) {
+        val q = j.writeStream.outputMode("append").format("memory")
+          .queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
       s.table(qn).orderBy(col("key"), col("left_id"), col("right_id"))
     }),
     // TTL-bounded streaming dedup through the REAL engine: purchase
@@ -2230,11 +2270,13 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       val keys = graft.streaming.EventStream
         .dedupKeysWithinWatermark(stream, "k", "ts", "3650 days")
-      val q = keys.writeStream.outputMode("append").format("memory")
-        .queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      withStreamPartitions(s) {
+        val q = keys.writeStream.outputMode("append").format("memory")
+          .queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
       s.table(qn).select(col("k").cast("long").as("user_id"))
         .orderBy(col("user_id"))
     }),
@@ -2265,11 +2307,13 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       val keys = graft.streaming.EventStream.firstSeenKeysTtl(
         stream, "k", "ts", ttlMs = 172800000L)
-      val q = keys.writeStream.outputMode("append").format("memory")
-        .queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      withStreamPartitions(s) {
+        val q = keys.writeStream.outputMode("append").format("memory")
+          .queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
       s.table(qn).groupBy(col("value").cast("long").as("user_id"))
         .agg(count(lit(1)).as("n_emissions"))
         .orderBy(col("user_id"))
@@ -2288,12 +2332,14 @@ object SparkEntry {
         .repartition(4).write.mode("overwrite").parquet(dir)
       val statics = Pipeline.defaultBlock(
         ClkIO.readBinary(s, s"$FixturesDir/febrl4_a.bin", 0, 128))
-      val q = graft.streaming.EventStream.streamingLinkage(
-          graft.streaming.EventStream.parquetStream(s, dir), statics, 0.8)
-        .writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStream.streamingLinkage(
+            graft.streaming.EventStream.parquetStream(s, dir), statics, 0.8)
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
       s.table(qn).orderBy(desc("sim"), col("rec0"), col("rec1"))
     }),
     // tumbling-window aggregation over the event stream table

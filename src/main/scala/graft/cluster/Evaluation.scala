@@ -201,8 +201,11 @@ object Evaluation {
     import spark.implicits._
     def node(dp: String, rec: String) =
       shiftleft(col(dp).cast("long"), 40).bitwiseOR(col(rec))
-    val e = edges.select(node("dp0", "rec0").as("u"),
-      node("dp1", "rec1").as("v"), col("sim"))
+    // consumed by CC and by the per-component edge-stats join; the
+    // upstream is the scoring kernel — persist so it runs once
+    val e = graft.dedup.Dedup.persistLatestPublic("cohesion_edges",
+      edges.select(node("dp0", "rec0").as("u"),
+        node("dp1", "rec1").as("v"), col("sim")))
     val comps = ConnectedComponents.run(e.select($"u", $"v").as[(Long, Long)])
     val members = comps.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
@@ -238,8 +241,13 @@ object Evaluation {
     require(thresholds.nonEmpty, "need at least one cut")
     def node(dp: String, rec: String) =
       shiftleft(col(dp).cast("long"), 40).bitwiseOR(col(rec))
-    val packed = edges.select(node("dp0", "rec0").as("u"),
-      node("dp1", "rec1").as("v"), col("sim"))
+    // every cut re-reads the edge set (CC materialize + n_edges count +
+    // the final agg — 3 actions x |cuts|); the upstream is the scoring
+    // kernel, so persist once (measured round 6: q_dendrogram_cut ran
+    // the kernel chain ~9x for 3 cuts)
+    val packed = graft.dedup.Dedup.persistLatestPublic("dendrogram_edges",
+      edges.select(node("dp0", "rec0").as("u"),
+        node("dp1", "rec1").as("v"), col("sim")))
     thresholds.map { t =>
       val e = packed.where($"sim" >= t)
       val comps = ConnectedComponents.run(e.select($"u", $"v").as[(Long, Long)])
@@ -420,12 +428,15 @@ object Evaluation {
       col("label").as("l0"))
     val l1 = labels.select(col("dp").as("d1"), col("rec").as("r1"),
       col("label").as("l1"))
-    val le = edges
-      .join(l0, col("dp0") === col("d0") && col("rec0") === col("r0"), "left")
-      .join(l1, col("dp1") === col("d1") && col("rec1") === col("r1"), "left")
-      .select(
-        coalesce(col("l0"), -(packed("dp0", "rec0") + 1)).as("lab0"),
-        coalesce(col("l1"), -(packed("dp1", "rec1") + 1)).as("lab1"))
+    // consumed by the edge-stat agg AND the degree agg; the upstream is
+    // the scoring kernel — persist so it runs once
+    val le = graft.dedup.Dedup.persistLatestPublic("modularity_edges",
+      edges
+        .join(l0, col("dp0") === col("d0") && col("rec0") === col("r0"), "left")
+        .join(l1, col("dp1") === col("d1") && col("rec1") === col("r1"), "left")
+        .select(
+          coalesce(col("l0"), -(packed("dp0", "rec0") + 1)).as("lab0"),
+          coalesce(col("l1"), -(packed("dp1", "rec1") + 1)).as("lab1")))
     val st = le.agg(count(lit(1)).as("m"),
       sum(when(col("lab0") === col("lab1"), 1L).otherwise(0L)).as("intra"))
     val dsq = le.select(col("lab0").as("lab"))

@@ -100,10 +100,15 @@ object RankEval {
   def ksStatistic(edges: DataFrame, truth: DataFrame): DataFrame = {
     val w = Window.orderBy(col("sim"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byScore(edges, truth)
+    // the distinct-score table (bounded ~b²/2 rows) feeds both the
+    // cumulative window and the totals agg; its upstream is the scoring
+    // kernel — persist so the kernel runs once, not twice
+    val byS = graft.dedup.Dedup.persistLatestPublic("rankeval_byscore",
+      byScore(edges, truth))
+    val cum = byS
       .withColumn("cpos", sum(col("n_pos_v")).over(w))
       .withColumn("cneg", sum(col("n_neg_v")).over(w))
-    val tot = cum.agg(sum(col("n_pos_v")).cast("long").as("n_pos"),
+    val tot = byS.agg(sum(col("n_pos_v")).cast("long").as("n_pos"),
       sum(col("n_neg_v")).cast("long").as("n_neg"))
     cum.crossJoin(tot)
       .withColumn("ks_num",

@@ -37,9 +37,16 @@ object Solver {
     // A4 solver-stage guardrail (settings.py:111, solver.py:29-34)
     // enforced by caller via Linker.enforceScoredPairsCap / config.
 
-    val nodeEdges = edges.map(e =>
-      (NodeId(e.dp0, e.rec0), NodeId(e.dp1, e.rec1), e.sim))
-      .toDF("u", "v", "sim")
+    // nodeEdges feeds BOTH the CC run and the component-tagging join; the
+    // upstream is the whole scoring kernel, and AQE compiles the two
+    // consumers as separate stages with no exchange reuse — without a
+    // persist the kernel chain runs once per consumer (measured round 6:
+    // 2x the kernel on every clusters pipeline). One-slot discipline via
+    // Dedup.persistLatestPublic; CC's own count() materializes the cache.
+    val nodeEdges = graft.dedup.Dedup.persistLatestPublic("solver_edges",
+      edges.map(e =>
+        (NodeId(e.dp0, e.rec0), NodeId(e.dp1, e.rec1), e.sim))
+        .toDF("u", "v", "sim"))
 
     val cc = ConnectedComponents.run(
       nodeEdges.select($"u", $"v").as[(Long, Long)])
@@ -142,8 +149,11 @@ object Solver {
     // a mutual-best pair would otherwise ride through and break the
     // reciprocal-top-1 contract (latent today — callers emit unique
     // pairs — but cheap to make unconditional)
-    val e = edges.groupBy("dp0", "rec0", "dp1", "rec1")
-      .agg(max(col("sim")).as("sim"))
+    // consumed three times (two argmax aggs + the final join); the
+    // upstream is the scoring kernel — persist so it runs once
+    val e = graft.dedup.Dedup.persistLatestPublic("mutual_best_edges",
+      edges.groupBy("dp0", "rec0", "dp1", "rec1")
+        .agg(max(col("sim")).as("sim")))
     // deterministic argmax: min of (-sim, partner) == (sim DESC, id ASC)
     val best1 = e.groupBy("dp0", "rec0", "dp1")
       .agg(min(struct((-col("sim")).as("ns"), col("rec1").as("r"))).as("t"))

@@ -61,6 +61,38 @@ object SetOps {
       if (w == m) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Shared-key min-sum of two string->long tf maps:
+    * Σ_{k ∈ keys(a) ∩ keys(b)} min(a(k), b(k)) — the weighted-Jaccard
+    * numerator. Bit-identical to the map_zip_with/aggregate tree it
+    * replaces (keys only on one side contribute least(v, 0) = 0 because tf
+    * counts are >= 1; map keys are unique), but as one codegen'd call
+    * instead of interpreted HOF lambdas. O(|a|·|b|) byte-equality scans —
+    * tf maps are per-document distinct-token sized, so the quadratic term
+    * is bounded by document length, never corpus size. */
+  def tfMinSumShared(a: org.apache.spark.sql.catalyst.util.MapData,
+      b: org.apache.spark.sql.catalyst.util.MapData): Long = {
+    val ka = a.keyArray(); val va = a.valueArray()
+    val kb = b.keyArray(); val vb = b.valueArray()
+    val na = ka.numElements(); val nb = kb.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < na) {
+      val key = ka.getUTF8String(i)
+      var j = 0
+      var found = false
+      while (j < nb && !found) {
+        if (key.equals(kb.getUTF8String(j))) {
+          val x = va.getLong(i); val y = vb.getLong(j)
+          sum += (if (x < y) x else y)
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    sum
+  }
+
   /** Intersection size of two ascending-sorted long arrays (merge scan).
     * Inputs must be sorted and duplicate-free (sort_array ∘ array_distinct
     * guarantees both). */

@@ -323,10 +323,24 @@ object Dedup {
       .join(sig.select(col("id"), col("sz")), "id")
       .where(col("rn") <=
         col("sz") - expr(s"(sz * $tnum + ${D - 1}) DIV $D") + 1)
-      .select(col("tok").as("bk"), col("id"), col("sz"))
+      .select(col("tok").as("bk"), col("id"), col("sz"), col("rn"))
+    // PPJoin position filter (Xiao et al. WWW'08), output-preserving:
+    // J >= t  <=>  inter >= ceil(tnum·(sz0+sz1)/(D+tnum)) =: alpha, and
+    // for a candidate generated through the shared prefix token at
+    // positions (rn0, rn1) of the df-global order, the overlap is bounded
+    // by 1 + min(sz0-rn0, sz1-rn1) (all other common tokens lie strictly
+    // after it in both records). Any truly-qualifying pair survives via
+    // its FIRST common token — the standard PPJoin guarantee — so
+    // dropping generations that fail the bound BEFORE the distinct
+    // removes only duplicates; the exact merge-scan verify is unchanged.
+    // Measured round 6: the candidate stream into distinct() is the
+    // query's dominant shuffle on the small-vocab corpus.
+    val alpha = expr(s"($tnum * (sz0 + sz1) + ${D + tnum - 1}) DIV ${D + tnum}")
     val cand = saltedSelfPairs(prefix, aim, maxK)
       .where(least(col("sz0"), col("sz1")) * D >=
         greatest(col("sz0"), col("sz1")) * tnum)
+      .where(lit(1L) + least(col("sz0") - col("rn0"),
+        col("sz1") - col("rn1")) >= alpha)
       .select("id0", "id1", "sz0", "sz1").distinct()
     val withSets = cand
       .join(sig.select(col("id").as("id0"), col("toks").as("toks0")), "id0")
@@ -372,10 +386,10 @@ object Dedup {
                 t -> struct(t, CAST(size(filter(ts, x -> x = t)) AS LONG))))""")
           .as("m"))
     val paired = saltedSelfPairs(base, aim, maxK)
-    val minSum = expr(
-      """aggregate(map_values(map_zip_with(m0, m1,
-           (k, v0, v1) -> least(coalesce(v0, 0L), coalesce(v1, 0L)))),
-         0L, (acc, x) -> acc + x)""")
+    // fused codegen kernel — bit-identical to the former
+    // map_zip_with/aggregate HOF tree (interpreted lambdas per pair;
+    // see graft.core.SetOps.tfMinSumShared for the equivalence argument)
+    val minSum = graft.expr.tfMinSumShared(col("m0"), col("m1"))
     wjThresholded(paired, minSum, col("tot0"), col("tot1"), thr)
   }
 

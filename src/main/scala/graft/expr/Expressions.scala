@@ -174,6 +174,71 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
   override def prettyName: String = "damerau_levenshtein"
 }
 
+/** Banded (threshold) Levenshtein distance — semantics of Spark's
+  * built-in `levenshtein(l, r, k)` (exact distance when <= k, else -1),
+  * ~10-30x faster per call on ASCII inputs (graft.core.StringSim
+  * .levenshteinBand: byte-level band DP, built-in fallback otherwise;
+  * property-fuzzed equal to the built-in in FuzzySpec). */
+case class LevenshteinBand(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftSqlBridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.StringSim.levenshteinBand(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.core.StringSim.levenshteinBand($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevenshteinBand =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "levenshtein_band"
+}
+
+/** Fused SoftTF-IDF contribution sum over two array&lt;struct&lt;t,w&gt;&gt;
+  * weight lists (graft.core.SoftTfidf.sum6 — packed JW argmax + exact
+  * HALF_UP fixed-point contributions). Replaces a nested
+  * transform/array_max/aggregate tree whose lambdas are CodegenFallback
+  * (interpreted + boxed per token PAIR); arithmetic is bit-identical to
+  * that tree (see SoftTfidf's scaladoc for the rounding contract). */
+case class SoftTfidfSum(left: Expression, right: Expression, theta6: Long)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.SoftTfidf.sum6(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], theta6)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.core.SoftTfidf.sum6($a, $b, ${theta6}L)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SoftTfidfSum =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "soft_tfidf_sum"
+}
+
+/** Shared-key min-sum of two string->long tf maps (the weighted-Jaccard
+  * numerator, graft.core.SetOps.tfMinSumShared) — codegen replacement for
+  * an interpreted map_zip_with/aggregate lambda tree; bit-identical
+  * result (see the core method's scaladoc). */
+case class TfMinSumShared(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.SetOps.tfMinSumShared(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.core.SetOps.tfMinSumShared($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TfMinSumShared =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "tf_min_sum_shared"
+}
+
 /** Dice with precomputed popcount sum (the join carries per-record
   * popcounts, mirroring the reference's popcount cache
   * `cache/encodings.py:42-45`) — saves two popcount passes per pair. */

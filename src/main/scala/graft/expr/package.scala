@@ -39,6 +39,21 @@ package object expr {
   def jaroWinkler(a: Column, b: Column): Column =
     col(JaroWinklerSimilarity(ex(a), ex(b)))
 
+  /** Fused SoftTF-IDF contribution sum of two array<struct<t,w>> weight
+    * lists (packed JW argmax, exact fixed point — see SoftTfidfSum). */
+  def softTfidfSum6(wl0: Column, wl1: Column, theta6: Long): Column =
+    col(SoftTfidfSum(ex(wl0), ex(wl1), theta6))
+
+  /** Shared-key min-sum of two string->long tf map columns (the
+    * weighted-Jaccard numerator; see TfMinSumShared). */
+  def tfMinSumShared(a: Column, b: Column): Column =
+    col(TfMinSumShared(ex(a), ex(b)))
+
+  /** Banded Levenshtein (Spark built-in `levenshtein(l, r, k)` semantics:
+    * exact distance when <= k, else -1) — fast ASCII band kernel. */
+  def levenshteinBand(a: Column, b: Column, k: Int): Column =
+    col(LevenshteinBand(ex(a), ex(b), k))
+
   /** True Damerau-Levenshtein distance of two string columns. */
   def damerauLevenshtein(a: Column, b: Column): Column =
     col(DamerauLevenshtein(ex(a), ex(b)))

@@ -564,16 +564,32 @@ object Blocking {
       minShared: Int = 2): DataFrame = {
     require(seedHexPrefixes.nonEmpty && minShared >= 1,
       "need seed prefixes and minShared >= 1")
-    val toks = df.select(col(id).as("rec"),
-      explode(array_distinct(split(col(text), " "))).as("tok"))
+    // the corpus arrives as a near-single-split scan (small files locally;
+    // one input split can carry the whole corpus), and the seed side
+    // broadcasts — so the token-join fan-out (|tok rows| x |seed rows per
+    // token|, tens of millions on a small-vocab corpus) plus its partial
+    // aggregation would run in the SCAN's task count, i.e. ~1 core
+    // (measured round 6: 13.6 s single-task). Hash-repartitioning the
+    // record side by rec before the explode spreads the join + partial agg
+    // across the cluster; deterministic key, no semantic change.
+    val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val toks = df.select(col(id).as("rec"), col(text).as("__t"))
+      .repartition(par, col("rec"))
+      .select(col("rec"),
+        explode(array_distinct(split(col("__t"), " "))).as("tok"))
     val seedToks = df
       .where(substring(md5(col(id).cast("string").cast("binary")), 1, 1)
         .isin(seedHexPrefixes: _*))
       .select(col(id).as("canopy"), explode(array_distinct(split(col(text),
         " "))).as("tok"))
-    val assigned = toks.join(seedToks, "tok")
-      .groupBy("rec", "canopy").agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
+    // `assigned` feeds BOTH the output union and the orphan anti-join;
+    // AQE compiles the branches as separate stages with no exchange
+    // reuse, so without a persist the whole token join + aggregation runs
+    // twice (one-slot cache discipline, unpersisted on the next call)
+    val assigned = graft.dedup.Dedup.persistLatestPublic("canopy",
+      toks.join(seedToks, "tok")
+        .groupBy("rec", "canopy").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= minShared))
     val orphans = df.select(col(id).as("rec"))
       .join(assigned.select(col("rec")).distinct(), Seq("rec"), "left_anti")
       .select(col("rec"), col("rec").as("canopy"), lit(0L).as("shared"))

@@ -44,6 +44,23 @@ import org.apache.spark.sql.types._
 object FellegiSunter {
 
   @volatile private var lastTfGroupsCache: Option[DataFrame] = None
+  @volatile private var lastPairsCache: Option[DataFrame] = None
+
+  /** One-slot persist for the uncertainty-sampling pair frame (same
+    * discipline as [[lastTfGroupsCache]] / Linker.registerRunCaches): the
+    * returned frame is lazy, so the earliest safe unpersist point for this
+    * call's cache is the NEXT call. */
+  private def persistPairsSlot(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    FellegiSunter.synchronized {
+      lastPairsCache.foreach { prev =>
+        try if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(false)
+        catch { case _: Throwable => }
+      }
+      lastPairsCache = Some(p)
+    }
+    p
+  }
 
   /** Default probability scale: 1e9 keeps every E-step product and every
     * count-weighted sum inside a signed 64-bit long for corpora up to
@@ -400,10 +417,19 @@ object FellegiSunter {
       idCols: Seq[String], k: Int, iters: Int = 2,
       scale: Long = Scale): DataFrame = {
     require(k > 0 && idCols.nonEmpty, s"k=$k idCols=$idCols")
-    val fit = emClassify(pairs.selectExpr(gammaCols: _*), gammaCols,
+    // ONE quadratic pass: the pair frame feeds both the EM's
+    // sufficient-statistics collect and the posterior broadcast join —
+    // without the persist, AQE compiles the two consumers as separate
+    // stages and the whole candidate-generation + gamma pipeline runs
+    // twice (measured round 5: 22 s, the bench's 4th-slowest query; the
+    // emClassify collect inside this call materializes the cache, so the
+    // join below is a cache read). Same one-slot unpersist discipline as
+    // tfAdjustedPosteriors' groups cache.
+    val cached = persistPairsSlot(pairs)
+    val fit = emClassify(cached.selectExpr(gammaCols: _*), gammaCols,
         iters, scale)
       .select((gammaCols.map(col) :+ col("posterior")): _*)
-    pairs.join(broadcast(fit), gammaCols)
+    cached.join(broadcast(fit), gammaCols)
       .withColumn("uncertainty", abs(col("posterior") - lit(scale / 2)))
       .orderBy((col("uncertainty").asc +: idCols.map(c => col(c).asc)): _*)
       .limit(k)

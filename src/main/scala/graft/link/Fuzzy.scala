@@ -98,19 +98,12 @@ object Fuzzy {
     val pairs = graft.dedup.Dedup.saltedSelfPairs(
       wl.select(col("id"), col("bk"), col("wl"), col("nrm")))
     val theta6 = math.round(theta * 1000000)
-    val pack = lit(1L << 32)
-    val contrib = transform(col("wl0"), a => {
-      val best = array_max(transform(col("wl1"), b =>
-        round(graft.expr.jaroWinkler(a.getField("t"), b.getField("t"))
-          * 1000000).cast("long") * pack + b.getField("w")))
-      val j6 = shiftright(best, 32)
-      val wb = best.bitwiseAND(lit((1L << 32) - 1))
-      when(j6 >= theta6,
-        round(j6.cast("double") * a.getField("w") * wb / 1000000.0)
-          .cast("long"))
-        .otherwise(lit(0L))
-    })
-    val sum6 = aggregate(contrib, lit(0L), (acc, c) => acc + c)
+    // fused codegen kernel — bit-identical to the former nested
+    // transform/array_max/aggregate tree (HOF lambdas are CodegenFallback:
+    // interpreted + boxed per token PAIR, measured as the bench's slowest
+    // query); packed argmax + exact HALF_UP rounding live in
+    // graft.core.SoftTfidf (see its scaladoc for the equivalence argument)
+    val sum6 = graft.expr.softTfidfSum6(col("wl0"), col("wl1"), theta6)
     val score = round(sum6.cast("double") / (col("nrm0") * col("nrm1")), 6)
     graft.dedup.Dedup.scoreAndFilter(pairs, "soft_tfidf", score, threshold,
       "id0", "id1", "soft_tfidf")
@@ -121,7 +114,7 @@ object Fuzzy {
                 maxDist: Int, affixLen: Int = 2): DataFrame = {
     require(maxDist >= 0)
     affixCandidates(queries, qCol, corpus, cCol, affixLen)
-      .withColumn("dist", levenshtein(col(qCol), col(cCol), maxDist))
+      .withColumn("dist", graft.expr.levenshteinBand(col(qCol), col(cCol), maxDist))
       .where(col("dist") >= 0)
   }
 

@@ -215,10 +215,21 @@ object Linker {
     // fan-out already needs, so the filter is one broadcast hash join —
     // no extra shuffle. When most blocks are cross-provider (or the list
     // would be too big to broadcast) the filter buys nothing; skip it.
-    val (totalBlocks, crossBlocks) = {
+    // ONE driver round-trip for every block-stat scalar this call needs
+    // (count, cross count, and the n² sums both with and without the
+    // single-provider blocks — the prefilter decision picks which sum
+    // applies, so computing both in the same job replaces what used to be
+    // two sequential head() actions; ~25 bench queries pay this latency
+    // per kernel invocation).
+    val (totalBlocks, crossBlocks, pairsUbAll, pairsUbCross) = {
       val r = statsRaw.agg(count(lit(1)),
-        coalesce(sum(when($"cross_dp", 1L)), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(sum(when($"cross_dp", 1L)), lit(0L)),
+        coalesce(sum($"n".cast("decimal(38,0)") * $"n"), lit(0)),
+        coalesce(sum(when($"cross_dp", $"n".cast("decimal(38,0)") * $"n")),
+          lit(0))).head()
+      def sat(d: java.math.BigDecimal): Long = d.toBigInteger.min(
+        java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+      (r.getLong(0), r.getLong(1), sat(r.getDecimal(2)), sat(r.getDecimal(3)))
     }
     val prefilter = crossBlocks <= MaxCrossBlockBroadcast &&
       crossBlocks * 2 <= totalBlocks
@@ -232,10 +243,7 @@ object Linker {
     // decimal agg + saturating cap: at 10^12-row blocks n^2 exceeds Long.
     // Sized over the KEPT blocks so dropped single-provider volume can't
     // inflate the aim (which would under-split what remains).
-    val totalPairsUb = statsBase
-      .agg(coalesce(sum($"n".cast("decimal(38,0)") * $"n"), lit(0)))
-      .head().getDecimal(0).toBigInteger.min(
-        java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+    val totalPairsUb = if (prefilter) pairsUbCross else pairsUbAll
 
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
     // effective tasks ~= totalPairs/(2*aim) (the dp0<dp1 filter halves the

@@ -306,4 +306,38 @@ class FuzzySpec extends SparkSpec {
     // near-typo reordering still matches high but below 1
     assert(got.exists(t => (t._1, t._2) == (2L, 4L) && t._3 < 1.0 && t._3 >= 0.9))
   }
+
+  test("levenshteinBand == Spark built-in threshold levenshtein (fuzz)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(0xba4d)
+    val alphabets = Seq("ab", "abcde", "abcdefghij xyz", "αβγ ab¢")
+    def randStr(alpha: String, maxLen: Int): String =
+      Iterator.fill(rnd.nextInt(maxLen + 1))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+    var checked = 0
+    for (_ <- 1 to 4000) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val a = randStr(alpha, 12)
+      val b = randStr(alpha, 12)
+      val k = rnd.nextInt(7)
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val want = ua.levenshteinDistance(ub, k)
+      val got = graft.core.StringSim.levenshteinBand(ua, ub, k)
+      assert(got == want, s"a='$a' b='$b' k=$k: got $got want $want")
+      checked += 1
+    }
+    // long-string + boundary shapes (band edges, equal strings, empties)
+    for ((a, b, k) <- Seq(
+        ("goldenrod lavender spring chocolate lace", "goldenrod lavender spring chocolate lace", 4),
+        ("goldenrod lavender spring chocolate lace", "goldenrod lavendar sprung chocolate lace", 4),
+        ("abcdefghijklmnopqrstuvwxyz", "abcdefghijklmnopqrstuvwxyz".reverse, 4),
+        ("", "", 0), ("", "abc", 2), ("", "abc", 3), ("abcd", "", 4),
+        ("aaaa", "aaaab", 0), ("aaaa", "aaaab", 1))) {
+      val ua = UTF8String.fromString(a); val ub = UTF8String.fromString(b)
+      assert(graft.core.StringSim.levenshteinBand(ua, ub, k)
+        == ua.levenshteinDistance(ub, k), s"'$a' '$b' k=$k")
+    }
+    assert(checked == 4000)
+  }
 }
