@@ -56,8 +56,34 @@ object Dedup {
   def saltedSelfPairs(base: DataFrame, aim: Long = PairAim,
       maxK: Int = 4096): DataFrame = {
     val payload = base.columns.filterNot(c => c == "bk" || c == "id")
-    val (k1c, k2c) = graft.link.Salting.fanout(col("n"), aim, maxK)
-    val stats = base.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+    // Adaptive aim (the Linker.scoreCandidatesChunked rule, guide §2):
+    // when the WHOLE job is smaller than aim·parallelism, a fixed aim
+    // leaves the comparison work in a handful of bucket-keyed tasks —
+    // measured round 6: 25 brand buckets hashed into 32 partitions put
+    // 2-3 buckets on one core while half the box idled. Targeting
+    // ~3 waves per core splits small jobs across the cluster; big jobs
+    // (totalPairs >= 6·parallelism·aim) keep the caller's aim, so scale
+    // behavior and shuffle replication (~n²·bytes/sqrt(aim) per bucket)
+    // are unchanged where they matter. The 100K floor stops tiny jobs
+    // from over-salting (replication beyond a few x buys nothing there).
+    // Costs one extra stats action per call; the stats frame is slot-
+    // cached so the broadcast below reuses it.
+    val stats0 = persistLatest("salted_stats",
+      base.groupBy(col("bk")).agg(count(lit(1)).as("n")))
+    val totalPairsUb = stats0
+      .agg(coalesce(sum(col("n").cast("decimal(38,0)") * col("n")), lit(0)))
+      .head().getDecimal(0).toBigInteger.min(
+        java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+    val parallelism =
+      math.max(base.sparkSession.sparkContext.defaultParallelism, 1)
+    // floor = Linker's 1M: below it the replication cost of finer salt
+    // exceeds the wave-balance gain (measured round 6: a 100K floor made
+    // every FS-family query ~1 s SLOWER — 16 salt cells per uniform
+    // 800-row brand bucket quadrupled the join inputs for nothing)
+    val aimEff = math.max(1000000L,
+      math.min(aim, totalPairsUb / (6L * parallelism) + 1))
+    val (k1c, k2c) = graft.link.Salting.fanout(col("n"), aimEff, maxK)
+    val stats = stats0
       .select(col("bk"), k1c.as("k1"), k2c.as("k2"))
       .where(col("k1") > 1 || col("k2") > 1)
     val salted = base.join(broadcast(stats), Seq("bk"), "left")
@@ -318,12 +344,23 @@ object Dedup {
         .withColumn("sz", size(col("toks")).cast("long")))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
+    // the hashed set RIDES the prefix fan-out: shuffle volume is
+    // O(corpus · prefix-length · set bytes) — LINEAR in the corpus — in
+    // exchange for never shuffling the candidate-pair stream, which is
+    // the quadratic-in-bucket-size term. Round 6 measured the old shape
+    // (bare (id, sz) pairs -> distinct() -> sets join -> verify) at 16.4
+    // of the query's 15.5-24.8 s: every generated candidate crossed the
+    // wire into the distinct. Verifying INSIDE the generation stage
+    // keeps the whole candidate stream in whole-stage codegen and only
+    // accepted pairs (plus their bounded cross-token duplicates) ever
+    // shuffle, into a final dropDuplicates.
     val prefix = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(w))
-      .join(sig.select(col("id"), col("sz")), "id")
+      .join(sig.select(col("id"), col("sz"), col("toks")), "id")
       .where(col("rn") <=
         col("sz") - expr(s"(sz * $tnum + ${D - 1}) DIV $D") + 1)
-      .select(col("tok").as("bk"), col("id"), col("sz"), col("rn"))
+      .select(col("tok").as("bk"), col("id"), col("sz"), col("rn"),
+        col("toks"))
     // PPJoin position filter (Xiao et al. WWW'08), output-preserving:
     // J >= t  <=>  inter >= ceil(tnum·(sz0+sz1)/(D+tnum)) =: alpha, and
     // for a candidate generated through the shared prefix token at
@@ -331,25 +368,24 @@ object Dedup {
     // by 1 + min(sz0-rn0, sz1-rn1) (all other common tokens lie strictly
     // after it in both records). Any truly-qualifying pair survives via
     // its FIRST common token — the standard PPJoin guarantee — so
-    // dropping generations that fail the bound BEFORE the distinct
-    // removes only duplicates; the exact merge-scan verify is unchanged.
-    // Measured round 6: the candidate stream into distinct() is the
-    // query's dominant shuffle on the small-vocab corpus.
+    // dropping generations that fail the bound removes only duplicates;
+    // the exact merge-scan verify (below, same stage) is unchanged.
     val alpha = expr(s"($tnum * (sz0 + sz1) + ${D + tnum - 1}) DIV ${D + tnum}")
-    val cand = saltedSelfPairs(prefix, aim, maxK)
+    // the guard projection (scoreAndFilter's trick) pins the accept
+    // filter ABOVE the inter projection so the merge scan runs once per
+    // surviving generation, not once in Filter and again in Project
+    val accepted = saltedSelfPairs(prefix, aim, maxK)
       .where(least(col("sz0"), col("sz1")) * D >=
         greatest(col("sz0"), col("sz1")) * tnum)
       .where(lit(1L) + least(col("sz0") - col("rn0"),
         col("sz1") - col("rn1")) >= alpha)
-      .select("id0", "id1", "sz0", "sz1").distinct()
-    val withSets = cand
-      .join(sig.select(col("id").as("id0"), col("toks").as("toks0")), "id0")
-      .join(sig.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
-      .withColumn("inter",
-        graft.expr.sortedIntersectCount(col("toks0"), col("toks1"))
-          .cast("long"))
-    withSets
+      .select(col("id0"), col("id1"), col("sz0"), col("sz1"),
+        when(monotonically_increasing_id() >= 0,
+          graft.expr.sortedIntersectCount(col("toks0"), col("toks1"))
+            .cast("long")).as("inter"))
       .where(col("inter") * D >= (col("sz0") + col("sz1") - col("inter")) * tnum)
+    accepted
+      .dropDuplicates("id0", "id1")
       .select(col("id0"), col("id1"), col("inter"), col("sz0"), col("sz1"),
         round(col("inter").cast("double") /
           (col("sz0") + col("sz1") - col("inter")), 4).as("jaccard"))

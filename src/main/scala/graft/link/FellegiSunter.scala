@@ -44,23 +44,6 @@ import org.apache.spark.sql.types._
 object FellegiSunter {
 
   @volatile private var lastTfGroupsCache: Option[DataFrame] = None
-  @volatile private var lastPairsCache: Option[DataFrame] = None
-
-  /** One-slot persist for the uncertainty-sampling pair frame (same
-    * discipline as [[lastTfGroupsCache]] / Linker.registerRunCaches): the
-    * returned frame is lazy, so the earliest safe unpersist point for this
-    * call's cache is the NEXT call. */
-  private def persistPairsSlot(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    FellegiSunter.synchronized {
-      lastPairsCache.foreach { prev =>
-        try if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist(false)
-        catch { case _: Throwable => }
-      }
-      lastPairsCache = Some(p)
-    }
-    p
-  }
 
   /** Default probability scale: 1e9 keeps every E-step product and every
     * count-weighted sum inside a signed 64-bit long for corpora up to
@@ -419,13 +402,18 @@ object FellegiSunter {
     require(k > 0 && idCols.nonEmpty, s"k=$k idCols=$idCols")
     // ONE quadratic pass: the pair frame feeds both the EM's
     // sufficient-statistics collect and the posterior broadcast join —
-    // without the persist, AQE compiles the two consumers as separate
-    // stages and the whole candidate-generation + gamma pipeline runs
-    // twice (measured round 5: 22 s, the bench's 4th-slowest query; the
-    // emClassify collect inside this call materializes the cache, so the
-    // join below is a cache read). Same one-slot unpersist discipline as
-    // tfAdjustedPosteriors' groups cache.
-    val cached = persistPairsSlot(pairs)
+    // without a materialization point, AQE compiles the consumers as
+    // separate stages and the whole candidate-generation + gamma pipeline
+    // runs twice (round-5 defect: 22 s). Round-6 phase probe on the HOW:
+    // generation 4.4 s, `persist()`'s InMemoryRelation columnar-encode
+    // WRITE 3.7 s, both cache reads 1.7 s — so the cache format, not the
+    // caching idea, was half the cost. localCheckpoint stores the raw
+    // UnsafeRows (no columnar encode; guide §5's cheaper-lineage-cut),
+    // dropping the write to ~1 s. Trade-off (documented upstream): a
+    // checkpointed intermediate is not recomputable under executor loss —
+    // acceptable for a bounded per-call intermediate; blocks are freed by
+    // the ContextCleaner once the frame is unreachable.
+    val cached = pairs.localCheckpoint(false)
     val fit = emClassify(cached.selectExpr(gammaCols: _*), gammaCols,
         iters, scale)
       .select((gammaCols.map(col) :+ col("posterior")): _*)
