@@ -64,26 +64,28 @@ object Dedup {
     // ~3 waves per core splits small jobs across the cluster; big jobs
     // (totalPairs >= 6·parallelism·aim) keep the caller's aim, so scale
     // behavior and shuffle replication (~n²·bytes/sqrt(aim) per bucket)
-    // are unchanged where they matter. The 100K floor stops tiny jobs
-    // from over-salting (replication beyond a few x buys nothing there).
-    // Costs one extra stats action per call; the stats frame is slot-
-    // cached so the broadcast below reuses it.
-    val stats0 = persistLatest("salted_stats",
-      base.groupBy(col("bk")).agg(count(lit(1)).as("n")))
-    val totalPairsUb = stats0
-      .agg(coalesce(sum(col("n").cast("decimal(38,0)") * col("n")), lit(0)))
-      .head().getDecimal(0).toBigInteger.min(
-        java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+    // are unchanged where they matter. The 1M floor stops small jobs
+    // from over-salting (a 100K floor was measured to slow the FS family
+    // ~1 s: 16 salt cells per uniform 800-row bucket, 4x join-input
+    // replication for nothing). The job total rides the plan as a
+    // 1-row scalar broadcast — an earlier draft used a driver action
+    // here, which taxed every sub-second salted query ~0.3-0.5 s.
     val parallelism =
       math.max(base.sparkSession.sparkContext.defaultParallelism, 1)
-    // floor = Linker's 1M: below it the replication cost of finer salt
-    // exceeds the wave-balance gain (measured round 6: a 100K floor made
-    // every FS-family query ~1 s SLOWER — 16 salt cells per uniform
-    // 800-row brand bucket quadrupled the join inputs for nothing)
-    val aimEff = math.max(1000000L,
-      math.min(aim, totalPairsUb / (6L * parallelism) + 1))
-    val (k1c, k2c) = graft.link.Salting.fanout(col("n"), aimEff, maxK)
-    val stats = stats0
+    // slot-cached (NO eager action — it materializes inside the
+    // broadcast build): the stats frame feeds both the job-total scalar
+    // and the per-bucket fan-out rows; without the cache the base
+    // subtree (which can be an expensive signature pipeline) is scanned
+    // once per consumer
+    val stats0 = persistLatest("salted_stats",
+      base.groupBy(col("bk")).agg(count(lit(1)).as("n")))
+    val tot = stats0.agg(
+      coalesce(sum(col("n").cast("decimal(38,0)") * col("n")), lit(0))
+        .cast("double").as("__tp"))
+    val aimCol = greatest(lit(1000000.0),
+      least(lit(aim.toDouble), col("__tp") / lit(6.0 * parallelism) + 1))
+    val (k1c, k2c) = graft.link.Salting.fanoutCol(col("n"), aimCol, maxK)
+    val stats = stats0.crossJoin(broadcast(tot))
       .select(col("bk"), k1c.as("k1"), k2c.as("k2"))
       .where(col("k1") > 1 || col("k2") > 1)
     val salted = base.join(broadcast(stats), Seq("bk"), "left")
@@ -414,13 +416,17 @@ object Dedup {
       blockKey: Column, threshold: Double, aim: Long = PairAim,
       maxK: Int = 4096): DataFrame = {
     val thr = math.round(threshold * 1000000L)
-    val base = df.select(blockKey.as("bk"), col(id).cast("long").as("id"),
-        split(col(text), " ").as("ts"))
-      .select(col("bk"), col("id"),
-        size(col("ts")).cast("long").as("tot"),
-        expr("""map_from_entries(transform(array_distinct(ts),
-                t -> struct(t, CAST(size(filter(ts, x -> x = t)) AS LONG))))""")
-          .as("m"))
+    // tf-map build is an interpreted-HOF projection — persist it once so
+    // the pair generator's stats subtree and both join sides reuse it
+    // (the sig-table discipline of the jaccard paths)
+    val base = persistLatest("wjaccard_tf",
+      df.select(blockKey.as("bk"), col(id).cast("long").as("id"),
+          split(col(text), " ").as("ts"))
+        .select(col("bk"), col("id"),
+          size(col("ts")).cast("long").as("tot"),
+          expr("""map_from_entries(transform(array_distinct(ts),
+                  t -> struct(t, CAST(size(filter(ts, x -> x = t)) AS LONG))))""")
+            .as("m")))
     val paired = saltedSelfPairs(base, aim, maxK)
     // fused codegen kernel — bit-identical to the former
     // map_zip_with/aggregate HOF tree (interpreted lambdas per pair;
@@ -485,6 +491,18 @@ object Dedup {
     }
   }
 
+  /** Spread a narrow input across the cluster BEFORE a per-row UDF when
+    * it arrives under-partitioned (a small corpus is one input split, so
+    * a CPU-heavy signature UDF would run on ONE core — guide §2.5 input
+    * skew; measured round 6 on the minhash paths). Deterministic hash
+    * key; a no-op (no shuffle) when the scan already has enough splits —
+    * the 100-TB case, where an extra shuffle of raw text would be the
+    * bigger cost. */
+  private def spreadForUdf(df: DataFrame, key: Column): DataFrame = {
+    val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par, key) else df
+  }
+
   /** Per-document MinHash state: (doc, sh = bigram shingles,
     * bks = LSH band keys). The dump the DuckDB oracle replays the pairing
     * semantics from (candidates = share >= 1 band key; confirm = shingle
@@ -495,7 +513,8 @@ object Dedup {
     val shUdf = udf((t: String) => shingles2(if (t == null) "" else t))
     val keysUdf = udf((sh: Seq[String]) =>
       minhashBandKeys(if (sh == null) Array.empty else sh.toArray, bands, rowsPerBand, seed))
-    df.select(col(id).as("doc"), shUdf(col(text)).as("sh"))
+    spreadForUdf(df, col(id))
+      .select(col(id).as("doc"), shUdf(col(text)).as("sh"))
       .withColumn("bks", keysUdf(col("sh")))
   }
 
@@ -513,7 +532,8 @@ object Dedup {
     val keysUdf = udf((sh: Seq[String]) =>
       minhashBandKeys(if (sh == null) Array.empty else sh.toArray, bands,
         rowsPerBand, seed))
-    df.select(col(id).as("doc"), shUdf(col(text)).as("sh"))
+    spreadForUdf(df, col(id))
+      .select(col(id).as("doc"), shUdf(col(text)).as("sh"))
       .withColumn("vals", valsUdf(col("sh")))
       .withColumn("bks", keysUdf(col("sh")))
   }
@@ -683,7 +703,8 @@ object Dedup {
     val keysUdf = udf((sh: Seq[String]) =>
       minhashBandKeys(if (sh == null) Array.empty else sh.toArray,
         bands, rowsPerBand, seed))
-    df.select(col(id).as("doc"), expandUdf(col(text)).as("mem"))
+    spreadForUdf(df, col(id))
+      .select(col(id).as("doc"), expandUdf(col(text)).as("mem"))
       .withColumn("bks", keysUdf(col("mem")))
   }
 
@@ -874,7 +895,8 @@ object Dedup {
 
   /** Per-document 64-bit SimHash signature (doc, sh). */
   def simhashSignatures(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(col(id).as("doc"), simhashUdf(col(text)).as("sh"))
+    spreadForUdf(df, col(id))
+      .select(col(id).as("doc"), simhashUdf(col(text)).as("sh"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, bucketed by
     * 16-bit bands (a pair within distance d <= 3 shares at least one of 4

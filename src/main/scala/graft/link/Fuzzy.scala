@@ -92,9 +92,13 @@ object Fuzzy {
     require(maxW < (1L << 32),
       s"idf weights must fit 32 bits for the packed argmax (max $maxW); " +
         "lower idfScale")
-    val wl = weights.groupBy("id", "bk")
-      .agg(sort_array(collect_list(struct(col("t"), col("w")))).as("wl"),
-        sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    // the weight-list table feeds the pair generator's stats subtree AND
+    // both join sides — persist once (the sig-table discipline of the
+    // jaccard paths; slot-cached, previous call unpersisted)
+    val wl = graft.dedup.Dedup.persistLatestPublic("soft_tfidf_wl",
+      weights.groupBy("id", "bk")
+        .agg(sort_array(collect_list(struct(col("t"), col("w")))).as("wl"),
+          sqrt(sum(col("w") * col("w")).cast("double")).as("nrm")))
     val pairs = graft.dedup.Dedup.saltedSelfPairs(
       wl.select(col("id"), col("bk"), col("wl"), col("nrm")))
     val theta6 = math.round(theta * 1000000)

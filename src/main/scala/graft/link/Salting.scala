@@ -28,6 +28,18 @@ object Salting {
     (k1, k2)
   }
 
+  /** [[fanout]] with the aim as a COLUMN: lets a pair generator derive
+    * the aim from job-size statistics inside the plan (scalar-broadcast
+    * total) instead of a driver action — identical arithmetic (IEEE sqrt
+    * / ceil match the scalar path) when the column is a literal. */
+  def fanoutCol(n: Column, aim: Column, maxK: Int): (Column, Column) = {
+    val needK = greatest(ceil(n.cast("double") / sqrt(aim.cast("double"))),
+      lit(1L))
+    val k1 = least(needK, lit(maxK.toLong)).cast("int")
+    val k2 = least(ceil(needK.cast("double") / k1), lit(maxK.toLong)).cast("int")
+    (k1, k2)
+  }
+
   /** Scala mirror of [[fanout]] for property tests. */
   def fanoutScala(n: Long, aim: Long, maxK: Int): (Int, Int) = {
     val needK = math.max(math.ceil(n / math.sqrt(aim.toDouble)).toLong, 1L)
