@@ -45,10 +45,17 @@ object FieldMatch {
       Seq(col(id).cast("long").as("id"), blockCol.as("bk")) ++
         fields.map(col): _*)
     val pairs = graft.dedup.Dedup.saltedSelfPairs(base)
+    // guard projection (scoreAndFilter's trick): PushDownPredicates would
+    // otherwise substitute the agree expressions into the join condition
+    // AND keep them in the projection, evaluating every comparator (incl.
+    // the banded Levenshtein) twice per pair — seen in the round-6
+    // q_multifield_match plan dump. The always-true nondeterministic
+    // wrapper pins the minScore filter above this projection.
     val flagged = rules.foldLeft(pairs) { (d, r) =>
       d.withColumn(s"agree_${r.field}",
-        coalesce(r.agree(col(r.field + "0"), col(r.field + "1"))
-          .cast("long"), lit(0L)))
+        when(monotonically_increasing_id() >= 0,
+          coalesce(r.agree(col(r.field + "0"), col(r.field + "1"))
+            .cast("long"), lit(0L))))
     }
     val score = rules.map(r => col(s"agree_${r.field}") * lit(r.weight))
       .reduce(_ + _)
